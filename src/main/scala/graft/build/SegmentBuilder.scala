@@ -1,0 +1,278 @@
+package graft.build
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.codec.PostingCodec
+import graft.corpus.CorpusSource
+import graft.model._
+import graft.tokenize.Tokenizer
+
+/** Build parameters. Defaults sized for local[32] tests; at cluster scale
+  * raise numPartitions to the cluster's core count multiple and keep
+  * bucketSize so a bucket's doc-length array fits comfortably in one task
+  * (~4 MB at the default 1M docs/bucket). */
+final case class BuildParams(
+    numPartitions: Int = 32,
+    bucketSize: Long = 1L << 20,
+    /** Terms with df above this get the salted two-stage shuffle
+      * (SURVEY §2.3 I4). */
+    saltThreshold: Long = 1L << 20,
+    numSalts: Int = 16,
+    segId: Long = 0L)
+
+/** The built index for one segment — all artifacts as typed Datasets.
+  * `stats` is driver-side (tiny, broadcast at query time). */
+final case class Segment(
+    docs: Dataset[Doc],
+    dict: Dataset[DictEntry],
+    postings: Dataset[PostingList],
+    doclens: Dataset[DocLenBlock],
+    stats: CorpusStats,
+    meta: Dataset[SegmentMeta],
+    params: BuildParams) {
+  def unpersist(): Unit = {
+    docs.unpersist(); dict.unpersist(); postings.unpersist(); doclens.unpersist()
+  }
+}
+
+/** Build metrics — SURVEY §2.3 I9 / BASELINE.md micro-metrics. */
+final case class BuildReport(
+    numDocs: Long,
+    numTerms: Long,
+    numPostings: Long,
+    totalTokens: Long,
+    bytesCompressed: Long,
+    buildMillis: Long) {
+  def docsPerSec: Double = numDocs * 1000.0 / math.max(1, buildMillis)
+  def termsPerSec: Double = totalTokens * 1000.0 / math.max(1, buildMillis)
+  def postingsPerSec: Double = numPostings * 1000.0 / math.max(1, buildMillis)
+  def json: String =
+    s"""{"numDocs":$numDocs,"numTerms":$numTerms,"numPostings":$numPostings,""" +
+      s""""totalTokens":$totalTokens,"bytesCompressed":$bytesCompressed,""" +
+      s""""buildMillis":$buildMillis,"docsPerSec":$docsPerSec,""" +
+      s""""termsPerSec":$termsPerSec,"postingsPerSec":$postingsPerSec}"""
+}
+
+/** Single-segment inverted-index build — SURVEY.md §3 EP1, Spark-first.
+  *
+  * Shuffle budget (explicit, per the north rule):
+  *   1. repartitionByRange(repo,path,commit) — deterministic docIds (P4/P5)
+  *   2. groupBy(term) — dictionary df/cf (I1) [tf itself needs NO shuffle:
+  *      per-doc tf is computed inside the tokenize flatMap, since one
+  *      document's tokens live in one row]
+  *   3. tf ⋈ dict on term — broadcast when dict is small, else sort-merge
+  *   4. repartition(bucket,termId[,salt]) + sortWithinPartitions — posting
+  *      runs (I3/I4); hot terms (df > saltThreshold) take the salted
+  *      two-stage path: partial runs per salt, k-way merged per term.
+  */
+object SegmentBuilder {
+
+  /** Build-time intermediate: one posting before encoding. */
+  final case class PRow(bucket: Int, termId: Long, docId: Long, tf: Int, impact: Double)
+  /** Stage-1 output of the salted path: one sorted partial run. */
+  final case class PartialRun(
+      bucket: Int, termId: Long, salt: Int,
+      docIds: Array[Long], tfs: Array[Int], impacts: Array[Double])
+
+  def build(spark: SparkSession, source: CorpusSource,
+            params: BuildParams = BuildParams()): (Segment, BuildReport) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val corpus = source.read(spark)
+    val inputFiles = source.inputFiles(spark)
+
+    // ── P4/P5: deterministic dense docIds ─────────────────────────────
+    val (numbered, ranges, freeNumbered) = DocIds.assign(corpus, params.numPartitions)
+
+    // ── P6/P7/P8 fused: tokenize → per-doc tf + docLen, zero shuffle ──
+    val tf: Dataset[TermFreq] = numbered.flatMap { r =>
+      val toks = Tokenizer.tokenize(r.content)
+      val counts = new mutable.HashMap[String, Int]()
+      var i = 0
+      while (i < toks.length) {
+        counts.update(toks(i), counts.getOrElse(toks(i), 0) + 1)
+        i += 1
+      }
+      val dl = toks.length
+      counts.iterator.map { case (t, c) => TermFreq(r.docId, t, c, dl) }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ── DocMap: sha256 invariant + docLen (docs with zero tokens keep 0)
+    val docLenByDoc = tf.groupBy($"docId").agg(max($"dl").as("docLen"))
+    val docs = numbered
+      .select($"docId", $"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("sha256"))
+      .join(docLenByDoc, Seq("docId"), "left")
+      .na.fill(0, Seq("docLen"))
+      .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256",
+        $"docLen".cast("int").as("docLen"))
+      .as[Doc]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // global stats — avgdl defined as sum(docLen)/N in BOTH engines so the
+    // DuckDB oracle reproduces it exactly (SURVEY §5.5)
+    val (numDocs, totalTokens) = docs
+      .agg(count(lit(1)), coalesce(sum($"docLen"), lit(0L)))
+      .as[(Long, Long)].head()
+    val avgdl = if (numDocs == 0) 1.0 else totalTokens.toDouble / numDocs
+
+    // ── I1: dictionary with dense termIds in term sort order ──────────
+    val dictAgg = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+      .repartitionByRange(params.numPartitions, $"term")
+      .sortWithinPartitions($"term")
+      .as[(String, Long, Long)]
+    val (dict0, _, freeDictSort) = DocIds.denseIds(dictAgg) { (id, r) =>
+      DictEntry(id, r._1, r._2, r._3)
+    }
+    val dict = dict0.persist(StorageLevel.MEMORY_AND_DISK)
+    val numTerms = dict.count()
+
+    // ── I3/I4: posting rows → salted/unsalted encode ──────────────────
+    val bucketSize = params.bucketSize
+    val joined = tf
+      .join(dict.select($"termId", $"term", $"df"), Seq("term"))
+      .select($"termId", $"docId", $"tf", $"dl", $"df")
+    val pre = joined.map { r =>
+      val termId = r.getLong(0); val docId = r.getLong(1)
+      val tfv = r.getInt(2); val dl = r.getInt(3); val df = r.getLong(4)
+      val idf = BM25.idf(numDocs, df)
+      (PRow((docId / bucketSize).toInt, termId, docId, tfv,
+        BM25.impact(idf, tfv, dl, avgdl)), df)
+    }.toDF("p", "df").select($"p.*", $"df")
+
+    val cold = pre.filter($"df" <= params.saltThreshold).drop("df")
+    val hot = pre.filter($"df" > params.saltThreshold).drop("df")
+
+    val coldLists = cold
+      .repartition(params.numPartitions, $"bucket", $"termId")
+      .sortWithinPartitions($"bucket", $"termId", $"docId")
+      .as[PRow]
+      .mapPartitions(groupRuns)
+
+    val numSalts = params.numSalts
+    val hotLists = hot
+      .withColumn("salt", pmod(hash($"docId"), lit(numSalts)))
+      .repartition(params.numPartitions, $"bucket", $"termId", $"salt")
+      .sortWithinPartitions($"bucket", $"termId", $"salt", $"docId")
+      .select($"bucket", $"termId", $"docId", $"tf", $"impact", $"salt")
+      .as[(Int, Long, Long, Int, Double, Int)]
+      .mapPartitions(groupPartialRuns)
+      .groupByKey(r => (r.bucket, r.termId))
+      .mapGroups((key: (Int, Long), runs: Iterator[PartialRun]) => mergeRuns(key._1, key._2, runs))
+
+    val postings = coldLists.union(hotLists).persist(StorageLevel.MEMORY_AND_DISK)
+    val (numPostings, bytesCompressed) = postings
+      .agg(coalesce(sum($"numDocs".cast("long")), lit(0L)),
+        coalesce(sum(length($"bytes").cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+
+    // ── per-bucket doc-length blocks (dense docIds ⇒ contiguous range) ─
+    val doclens = docs
+      .select($"docId", $"docLen", ($"docId" / bucketSize).cast("int").as("bucket"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._3)
+      .mapGroups { (bucket, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val first = bucket.toLong * bucketSize
+        val lens = new Array[Int](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val idx = (rows(i)._1 - first).toInt
+          require(idx == i, s"docIds not dense in bucket $bucket at ${rows(i)._1}")
+          lens(i) = rows(i)._2
+          i += 1
+        }
+        DocLenBlock(bucket, first, lens)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    doclens.count()
+
+    freeNumbered(); freeDictSort(); tf.unpersist()
+
+    val buildMillis = (System.nanoTime() - t0) / 1000000
+    val metaRows = ranges.map(r => SegmentMeta(params.segId, source.snapshotId,
+      r.partId, r.firstId, r.count, 0L, 0L, 0L, 0L, Array.empty[String])) :+
+      SegmentMeta(params.segId, source.snapshotId, -1, 0L, numDocs, numTerms,
+        numPostings, bytesCompressed, buildMillis, inputFiles)
+    val meta = spark.createDataset(metaRows.toSeq)
+
+    val stats = CorpusStats(numDocs, avgdl, numTerms, numPostings)
+    val report = BuildReport(numDocs, numTerms, numPostings, totalTokens,
+      bytesCompressed, buildMillis)
+    (Segment(docs, dict, postings, doclens, stats, meta, params), report)
+  }
+
+  /** Streaming run-grouper: consecutive (bucket,termId) rows — sorted by
+    * the upstream sortWithinPartitions — into packed posting lists.
+    * Iterator→iterator: never materializes the partition (SURVEY §4.3). */
+  private def groupRuns(it: Iterator[PRow]): Iterator[PostingList] =
+    new Iterator[PostingList] {
+      private val in = it.buffered
+      override def hasNext: Boolean = in.hasNext
+      override def next(): PostingList = {
+        val head = in.next()
+        val ids = mutable.ArrayBuilder.make[Long]
+        val tfs = mutable.ArrayBuilder.make[Int]
+        val imps = mutable.ArrayBuilder.make[Double]
+        ids += head.docId; tfs += head.tf; imps += head.impact
+        while (in.hasNext && in.head.bucket == head.bucket && in.head.termId == head.termId) {
+          val r = in.next()
+          ids += r.docId; tfs += r.tf; imps += r.impact
+        }
+        packList(head.bucket, head.termId, ids.result(), tfs.result(), imps.result())
+      }
+    }
+
+  /** Stage-1 of the salted path: partial sorted runs per (bucket,termId,salt). */
+  private def groupPartialRuns(it: Iterator[(Int, Long, Long, Int, Double, Int)])
+      : Iterator[PartialRun] =
+    new Iterator[PartialRun] {
+      private val in = it.buffered
+      override def hasNext: Boolean = in.hasNext
+      override def next(): PartialRun = {
+        val (b, t, d0, tf0, imp0, s) = in.next()
+        val ids = mutable.ArrayBuilder.make[Long]
+        val tfs = mutable.ArrayBuilder.make[Int]
+        val imps = mutable.ArrayBuilder.make[Double]
+        ids += d0; tfs += tf0; imps += imp0
+        while (in.hasNext && in.head._1 == b && in.head._2 == t && in.head._6 == s) {
+          val r = in.next()
+          ids += r._3; tfs += r._4; imps += r._5
+        }
+        PartialRun(b, t, s, ids.result(), tfs.result(), imps.result())
+      }
+    }
+
+  /** Stage-2: k-way merge of ≤numSalts disjoint sorted runs (heap merge —
+    * salts interleave docIds, so concatenation would be wrong). */
+  private def mergeRuns(bucket: Int, termId: Long,
+                        runsIt: Iterator[PartialRun]): PostingList = {
+    val runs = runsIt.toArray
+    val total = runs.map(_.docIds.length).sum
+    val ids = new Array[Long](total)
+    val tfs = new Array[Int](total)
+    val imps = new Array[Double](total)
+    implicit val ord: Ordering[(Long, Int, Int)] = Ordering.by[(Long, Int, Int), Long](_._1).reverse
+    val heap = mutable.PriorityQueue.empty[(Long, Int, Int)] // (docId, runIdx, pos) min-heap
+    runs.indices.foreach { r => if (runs(r).docIds.nonEmpty) heap.enqueue((runs(r).docIds(0), r, 0)) }
+    var i = 0
+    while (heap.nonEmpty) {
+      val (d, r, p) = heap.dequeue()
+      ids(i) = d; tfs(i) = runs(r).tfs(p); imps(i) = runs(r).impacts(p)
+      i += 1
+      if (p + 1 < runs(r).docIds.length) heap.enqueue((runs(r).docIds(p + 1), r, p + 1))
+    }
+    packList(bucket, termId, ids, tfs, imps)
+  }
+
+  private def packList(bucket: Int, termId: Long, ids: Array[Long],
+                     tfs: Array[Int], imps: Array[Double]): PostingList = {
+    val packed = PostingCodec.pack(ids, tfs, imps)
+    PostingList(bucket, termId, packed.numDocs, packed.lastDocIds,
+      packed.maxImpacts, packed.offsets, packed.bytes)
+  }
+}

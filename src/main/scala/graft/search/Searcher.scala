@@ -1,0 +1,196 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.build.Segment
+import graft.model._
+import graft.tokenize.Tokenizer
+
+/** Flat boolean/free-text query parsing — SURVEY §2.4 Q1. Grammar pinned
+  * in FIXTURES.md: `t AND t AND …`, `t OR t OR …`, else free text (bag of
+  * words, BM25-ranked = OR). Query text goes through the SAME tokenizer
+  * as documents (the uppercase connectives tokenize away). */
+object QueryParser {
+  def parse(text: String): (String, Array[String]) = {
+    val t = text.trim
+    if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
+      ("AND", t.split("\\s+AND\\s+").flatMap(Tokenizer.tokenize).distinct.sorted)
+    else if (t.split("\\s+OR\\s+").length > 1)
+      ("OR", t.split("\\s+OR\\s+").flatMap(Tokenizer.tokenize).distinct.sorted)
+    else ("FREE", Tokenizer.queryTerms(t))
+  }
+}
+
+/** Query evaluation over one built segment — SURVEY.md §3 EP2.
+  *
+  * Plan shape: postings scan filtered to the query's termIds (parquet
+  * predicate pushdown when the segment is on disk) → collect the touched
+  * bucket ids (tiny job) → cogroup with ONLY those buckets' doc-length
+  * blocks → per-bucket block-max WAND / intersection walk emitting ≤k
+  * hits → global `orderBy(score desc, docId).limit(k)` which Catalyst
+  * plans as TakeOrderedAndProject. The heavy posting bytes never shuffle:
+  * only ≤|q| posting rows per touched bucket move.
+  */
+final class Searcher(spark: SparkSession, segment: Segment) extends Serializable {
+  import spark.implicits._
+
+  private val stats: CorpusStats = segment.stats
+
+  /** Driver-side dict lookup for query terms: a filtered scan returning
+    * ≤|q| rows (broadcast-join equivalent at this cardinality). */
+  def dictLookup(terms: Array[String]): Array[DictEntry] =
+    if (terms.isEmpty) Array.empty
+    else segment.dict.filter($"term".isin(terms.toSeq: _*)).collect()
+      .sortBy(_.termId)
+
+  /** Top-k hits for a query. kind ∈ {AND, OR, FREE}; OR/FREE rank by BM25
+    * with block-max WAND pruning; AND intersects then ranks. */
+  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    val terms = Tokenizer.queryTerms(text)
+    val entries = dictLookup(terms)
+    val conjunctive = kind == "AND"
+    if (entries.isEmpty || (conjunctive && entries.length < terms.length))
+      return spark.emptyDataset[Hit] // AND with an unknown term ⇒ ∅
+    scored(entries, conjunctive, k, qid, pruned = true)
+  }
+
+  /** Exhaustive (unpruned) evaluation — correctness oracle for WAND. */
+  def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    val terms = Tokenizer.queryTerms(text)
+    val entries = dictLookup(terms)
+    val conjunctive = kind == "AND"
+    if (entries.isEmpty || (conjunctive && entries.length < terms.length))
+      return spark.emptyDataset[Hit]
+    scored(entries, conjunctive, k, qid, pruned = false)
+  }
+
+  private def scored(entries: Array[DictEntry], conjunctive: Boolean, k: Int,
+                     qid: Long, pruned: Boolean): Dataset[Hit] = {
+    val tids = entries.map(_.termId)
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val nTerms = tids.length
+    val avgdl = stats.avgDocLen
+
+    val pls = segment.postings.filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
+    // touched buckets only — keeps the doclens scan proportional to the
+    // query's footprint, not the corpus (SURVEY §3 EP2)
+    val buckets = pls.select($"bucket").distinct().as[Int].collect().toSeq
+    if (buckets.isEmpty) return spark.emptyDataset[Hit]
+    val dlb = segment.doclens.filter($"bucket".isin(buckets: _*))
+
+    val perBucket = pls.groupByKey(_.bucket).cogroup(dlb.groupByKey(_.bucket)) {
+      (bucket, plIt, dlIt) =>
+        if (!dlIt.hasNext || !plIt.hasNext) Iterator.empty
+        else {
+          val dl = dlIt.next()
+          val cursors = plIt.map { pl =>
+            new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl)
+          }.toArray
+          val res =
+            if (conjunctive) {
+              // a bucket missing any query term cannot intersect
+              if (cursors.length < nTerms) Array.empty[Wand.Scored]
+              else Wand.topKAnd(cursors, dl.lens, dl.firstDocId, avgdl, k)
+            } else if (pruned) Wand.topK(cursors, dl.lens, dl.firstDocId, avgdl, k)
+            else Wand.topKOrExhaustive(cursors, dl.lens, dl.firstDocId, avgdl, k)
+          res.iterator.map(s => (s.docId, s.score))
+        }
+    }
+    rankTopK(perBucket.toDF("docId", "score"), k, qid)
+  }
+
+  /** Global top-k + dense rank. orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition partial top-k, driver merge);
+    * the rank window then runs over ≤k rows. */
+  private def rankTopK(hitsDf: DataFrame, k: Int, qid: Long): Dataset[Hit] = {
+    val w = Window.orderBy($"score".desc, $"docId".asc)
+    hitsDf
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(lit(qid).as("qid"), $"rank", $"docId", $"score")
+      .as[Hit]
+  }
+
+  def search(q: Query): Dataset[Hit] = {
+    val (kind, _) = if (q.kind == "PARSE") QueryParser.parse(q.text) else (q.kind, null)
+    hits(kind, q.text, q.k, q.qid)
+  }
+
+  /** Hits joined back to the doc map (SURVEY §2.4 Q9 — broadcast join). */
+  def topDocs(kind: String, text: String, k: Int): DataFrame =
+    hits(kind, text, k)
+      .join(broadcast(segment.docs).hint("broadcast"), Seq("docId"))
+      .orderBy($"rank")
+      .select($"rank", $"docId", $"score", $"repo", $"path", $"commit", $"lang")
+}
+
+/** Exact relational BM25 scorer — SURVEY §2.4 Q6: the no-pruning oracle
+  * path, computed from DECODED postings (so it also exercises the codec
+  * round-trip), the dictionary, and doc lengths. Per-doc accumulation is
+  * done in a typed mapGroups in ascending termId order so scores are
+  * bit-identical with the WAND path (rank-identity contract).
+  */
+object ExactScorer {
+
+  /** Decode all posting lists back to (termId, docId, tf) rows. */
+  def decodedPostings(spark: SparkSession, segment: Segment): Dataset[(Long, Long, Int)] = {
+    import spark.implicits._
+    segment.postings.as[PostingList].flatMap { pl =>
+      val c = new graft.codec.PostingCodec.Cursor(
+        pl.numDocs, pl.lastDocIds, pl.maxImpacts, pl.offsets, pl.bytes)
+      val out = new Array[(Long, Long, Int)](pl.numDocs)
+      var i = 0
+      while (i < pl.numDocs) { out(i) = (pl.termId, c.docId, c.tf); c.next(); i += 1 }
+      out.toSeq
+    }
+  }
+
+  /** Top-k by exact scoring of every matching document. */
+  def topK(spark: SparkSession, segment: Segment, text: String, kind: String,
+           k: Int, qid: Long = 0L): Dataset[Hit] = {
+    import spark.implicits._
+    val terms = Tokenizer.queryTerms(text)
+    val searcher = new Searcher(spark, segment)
+    val entries = searcher.dictLookup(terms)
+    val conjunctive = kind == "AND"
+    if (entries.isEmpty || (conjunctive && entries.length < terms.length))
+      return spark.emptyDataset[Hit]
+    val idfByTid = entries.map(e => e.termId -> BM25.idf(segment.stats.numDocs, e.df)).toMap
+    val tidSet = entries.map(_.termId).toSet
+    val nTerms = entries.length
+    val avgdl = segment.stats.avgDocLen
+
+    val dl = segment.docs.select($"docId", $"docLen")
+    val matches = decodedPostings(spark, segment)
+      .filter(r => tidSet.contains(r._1))
+      .toDF("termId", "docId", "tf")
+      .join(dl, Seq("docId"))
+      .select($"docId", $"termId", $"tf", $"docLen")
+      .as[(Long, Long, Int, Int)]
+
+    val scoredDocs = matches.groupByKey(_._1).mapGroups { (docId, it) =>
+      val rows = it.toArray.sortBy(_._2) // ascending termId — determinism
+      var score = 0.0
+      var i = 0
+      while (i < rows.length) {
+        score += BM25.impact(idfByTid(rows(i)._2), rows(i)._3, rows(i)._4, avgdl)
+        i += 1
+      }
+      (docId, score, rows.length)
+    }
+    val filtered =
+      if (conjunctive) scoredDocs.filter(_._3 == nTerms) else scoredDocs
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"score".desc, $"docId".asc)
+    filtered.toDF("docId", "score", "n")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(lit(qid).as("qid"), $"rank", $"docId", $"score")
+      .as[Hit]
+  }
+}

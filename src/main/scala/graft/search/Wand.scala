@@ -1,0 +1,207 @@
+package graft.search
+
+import scala.collection.mutable
+
+import graft.codec.PostingCodec
+import graft.model.{BM25, PostingList}
+
+/** Block-max WAND top-k walk over one bucket — SURVEY.md §2.4 Q7.
+  *
+  * Algorithm per Broder et al., CIKM'03 (WAND) with block-max skipping per
+  * Ding & Suel, SIGIR'11. Inherently an iterator+heap walk with
+  * data-dependent skipping — not relational, so it runs inside a typed
+  * `mapGroups`/`cogroup` lambda (SURVEY §4.2); everything here is pure
+  * Scala with zero Spark deps, unit-testable without a session.
+  *
+  * Determinism contract (rank-identity, SURVEY §2.4): scored docIds are
+  * strictly ascending during the walk; per-doc accumulation iterates
+  * cursors in ascending termId order; all arithmetic in Double. Ties at
+  * the k-boundary resolve to the smaller docId because an equal-score
+  * later (larger) docId never replaces an incumbent.
+  *
+  * Pruning uses `ub >= theta` to evaluate (strict `<` skips): Float block
+  * maxima are rounded UP at build time (PostingCodec.upperFloat), so a
+  * skipped candidate provably scores below the current k-th entry.
+  */
+object Wand {
+
+  /** One query term's posting cursor + scoring state. */
+  final class TermCursor(val termId: Long, val idf: Double, pl: PostingList) {
+    val cursor = new PostingCodec.Cursor(pl.numDocs, pl.lastDocIds,
+      pl.maxImpacts, pl.offsets, pl.bytes)
+    private val lastDocIds = pl.lastDocIds
+    private val maxImpacts = pl.maxImpacts
+    /** Whole-list score upper bound. */
+    val listMax: Double = cursor.listMax.toDouble
+
+    @inline def docId: Long = cursor.docId
+    @inline def exhausted: Boolean = cursor.exhausted
+    @inline def tf: Int = cursor.tf
+    def next(): Unit = cursor.next()
+    def nextGeq(t: Long): Unit = cursor.nextGeq(t)
+
+    /** Shallow (metadata-only) lookup of the block containing the first
+      * posting >= target: its max impact and last docId. Does not move
+      * the decode position. Requires target <= last docId of the list. */
+    def shallowBlock(target: Long): (Double, Long) = {
+      var lo = 0
+      var hi = lastDocIds.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lastDocIds(mid) < target) lo = mid + 1 else hi = mid
+      }
+      (maxImpacts(lo).toDouble, lastDocIds(lo))
+    }
+  }
+
+  /** Result heap entry. */
+  final case class Scored(docId: Long, score: Double)
+
+  /** Fixed-size top-k min-heap on score. Ascending-docId insertion order
+    * makes (score asc) eviction implement the (score desc, docId asc)
+    * total order: equal-score later docIds are rejected at insert. */
+  final class TopK(k: Int) {
+    private implicit val ord: Ordering[Scored] =
+      Ordering.by[Scored, (Double, Long)](s => (-s.score, s.docId))
+    private val heap = mutable.PriorityQueue.empty[Scored] // head = worst
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    def offer(docId: Long, score: Double): Unit = {
+      if (heap.size < k) heap.enqueue(Scored(docId, score))
+      else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Scored(docId, score)) }
+    }
+    /** Results ordered (score desc, docId asc). */
+    def result(): Array[Scored] =
+      heap.dequeueAll.toArray.sortBy(s => (-s.score, s.docId))
+  }
+
+  /** Block-max WAND top-k over one bucket's postings. `lens(d - firstDocId)`
+    * is the doc length. Emits up to k (docId, score), ordered. */
+  def topK(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
+           avgdl: Double, k: Int): Array[Scored] = {
+    val topk = new TopK(k)
+    // live cursors ordered by current docId (insertion-sorted per advance)
+    var live = terms.filter(!_.exhausted).sortBy(_.docId)
+    while (live.nonEmpty) {
+      val theta = topk.theta
+      // pivot: first prefix whose Σ listMax reaches theta
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (i < live.length && p < 0) {
+        acc += live(i).listMax
+        if (acc >= theta) p = i
+        i += 1
+      }
+      if (p < 0) return topk.result() // no prefix can reach theta
+      val pivotDoc = live(p).docId
+      // extend the prefix over every cursor already on pivotDoc, so the
+      // block-max refinement sums ALL lists that could score it
+      while (p + 1 < live.length && live(p + 1).docId == pivotDoc) p += 1
+      // block-max refinement: Σ shallow block maxima over the prefix
+      var bmAcc = 0.0
+      var minBlockLast = Long.MaxValue
+      i = 0
+      while (i <= p) {
+        val (bm, bl) = live(i).shallowBlock(pivotDoc)
+        bmAcc += bm
+        if (bl < minBlockLast) minBlockLast = bl
+        i += 1
+      }
+      if (bmAcc < theta) {
+        // current blocks cannot reach theta: jump past the nearest block end
+        var target = minBlockLast + 1
+        if (p + 1 < live.length && live(p + 1).docId < target)
+          target = live(p + 1).docId
+        if (target <= pivotDoc) target = pivotDoc + 1
+        live = advance(live, target)
+      } else if (live(0).docId == pivotDoc) {
+        // all prefix cursors aligned on pivotDoc: score it exactly —
+        // ascending termId order for bit-identical Double sums
+        val dl = lens((pivotDoc - firstDocId).toInt)
+        var score = 0.0
+        val matched = live.filter(_.docId == pivotDoc).sortBy(_.termId)
+        var j = 0
+        while (j < matched.length) {
+          val c = matched(j)
+          score += BM25.impact(c.idf, c.tf, dl, avgdl)
+          j += 1
+        }
+        topk.offer(pivotDoc, score)
+        live = advance(live, pivotDoc + 1)
+      } else {
+        // align: move all cursors before the pivot up to pivotDoc
+        live = advance(live, pivotDoc, upToPivotOnly = true)
+      }
+    }
+    topk.result()
+  }
+
+  private def advance(live: Array[TermCursor], target: Long,
+                      upToPivotOnly: Boolean = false): Array[TermCursor] = {
+    var i = 0
+    while (i < live.length && live(i).docId < target) {
+      live(i).nextGeq(target)
+      i += 1
+    }
+    live.filter(!_.exhausted).sortBy(_.docId)
+  }
+
+  /** Conjunctive (AND) evaluation: k-way galloping intersection, exact
+    * scoring of every intersecting doc — SURVEY §2.4 Q4. */
+  def topKAnd(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
+              avgdl: Double, k: Int): Array[Scored] = {
+    if (terms.isEmpty || terms.exists(_.exhausted)) return Array.empty
+    val topk = new TopK(k)
+    val byTermId = terms.sortBy(_.termId)
+    var target = terms.map(_.docId).max
+    var done = false
+    while (!done) {
+      // drive all cursors to target (galloping via nextGeq's block skips)
+      var aligned = true
+      var i = 0
+      while (i < terms.length && !done) {
+        terms(i).nextGeq(target)
+        if (terms(i).exhausted) done = true
+        else if (terms(i).docId > target) { target = terms(i).docId; aligned = false }
+        i += 1
+      }
+      if (!done && aligned) {
+        val dl = lens((target - firstDocId).toInt)
+        var score = 0.0
+        var j = 0
+        while (j < byTermId.length) {
+          score += BM25.impact(byTermId(j).idf, byTermId(j).tf, dl, avgdl)
+          j += 1
+        }
+        topk.offer(target, score)
+        target += 1
+      }
+    }
+    topk.result()
+  }
+
+  /** Exhaustive disjunctive evaluation (no pruning) — the safe path for
+    * multi-segment reads where stored block maxima are not valid bounds
+    * (SURVEY §2.3 I7 note); also the in-bucket oracle for WAND tests. */
+  def topKOrExhaustive(terms: Array[TermCursor], lens: Array[Int],
+                       firstDocId: Long, avgdl: Double, k: Int): Array[Scored] = {
+    val topk = new TopK(k)
+    val byTermId = terms.sortBy(_.termId)
+    var live = byTermId.filter(!_.exhausted)
+    while (live.nonEmpty) {
+      var d = Long.MaxValue
+      var i = 0
+      while (i < live.length) { if (live(i).docId < d) d = live(i).docId; i += 1 }
+      val dl = lens((d - firstDocId).toInt)
+      var score = 0.0
+      i = 0
+      while (i < live.length) {
+        if (live(i).docId == d) { score += BM25.impact(live(i).idf, live(i).tf, dl, avgdl); live(i).next() }
+        i += 1
+      }
+      topk.offer(d, score)
+      live = live.filter(!_.exhausted)
+    }
+    topk.result()
+  }
+}
