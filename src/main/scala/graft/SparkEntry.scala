@@ -1,13 +1,412 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.DocsIndex
+import graft.pipeline.{Ann, Dedup, Multimodal, TextStats}
+import graft.search.ExactScorer
+
+/** Driver contract — SURVEY.md §2.7. Every implemented operator from
+  * SURVEY §2 gets a `queries` entry; each SQL-expressible one gets a
+  * DuckDB oracle twin in `oracleSql` with IDENTICAL column names/types
+  * and rounding (the driver sorts columns by name and hashes values).
+  *
+  * Conventions shared by both engines:
+  *  - fulltext tokenization of `documents.text` (pure "[a-z ]" words) ≡
+  *    split on ' ' + drop tokens shorter than 2 chars — exactly what
+  *    graft.tokenize.Tokenizer does on that charset;
+  *  - every derived double is `round(x, 6)` (or coarser for big sums) at
+  *    the output boundary, and rankings order by the ROUNDED value with
+  *    an id tie-break, so cross-engine float summation order can't flip
+  *    a row hash;
+  *  - every integer output is BIGINT in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: build the fulltext index over sf0.001 documents and answer
+    * a free-text BM25 query through the block-max WAND path. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DocsIndex.rankedHits(spark, "/root/testdata/sf0.001", "FREE", "fast merge sort", 10)
+
+  // ───────────────────────── shared SQL fragments ─────────────────────
+  /** Tokenize + tf + dl + stats CTEs over `documents` (DuckDB dialect). */
+  private val tokCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tok2 AS (
+      |  SELECT doc_id, term FROM tok WHERE length(term) >= 2
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY 1
+      |), alldl AS (
+      |  SELECT d.doc_id, coalesce(dl.dl, 0)::BIGINT AS dl
+      |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+      |), stats AS (
+      |  SELECT count(*)::BIGINT AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM alldl
+      |), df AS (
+      |  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1
+      |)""".stripMargin
+
+  /** BM25 top-k twin: free-text/OR = any term; AND requires all terms. */
+  private def bm25Sql(terms: Seq[String], conjunctive: Boolean, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val having = if (conjunctive) s"HAVING count(*) = ${terms.length}" else ""
+    s"""$tokCtes, sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+       |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN alldl USING (doc_id)
+       |  CROSS JOIN stats
+       |  WHERE tf.term IN ($inList)
+       |  GROUP BY tf.doc_id
+       |  $having
+       |)
+       |SELECT doc_id, round(score, 6) AS score,
+       |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  private val jaccardSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS s
+      |  FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(p)
+      |  WHERE len(ws) >= 3
+      |), sz AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac
+      |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ─────────────────────────── queries ────────────────────────────────
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── fulltext engine over `documents` (SURVEY §2.1–§2.4) ──
+    "ft_dict" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      seg.dict.select(col("termId").as("term_id"), col("term"), col("df"), col("cf"))
+        .orderBy("term_id")
+    }),
+    "ft_doclen" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      DocsIndex.withDocId(seg)
+        .join(seg.docs.select(col("docId"), col("docLen")), "docId")
+        .select(col("doc_id"), col("docLen").cast("long").as("dl"))
+        .orderBy("doc_id")
+    }),
+    "ft_stats" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      val st = seg.stats
+      s.createDataFrame(Seq(
+        (st.numDocs, st.numTerms, st.numPostings,
+          BigDecimal(st.avgDocLen).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        .toDF("num_docs", "num_terms", "num_postings", "avgdl")
+    }),
+    "ft_topterms" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      seg.dict.select(col("term"), col("df"), col("cf"))
+        .orderBy(col("cf").desc, col("term")).limit(15)
+    }),
+    "ft_postings" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      ExactScorer.decodedPostings(s, seg).toDF("termId", "docId", "tf")
+        .join(seg.dict.select(col("termId"), col("term")), "termId")
+        .join(DocsIndex.withDocId(seg), "docId")
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"))
+        .orderBy("doc_id", "term")
+    }),
+    "ft_sha256" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      DocsIndex.withDocId(seg)
+        .join(seg.docs.select(col("docId"), col("sha256").as("sha")), "docId")
+        .select(col("doc_id"), col("sha")).orderBy("doc_id")
+    }),
+    "ft_bm25_topk" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "FREE", "fast merge sort table", 20)),
+    "ft_bm25_and" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "AND", "key AND value AND hash", 20)),
+    "ft_bm25_or" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "OR", "scan OR window OR batch", 20)),
+
+    // ── dedup family (training-data pipeline) ──
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDups(DocsIndex.documents(s, dir)).orderBy("text_sha")),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(DocsIndex.documents(s, dir), 3, 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, dir) => // no SQL twin: signature uses murmur3
+      Dedup.simhashPairs(DocsIndex.documents(s, dir), 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+    "dedup_embed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      Ann.nearDupPairs(emb, 0.4).orderBy("doc_a", "doc_b")
+    }),
+
+    // ── similarity search ──
+    "ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val qs = emb.filter(_._1 < 5).collect().sortBy(_._1)
+      Ann.bruteTopK(emb, qs, 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_lsh" -> ((s, dir) => { // no SQL twin: approximate (recall tested in scalatest)
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val qs = emb.filter(_._1 < 5).collect().sortBy(_._1)
+      Ann.lshTopK(emb, qs, 10).withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── text analysis ──
+    "text_quality" -> ((s, dir) =>
+      TextStats.quality(DocsIndex.documents(s, dir)).orderBy("doc_id")),
+    "lang_id" -> ((s, dir) =>
+      TextStats.langId(DocsIndex.documents(s, dir)).orderBy("doc_id")),
+    "token_count" -> ((s, dir) =>
+      TextStats.tokenCounts(DocsIndex.documents(s, dir)).orderBy("doc_id")),
+    "fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(DocsIndex.documents(s, dir)).orderBy("doc_id")),
+
+    // ── multimodal plumbing (decode stubbed; see Multimodal scaladoc) ──
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(
+        Multimodal.ingest(DocsIndex.documents(s, dir)))
+        .select(col("id").as("doc_id"), col("nBytes").cast("long").as("n_bytes"),
+          col("sha256").as("sha"))
+        .orderBy("doc_id")
+    }),
+
+    // ── relational sweep over the TPC-H-ish tables (SURVEY §2.5) ──
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_join_rev" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+    "q_window_top3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_topk_orders" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+    "q_semi_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+    "q_setop" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
+        .orderBy("o_custkey")
+    }),
+    "q_events_daily" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("day", "event_type")),
+    "q_events_json" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")))
+
+  // ─────────────────────────── oracle SQL ─────────────────────────────
+  def oracleSql: Map[String, String] = Map(
+    "ft_dict" ->
+      s"""$tokCtes
+         |SELECT (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id,
+         |       term, df, cf
+         |FROM df ORDER BY term""".stripMargin,
+    "ft_doclen" ->
+      s"""$tokCtes
+         |SELECT doc_id, dl FROM alldl ORDER BY doc_id""".stripMargin,
+    "ft_stats" ->
+      s"""$tokCtes
+         |SELECT (SELECT n FROM stats) AS num_docs,
+         |       (SELECT count(*)::BIGINT FROM df) AS num_terms,
+         |       (SELECT count(*)::BIGINT FROM tf) AS num_postings,
+         |       (SELECT round(avgdl, 6) FROM stats) AS avgdl""".stripMargin,
+    "ft_topterms" ->
+      s"""$tokCtes
+         |SELECT term, df, cf FROM df ORDER BY cf DESC, term LIMIT 15""".stripMargin,
+    "ft_postings" ->
+      s"""$tokCtes
+         |SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""".stripMargin,
+    "ft_sha256" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "ft_bm25_topk" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
+    "ft_bm25_and" -> bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
+    "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_sha, count(*)::BIGINT AS cnt,
+        |       list_sort(list(doc_id)) AS ids
+        |FROM documents GROUP BY text HAVING count(*) > 1
+        |ORDER BY text_sha""".stripMargin,
+    "dedup_jaccard" -> jaccardSql,
+    "dedup_minhash" -> jaccardSql, // LSH banding at J≈0.99 pairs: recall 1 − (1−J⁴)¹⁶ ≈ 1
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |              round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6) AS cos
+        |       FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text,' ')))::BIGINT AS n_types,
+        |  round((length(text) - len(string_split(text,' ')) + 1) * 1.0
+        |        / len(string_split(text,' ')), 6) AS avg_word_len,
+        |  round(len(list_distinct(string_split(text,' '))) * 1.0
+        |        / len(string_split(text,' ')), 6) AS ttr,
+        |  round(len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','a','of','and','in','to','is'))) * 1.0
+        |        / len(string_split(text,' ')), 6) AS stop_ratio,
+        |  round(least(len(string_split(text,' ')) / 100.0, 1.0)
+        |        * (len(list_distinct(string_split(text,' '))) * 1.0
+        |           / len(string_split(text,' ')))
+        |        * (1.0 - len(list_filter(string_split(text,' '),
+        |             w -> w IN ('the','a','of','and','in','to','is'))) * 1.0
+        |             / len(string_split(text,' '))), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','a','and','of','is')))::BIGINT AS en_c,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('der','die','das','und','ist')))::BIGINT AS de_c,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('le','la','et','les','est')))::BIGINT AS fr_c
+        |  FROM documents)
+        |SELECT doc_id, en_c AS en_hits,
+        |  CASE WHEN en_c >= (CASE WHEN de_c >= fr_c THEN de_c ELSE fr_c END) THEN 'en'
+        |       WHEN de_c >= fr_c THEN 'de' ELSE 'fr' END AS lang_guess,
+        |  (CASE WHEN en_c >= (CASE WHEN de_c >= fr_c THEN de_c ELSE fr_c END) THEN 'en'
+        |        WHEN de_c >= fr_c THEN 'de' ELSE 'fr' END) = lang AS agrees
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' '))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS alpha_tokens,
+        |  (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(string_split(text,' '),
+        |    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS min_word_hash,
+        |  sha256(text) AS text_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*)::BIGINT AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_join_rev" ->
+      """SELECT n_name, count(*)::BIGINT AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window_top3" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_setop" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_events_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,0 +1,69 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{BuildParams, BuildReport, Segment, SegmentBuilder}
+import graft.corpus.DatasetCorpusSource
+import graft.model.CorpusRow
+import graft.search.Searcher
+
+/** Fulltext index over the driver testdata `documents` table — the bridge
+  * between the engine (which indexes (repo,path,commit,lang,content)
+  * corpora) and the DuckDB-verified query surface in SparkEntry.
+  *
+  * Mapping: repo := source, path := zero-padded doc_id (so string order
+  * == numeric order and the id survives the round-trip), commit :=
+  * constant snapshot marker, content := text. One index per sfDir is
+  * built once and cached for the whole Verify/Bench run.
+  */
+object DocsIndex {
+
+  private val cache = TrieMap.empty[String, (Segment, Searcher, BuildReport)]
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def corpus(spark: SparkSession, sfDir: String): Dataset[CorpusRow] = {
+    import spark.implicits._
+    documents(spark, sfDir).select(
+      col("source").as("repo"),
+      lpad(col("doc_id").cast("string"), 12, "0").as("path"),
+      lit("snapshot0").as("commit"),
+      col("lang"),
+      col("text").as("content")).as[CorpusRow]
+  }
+
+  def get(spark: SparkSession, sfDir: String): (Segment, Searcher, BuildReport) =
+    cache.getOrElseUpdate(sfDir, {
+      val params = BuildParams(
+        numPartitions = spark.sparkContext.defaultParallelism,
+        bucketSize = 1L << 12) // small buckets: testdata is tiny, exercise >1 bucket
+      val (seg, report) = SegmentBuilder.build(
+        spark, DatasetCorpusSource(corpus(spark, sfDir)), params)
+      (seg, new Searcher(spark, seg), report)
+    })
+
+  /** docId → original doc_id (the zero-padded path round-trips). */
+  def withDocId(seg: Segment): DataFrame =
+    seg.docs.select(col("docId"), col("path").cast("long").as("doc_id"))
+
+  /** Top-k hits re-ranked by (round(score,6) desc, doc_id) — the rounded
+    * ordering both engines can reproduce bit-identically. Fetches slack
+    * beyond k on the exact ordering so a rounding tie at the k-boundary
+    * cannot change the selected set. */
+  def rankedHits(spark: SparkSession, sfDir: String, kind: String,
+                 text: String, k: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val hits = searcher.hits(kind, text, k + 50)
+    hits.join(withDocId(seg), Seq("docId"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+  }
+}

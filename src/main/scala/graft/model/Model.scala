@@ -112,19 +112,23 @@ final case class Hit(qid: Long, rank: Int, docId: Long, score: Double)
 object BM25 extends Serializable {
   final val K1 = 1.2
   final val B = 0.75
+  /** Literal constants (NOT computed) so the SQL twins' decimal literals
+    * parse to bit-identical doubles in every engine. */
+  final val K1Plus1 = 2.2
+  final val OneMinusB = 0.25
 
   @inline def idf(numDocs: Long, df: Long): Double =
     math.log(1.0 + (numDocs - df + 0.5) / (df + 0.5))
 
   /** Per-(term, doc) score contribution. */
   @inline def impact(idf: Double, tf: Int, dl: Int, avgdl: Double): Double =
-    idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    idf * tf * K1Plus1 / (tf + K1 * (OneMinusB + B * dl / avgdl))
 
   /** SQL fragment computing the same impact — shared by the exact-scorer
     * DataFrame path and the DuckDB oracle twins, so the formula cannot
     * drift between engines. Column names are parameters. */
   def impactSql(idfCol: String, tfCol: String, dlCol: String, avgdlCol: String): String =
-    s"$idfCol * $tfCol * ${K1 + 1.0} / ($tfCol + $K1 * (${1.0 - B} + $B * $dlCol / $avgdlCol))"
+    s"$idfCol * $tfCol * 2.2 / ($tfCol + 1.2 * (0.25 + 0.75 * $dlCol / $avgdlCol))"
 
   def idfSql(nCol: String, dfCol: String): String =
     s"ln(1.0 + ($nCol - $dfCol + 0.5) / ($dfCol + 0.5))"

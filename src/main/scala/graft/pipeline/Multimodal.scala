@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media blob: modality-tagged opaque bytes + typed metadata. */
+final case class MediaRow(
+    id: Long,
+    modality: String,
+    bytes: Array[Byte],
+    meta: Map[String, String])
+
+/** Extracted features for one blob. */
+final case class MediaFeatures(
+    id: Long,
+    modality: String,
+    nBytes: Int,
+    sha256: String,
+    featureDim: Int,
+    featureNorm: Double)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, batch-wise feature extraction over
+  * `mapPartitions`.
+  *
+  * The DECODE STEP IS A STUB: no image/audio codec libraries exist in
+  * this container, so `fakeDecode` derives a deterministic 64-dim
+  * "feature vector" from a byte histogram. Everything around it — the
+  * binary schema, partition-preserving batch loop, batch shape, and the
+  * feature output schema — is the real Spark plumbing a genuine decoder
+  * (JNI codec / ONNX runtime) would drop into.
+  */
+object Multimodal {
+
+  /** Ingest a (doc_id, text) table as opaque UTF-8 blobs (stand-in for
+    * real media bytes; keeps the binary-column path honest end-to-end). */
+  def ingest(docs: DataFrame, modality: String = "text"): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("id"),
+      lit(modality).as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      map(lit("codec"), lit("utf-8"), lit("source"), lit("documents"))
+        .as("meta"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: byte histogram → 64 coarse bins, L2-normalized.
+    * Deterministic; replace with a real codec at deployment. */
+  def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](64)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 2) += 1f; i += 1 }
+    var norm = 0.0
+    var j = 0
+    while (j < 64) { norm += hist(j).toDouble * hist(j); j += 1 }
+    val n = math.sqrt(norm)
+    if (n > 0) { j = 0; while (j < 64) { hist(j) = (hist(j) / n).toFloat; j += 1 } }
+    hist
+  }
+
+  /** Batch-wise feature extraction. The partition iterator is consumed in
+    * `batchSize` groups — the shape a vectorized decoder (GPU batch, C
+    * library call) needs — while remaining lazy per partition. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would process `batch` in one vectorized call
+        batch.iterator.map { m =>
+          val feat = fakeDecode(m.bytes)
+          val digest = java.security.MessageDigest.getInstance("SHA-256").digest(m.bytes)
+          val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+          var norm = 0.0
+          feat.foreach(f => norm += f.toDouble * f)
+          MediaFeatures(m.id, m.modality, m.bytes.length, hex, feat.length,
+            math.sqrt(norm))
+        }
+      }
+    }
+  }
+}

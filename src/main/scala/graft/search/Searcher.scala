@@ -21,6 +21,16 @@ object QueryParser {
       ("OR", t.split("\\s+OR\\s+").flatMap(Tokenizer.tokenize).distinct.sorted)
     else ("FREE", Tokenizer.queryTerms(t))
   }
+
+  /** Terms of a query whose kind is already known: the uppercase
+    * connective is grammar, not a term, and must never be tokenized into
+    * one (an AND query would otherwise short-circuit to ∅ on the
+    * out-of-vocabulary token "and"). */
+  def termsFor(kind: String, text: String): Array[String] = kind match {
+    case "AND" => text.split("\\s+AND\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
+    case "OR" => text.split("\\s+OR\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
+    case _ => Tokenizer.queryTerms(text)
+  }
 }
 
 /** Query evaluation over one built segment — SURVEY.md §3 EP2.
@@ -48,7 +58,7 @@ final class Searcher(spark: SparkSession, segment: Segment) extends Serializable
   /** Top-k hits for a query. kind ∈ {AND, OR, FREE}; OR/FREE rank by BM25
     * with block-max WAND pruning; AND intersects then ranks. */
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
-    val terms = Tokenizer.queryTerms(text)
+    val terms = QueryParser.termsFor(kind, text)
     val entries = dictLookup(terms)
     val conjunctive = kind == "AND"
     if (entries.isEmpty || (conjunctive && entries.length < terms.length))
@@ -58,7 +68,7 @@ final class Searcher(spark: SparkSession, segment: Segment) extends Serializable
 
   /** Exhaustive (unpruned) evaluation — correctness oracle for WAND. */
   def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
-    val terms = Tokenizer.queryTerms(text)
+    val terms = QueryParser.termsFor(kind, text)
     val entries = dictLookup(terms)
     val conjunctive = kind == "AND"
     if (entries.isEmpty || (conjunctive && entries.length < terms.length))
@@ -153,7 +163,7 @@ object ExactScorer {
   def topK(spark: SparkSession, segment: Segment, text: String, kind: String,
            k: Int, qid: Long = 0L): Dataset[Hit] = {
     import spark.implicits._
-    val terms = Tokenizer.queryTerms(text)
+    val terms = QueryParser.termsFor(kind, text)
     val searcher = new Searcher(spark, segment)
     val entries = searcher.dictLookup(terms)
     val conjunctive = kind == "AND"
