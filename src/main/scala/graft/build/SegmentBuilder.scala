@@ -2,7 +2,7 @@ package graft.build
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -80,13 +80,23 @@ object SegmentBuilder {
 
   def build(spark: SparkSession, source: CorpusSource,
             params: BuildParams = BuildParams()): (Segment, BuildReport) = {
+    val corpus = source.read(spark)
+    val (numbered, ranges, freeNumbered) = DocIds.assign(corpus, params.numPartitions)
+    try buildFromNumbered(spark, numbered, ranges, source.snapshotId,
+      source.inputFiles(spark), params)
+    finally freeNumbered()
+  }
+
+  /** Build one segment from already-numbered rows. Chunked/resumed builds
+    * pass a docId-range slice of a globally numbered corpus here — ids
+    * derive from global sort position, never task scheduling, so a
+    * resumed chunk reproduces byte-identical artifacts (SURVEY §2.6 R3). */
+  def buildFromNumbered(spark: SparkSession, numbered: Dataset[NumberedRow],
+                        ranges: Array[PartRange], snapshotId: Long,
+                        inputFiles: Array[String], params: BuildParams)
+      : (Segment, BuildReport) = {
     import spark.implicits._
     val t0 = System.nanoTime()
-    val corpus = source.read(spark)
-    val inputFiles = source.inputFiles(spark)
-
-    // ── P4/P5: deterministic dense docIds ─────────────────────────────
-    val (numbered, ranges, freeNumbered) = DocIds.assign(corpus, params.numPartitions)
 
     // ── P6/P7/P8 fused: tokenize → per-doc tf + docLen, zero shuffle ──
     val tf: Dataset[TermFreq] = numbered.flatMap { r =>
@@ -132,9 +142,43 @@ object SegmentBuilder {
     val dict = dict0.persist(StorageLevel.MEMORY_AND_DISK)
     val numTerms = dict.count()
 
-    // ── I3/I4: posting rows → salted/unsalted encode ──────────────────
+    // ── I3/I4/I5/I6: encode (shared with the log-structured merge) ────
+    val postings = encodePostings(spark, tf.toDF(), dict, numDocs, avgdl, params)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (numPostings, bytesCompressed) = postings
+      .agg(coalesce(sum($"numDocs".cast("long")), lit(0L)),
+        coalesce(sum(length($"bytes").cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+
+    val doclens = doclenBlocks(docs, params.bucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    doclens.count()
+
+    freeDictSort(); tf.unpersist()
+
+    val buildMillis = (System.nanoTime() - t0) / 1000000
+    val metaRows = ranges.map(r => SegmentMeta(params.segId, snapshotId,
+      r.partId, r.firstId, r.count, 0L, 0L, 0L, 0L, Array.empty[String])) :+
+      SegmentMeta(params.segId, snapshotId, -1, 0L, numDocs, numTerms,
+        numPostings, bytesCompressed, buildMillis, inputFiles)
+    val meta = spark.createDataset(metaRows.toSeq)
+
+    val stats = CorpusStats(numDocs, avgdl, numTerms, numPostings)
+    val report = BuildReport(numDocs, numTerms, numPostings, totalTokens,
+      bytesCompressed, buildMillis)
+    (Segment(docs, dict, postings, doclens, stats, meta, params), report)
+  }
+
+  /** (docId, term, tf, dl) rows + dictionary → packed posting lists: the
+    * I3 (cold, single shuffle) / I4 (hot, salted two-stage) split.
+    * `tfDf` needs columns (docId, term, tf, dl). Shared by the fresh
+    * build and SegmentMerger's re-encode. */
+  def encodePostings(spark: SparkSession, tfDf: DataFrame,
+                     dict: Dataset[DictEntry], numDocs: Long, avgdl: Double,
+                     params: BuildParams): Dataset[PostingList] = {
+    import spark.implicits._
     val bucketSize = params.bucketSize
-    val joined = tf
+    val joined = tfDf
       .join(dict.select($"termId", $"term", $"df"), Seq("term"))
       .select($"termId", $"docId", $"tf", $"dl", $"df")
     val pre = joined.map { r =>
@@ -163,22 +207,25 @@ object SegmentBuilder {
       .as[(Int, Long, Long, Int, Double, Int)]
       .mapPartitions(groupPartialRuns)
       .groupByKey(r => (r.bucket, r.termId))
-      .mapGroups((key: (Int, Long), runs: Iterator[PartialRun]) => mergeRuns(key._1, key._2, runs))
+      .mapGroups((key: (Int, Long), runs: Iterator[PartialRun]) =>
+        mergeRuns(key._1, key._2, runs))
 
-    val postings = coldLists.union(hotLists).persist(StorageLevel.MEMORY_AND_DISK)
-    val (numPostings, bytesCompressed) = postings
-      .agg(coalesce(sum($"numDocs".cast("long")), lit(0L)),
-        coalesce(sum(length($"bytes").cast("long")), lit(0L)))
-      .as[(Long, Long)].head()
+    coldLists.union(hotLists)
+  }
 
-    // ── per-bucket doc-length blocks (dense docIds ⇒ contiguous range) ─
-    val doclens = docs
+  /** Per-bucket doc-length blocks. firstDocId = the segment's first docId
+    * in the bucket (chunk slices may start mid-bucket); rows within a
+    * segment's bucket slice must be dense. */
+  def doclenBlocks(docs: Dataset[Doc], bucketSize: Long): Dataset[DocLenBlock] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .select($"docId", $"docLen", ($"docId" / bucketSize).cast("int").as("bucket"))
       .as[(Long, Int, Int)]
       .groupByKey(_._3)
       .mapGroups { (bucket, it) =>
         val rows = it.toArray.sortBy(_._1)
-        val first = bucket.toLong * bucketSize
+        val first = rows.head._1
         val lens = new Array[Int](rows.length)
         var i = 0
         while (i < rows.length) {
@@ -188,22 +235,7 @@ object SegmentBuilder {
           i += 1
         }
         DocLenBlock(bucket, first, lens)
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    doclens.count()
-
-    freeNumbered(); freeDictSort(); tf.unpersist()
-
-    val buildMillis = (System.nanoTime() - t0) / 1000000
-    val metaRows = ranges.map(r => SegmentMeta(params.segId, source.snapshotId,
-      r.partId, r.firstId, r.count, 0L, 0L, 0L, 0L, Array.empty[String])) :+
-      SegmentMeta(params.segId, source.snapshotId, -1, 0L, numDocs, numTerms,
-        numPostings, bytesCompressed, buildMillis, inputFiles)
-    val meta = spark.createDataset(metaRows.toSeq)
-
-    val stats = CorpusStats(numDocs, avgdl, numTerms, numPostings)
-    val report = BuildReport(numDocs, numTerms, numPostings, totalTokens,
-      bytesCompressed, buildMillis)
-    (Segment(docs, dict, postings, doclens, stats, meta, params), report)
+      }
   }
 
   /** Streaming run-grouper: consecutive (bucket,termId) rows — sorted by
@@ -270,7 +302,7 @@ object SegmentBuilder {
   }
 
   private def packList(bucket: Int, termId: Long, ids: Array[Long],
-                     tfs: Array[Int], imps: Array[Double]): PostingList = {
+                       tfs: Array[Int], imps: Array[Double]): PostingList = {
     val packed = PostingCodec.pack(ids, tfs, imps)
     PostingList(bucket, termId, packed.numDocs, packed.lastDocIds,
       packed.maxImpacts, packed.offsets, packed.bytes)

@@ -1,0 +1,106 @@
+package graft.index
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{BuildParams, Segment}
+import graft.model._
+
+/** On-disk segment layout + atomic commit protocol — SURVEY §2.1 S3/S4,
+  * §2.6 R1.
+  *
+  * ```
+  * indexDir/seg-<id>/
+  *   docs/ dict/ postings/ doclens/ meta/     (parquet)
+  *   stats.json                               (tiny driver-side stats)
+  * ```
+  *
+  * Atomicity: everything is written under `seg-<id>.tmp` and the
+  * directory is renamed into place last — a crashed build leaves only a
+  * `.tmp` that the resume path ignores and overwrites. `exists` therefore
+  * doubles as the completed-chunk predicate for resume (R2: pending =
+  * planned anti-join completed).
+  *
+  * Postings are written partitionBy(bucket) and sorted by termId inside
+  * each file, so query-time scans get directory-level bucket pruning AND
+  * parquet row-group min/max pruning on the termId filter.
+  */
+object IndexStorage {
+
+  def segDir(indexDir: String, segId: Long): Path =
+    Paths.get(indexDir, f"seg-$segId%05d")
+
+  def exists(indexDir: String, segId: Long): Boolean =
+    Files.exists(segDir(indexDir, segId).resolve("stats.json"))
+
+  def write(segment: Segment, indexDir: String): Path = {
+    val finalDir = segDir(indexDir, segment.params.segId)
+    val tmp = Paths.get(finalDir.toString + ".tmp")
+    if (Files.exists(tmp)) deleteRec(tmp)
+    if (Files.exists(finalDir)) deleteRec(finalDir)
+    Files.createDirectories(tmp)
+
+    segment.docs.write.parquet(tmp.resolve("docs").toString)
+    segment.dict.write.parquet(tmp.resolve("dict").toString)
+    segment.postings
+      .sortWithinPartitions(col("bucket"), col("termId"))
+      .write.partitionBy("bucket")
+      .parquet(tmp.resolve("postings").toString)
+    segment.doclens.write.parquet(tmp.resolve("doclens").toString)
+    segment.meta.write.parquet(tmp.resolve("meta").toString)
+
+    val st = segment.stats
+    val p = segment.params
+    Files.writeString(tmp.resolve("stats.json"),
+      s"""{"numDocs":${st.numDocs},"avgDocLen":${st.avgDocLen},""" +
+        s""""numTerms":${st.numTerms},"numPostings":${st.numPostings},""" +
+        s""""bucketSize":${p.bucketSize},"segId":${p.segId},""" +
+        s""""numPartitions":${p.numPartitions},"saltThreshold":${p.saltThreshold},""" +
+        s""""numSalts":${p.numSalts}}""")
+    Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
+    finalDir
+  }
+
+  def read(spark: SparkSession, dir: String): Segment = {
+    import spark.implicits._
+    val d = Paths.get(dir)
+    val json = Files.readString(d.resolve("stats.json"))
+    def num(key: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":([-0-9.eE]+)").matcher(json)
+      require(m.find(), s"missing $key in stats.json")
+      m.group(1)
+    }
+    val stats = CorpusStats(num("numDocs").toLong, num("avgDocLen").toDouble,
+      num("numTerms").toLong, num("numPostings").toLong)
+    val params = BuildParams(
+      numPartitions = num("numPartitions").toInt,
+      bucketSize = num("bucketSize").toLong,
+      saltThreshold = num("saltThreshold").toLong,
+      numSalts = num("numSalts").toInt,
+      segId = num("segId").toLong)
+    Segment(
+      spark.read.schema(Encoders.product[Doc].schema)
+        .parquet(d.resolve("docs").toString).as[Doc],
+      spark.read.schema(Encoders.product[DictEntry].schema)
+        .parquet(d.resolve("dict").toString).as[DictEntry],
+      // no explicit schema: partitionBy moved `bucket` to the dir key
+      spark.read.parquet(d.resolve("postings").toString)
+        .select($"bucket".cast("int").as("bucket"), $"termId", $"numDocs",
+          $"lastDocIds", $"maxImpacts", $"offsets", $"bytes")
+        .as[PostingList],
+      spark.read.schema(Encoders.product[DocLenBlock].schema)
+        .parquet(d.resolve("doclens").toString).as[DocLenBlock],
+      stats,
+      spark.read.schema(Encoders.product[SegmentMeta].schema)
+        .parquet(d.resolve("meta").toString).as[SegmentMeta],
+      params)
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRec)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.index
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.build.{BuildParams, DocIds, Segment, SegmentBuilder}
+import graft.model._
+import graft.search.ExactScorer
+
+/** Log-structured segment merge — SURVEY §2.3 I7, north-rule operator
+  * "log-structured segment merge expressed in Catalyst (sort-merge
+  * cogroup on term)".
+  *
+  * Segments hold disjoint, ordered docId ranges (ChunkedIndexer), but a
+  * merged index needs GLOBAL statistics: df, idf, and avgdl all change,
+  * and the per-posting impacts baked into the block-max metadata with
+  * them. A merge therefore re-scores: the per-segment dictionaries are
+  * combined with a sort-merge cogroup on term (df/cf add), termIds are
+  * re-assigned densely over the merged vocabulary, and postings are
+  * decoded to (docId, term, tf, dl) rows and re-encoded through the
+  * builder's salted shuffle with the merged stats — the same rewrite an
+  * LSM compaction performs. Queries over a merged segment then prune
+  * with exactly-valid block maxima; for un-merged multi-segment reads use
+  * the exhaustive (unpruned) path, whose scores the stale bounds cannot
+  * corrupt.
+  */
+object SegmentMerger {
+
+  /** Sort-merge cogroup of two dictionaries on term (df/cf summed).
+    * KeyValueGroupedDataset.cogroup plans as a Catalyst CoGroup over two
+    * sort-merged children. termIds re-assigned densely afterwards. */
+  def mergeDicts(spark: SparkSession, a: Dataset[DictEntry], b: Dataset[DictEntry],
+                 numPartitions: Int): Dataset[DictEntry] = {
+    import spark.implicits._
+    val merged = a.groupByKey(_.term).cogroup(b.groupByKey(_.term)) { (term, xa, xb) =>
+      var df = 0L; var cf = 0L
+      xa.foreach { e => df += e.df; cf += e.cf }
+      xb.foreach { e => df += e.df; cf += e.cf }
+      Iterator.single((term, df, cf))
+    }
+    val sorted = merged.repartitionByRange(numPartitions, $"_1")
+      .sortWithinPartitions($"_1")
+    val (dict, _, free) = DocIds.denseIds(sorted) { (id, r) =>
+      DictEntry(id, r._1, r._2, r._3)
+    }
+    val out = dict.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    free()
+    out
+  }
+
+  /** Merge two segments with disjoint docId ranges into one. */
+  def merge(spark: SparkSession, a: Segment, b: Segment,
+            params: BuildParams): (Segment, graft.build.BuildReport) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    require(a.params.bucketSize == params.bucketSize &&
+      b.params.bucketSize == params.bucketSize,
+      "merge requires a uniform bucketSize")
+
+    val docs = a.docs.unionByName(b.docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val (numDocs, totalTokens) = docs
+      .agg(count(lit(1)), coalesce(sum($"docLen".cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+    val avgdl = if (numDocs == 0) 1.0 else totalTokens.toDouble / numDocs
+
+    val dict = mergeDicts(spark, a.dict, b.dict, params.numPartitions)
+    val numTerms = dict.count()
+
+    // decode each side's postings back to (docId, term, tf, dl) rows and
+    // re-encode under the merged dict/stats (term strings resolved via
+    // each side's own dictionary; dl via each side's docs)
+    def tfRows(s: Segment) =
+      ExactScorer.decodedPostings(spark, s).toDF("termId", "docId", "tf")
+        .join(s.dict.select($"termId", $"term"), "termId")
+        .join(s.docs.select($"docId", $"docLen".as("dl")), "docId")
+        .select($"docId", $"term", $"tf", $"dl")
+    val tfAll = tfRows(a).unionByName(tfRows(b))
+    val postings = SegmentBuilder
+      .encodePostings(spark, tfAll, dict, numDocs, avgdl, params)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (numPostings, bytesCompressed) = postings
+      .agg(coalesce(sum($"numDocs".cast("long")), lit(0L)),
+        coalesce(sum(length($"bytes").cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+
+    val doclens = SegmentBuilder.doclenBlocks(docs, params.bucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    doclens.count()
+
+    val buildMillis = (System.nanoTime() - t0) / 1000000
+    val meta = a.meta.unionByName(b.meta)
+      .withColumn("segId", lit(params.segId)).as[SegmentMeta]
+    val stats = CorpusStats(numDocs, avgdl, numTerms, numPostings)
+    val report = graft.build.BuildReport(numDocs, numTerms, numPostings,
+      totalTokens, bytesCompressed, buildMillis)
+    (Segment(docs, dict, postings, doclens, stats, meta, params), report)
+  }
+}
