@@ -59,19 +59,62 @@ object DocIds {
     (out, ranges, () => { sorted.unpersist(); () })
   }
 
-  /** Assign docIds by global (repo, path, commit) order after exact-key
-    * dedup. numPartitions sizes shuffle 1 of the build (SURVEY §3 EP1). */
+  /** Assign docIds by global (repo, path, commit) order with exact-key
+    * dedup folded into the SAME range shuffle: equal keys are adjacent
+    * after the range-sort, so both the count pass and the numbering pass
+    * simply skip a row whose key equals its predecessor's — no separate
+    * dropDuplicates shuffle of the full corpus (it would move every
+    * content byte a second time; at 100 TB that is the difference
+    * between 4 and 5 corpus-wide shuffles).
+    * numPartitions sizes shuffle 1 of the build (SURVEY §3 EP1). */
   def assign(corpus: Dataset[CorpusRow], numPartitions: Int)
       : (Dataset[NumberedRow], Array[PartRange], () => Unit) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val keys: Seq[Column] = Seq($"repo", $"path", $"commit")
     val sorted = corpus
-      .dropDuplicates(Seq("repo", "path", "commit"))
       .repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
-    denseIds(sorted) { (id, r) =>
-      NumberedRow(id, r.repo, r.path, r.commit, r.lang, r.content)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    @inline def sameKey(a: CorpusRow, b: CorpusRow): Boolean =
+      a.repo == b.repo && a.path == b.path && a.commit == b.commit
+
+    val counts: Map[Int, Long] = sorted
+      .mapPartitions { it =>
+        var n = 0L
+        var prev: CorpusRow = null
+        while (it.hasNext) {
+          val r = it.next()
+          if (prev == null || !sameKey(prev, r)) n += 1
+          prev = r
+        }
+        Iterator.single((TaskContext.getPartitionId(), n))
+      }
+      .collect().toMap
+    val numParts = sorted.rdd.getNumPartitions
+    val offsets = new Array[Long](numParts)
+    var acc = 0L
+    val ranges = (0 until numParts).map { pid =>
+      offsets(pid) = acc
+      val c = counts.getOrElse(pid, 0L)
+      acc += c
+      PartRange(pid, offsets(pid), c)
+    }.toArray
+    val out = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var next = offsets(pid)
+      var prev: CorpusRow = null
+      it.flatMap { r =>
+        val dup = prev != null && sameKey(prev, r)
+        prev = r
+        if (dup) None
+        else {
+          val id = next; next += 1
+          Some(NumberedRow(id, r.repo, r.path, r.commit, r.lang, r.content))
+        }
+      }
     }
+    (out, ranges, () => { sorted.unpersist(); () })
   }
 }

@@ -136,14 +136,15 @@ object SegmentBuilder {
       .repartitionByRange(params.numPartitions, $"term")
       .sortWithinPartitions($"term")
       .as[(String, Long, Long)]
-    val (dict0, _, freeDictSort) = DocIds.denseIds(dictAgg) { (id, r) =>
+    val (dict0, dictRanges, freeDictSort) = DocIds.denseIds(dictAgg) { (id, r) =>
       DictEntry(id, r._1, r._2, r._3)
     }
     val dict = dict0.persist(StorageLevel.MEMORY_AND_DISK)
-    val numTerms = dict.count()
+    val numTerms = dictRanges.map(_.count).sum // free: no extra count job
 
     // ── I3/I4/I5/I6: encode (shared with the log-structured merge) ────
-    val postings = encodePostings(spark, tf.toDF(), dict, numDocs, avgdl, params)
+    val postings = encodePostings(spark, tf.toDF(), dict, numDocs, avgdl, params,
+      numTermsHint = numTerms)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (numPostings, bytesCompressed) = postings
       .agg(coalesce(sum($"numDocs".cast("long")), lit(0L)),
@@ -173,21 +174,34 @@ object SegmentBuilder {
     * I3 (cold, single shuffle) / I4 (hot, salted two-stage) split.
     * `tfDf` needs columns (docId, term, tf, dl). Shared by the fresh
     * build and SegmentMerger's re-encode. */
+  /** Vocabularies below this broadcast in the tf⋈dict join (shuffle 3 of
+    * EP1 collapses to a map-side hash join — the tf side, the largest
+    * dataset of the build, then never shuffles on term). A 100 TB-scale
+    * vocabulary exceeds this and falls back to sort-merge. */
+  val DictBroadcastLimit: Long = 4L << 20
+
   def encodePostings(spark: SparkSession, tfDf: DataFrame,
                      dict: Dataset[DictEntry], numDocs: Long, avgdl: Double,
-                     params: BuildParams): Dataset[PostingList] = {
+                     params: BuildParams, numTermsHint: Long = -1L): Dataset[PostingList] = {
     import spark.implicits._
     val bucketSize = params.bucketSize
-    val joined = tfDf
-      .join(dict.select($"termId", $"term", $"df"), Seq("term"))
-      .select($"termId", $"docId", $"tf", $"dl", $"df")
-    val pre = joined.map { r =>
-      val termId = r.getLong(0); val docId = r.getLong(1)
-      val tfv = r.getInt(2); val dl = r.getInt(3); val df = r.getLong(4)
-      val idf = BM25.idf(numDocs, df)
-      (PRow((docId / bucketSize).toInt, termId, docId, tfv,
-        BM25.impact(idf, tfv, dl, avgdl)), df)
-    }.toDF("p", "df").select($"p.*", $"df")
+    val dictSlim = dict.select($"termId", $"term", $"df")
+    val numTerms = if (numTermsHint >= 0) numTermsHint else dict.count()
+    val dictSide =
+      if (numTerms <= DictBroadcastLimit) broadcast(dictSlim) else dictSlim
+    // impact computed as native Column arithmetic — stays inside
+    // whole-stage codegen, no typed ser/deser of the posting-scale rows.
+    // The expression tree mirrors BM25.impact/idf term-for-term (same
+    // association order ⇒ bit-identical IEEE doubles as the query-time
+    // Scala recomputation; upperFloat adds an ulp of slack regardless).
+    val idfCol = log(lit(1.0) + (lit(numDocs) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val impactCol = idfCol * $"tf" * lit(BM25.K1Plus1) /
+      ($"tf" + lit(BM25.K1) * (lit(BM25.OneMinusB) + lit(BM25.B) * $"dl" / lit(avgdl)))
+    val pre = tfDf
+      .join(dictSide, Seq("term"))
+      .select(
+        expr(s"CAST(docId DIV $bucketSize AS INT)").as("bucket"),
+        $"termId", $"docId", $"tf", impactCol.as("impact"), $"df")
 
     val cold = pre.filter($"df" <= params.saltThreshold).drop("df")
     val hot = pre.filter($"df" > params.saltThreshold).drop("df")

@@ -34,10 +34,15 @@ object PostingCodec extends Serializable {
       offsets: Array[Int],
       bytes: Array[Byte])
 
-  /** Float >= d, for upper-bound-preserving quantization. */
+  /** Float STRICTLY above d, for upper-bound-preserving quantization.
+    * One extra float-ulp of slack on top of round-up so the bound also
+    * covers double-ulp-level differences between the build-time impact
+    * computation (whole-stage codegen) and the query-time re-computation
+    * (plain Scala) — both are IEEE-identical by construction, but the
+    * slack makes pruning safety independent of that proof. */
   @inline def upperFloat(d: Double): Float = {
     val f = d.toFloat
-    if (f.toDouble >= d) f else Math.nextUp(f)
+    Math.nextUp(if (f.toDouble >= d) f else Math.nextUp(f))
   }
 
   /** Pack sorted (docId, tf, impact) triples. docIds must be strictly

@@ -1,0 +1,64 @@
+package graft.search
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.Segment
+import graft.model._
+
+/** Merge-on-read queries across multiple un-compacted segments —
+  * the LSM read path before SegmentMerger compaction runs.
+  *
+  * BM25 statistics must be GLOBAL for scores to be comparable across
+  * segments: N and avgdl combine from the segment stats; df per query
+  * term sums across the per-segment dictionaries (each segment has its
+  * own termId space, so idf maps are keyed per segment). Because stored
+  * block maxima were computed under per-segment stats, they are NOT valid
+  * bounds under global stats — this path therefore always uses the
+  * exhaustive per-bucket walk (pruned = false); compact with
+  * SegmentMerger to get WAND pruning back. Results are rank-identical to
+  * querying the merged segment (proven in SegmentLifecycleSpec).
+  */
+final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
+  import spark.implicits._
+
+  require(segments.nonEmpty)
+  private val searchers = segments.map(s => new Searcher(spark, s))
+
+  /** Combined corpus stats: N = Σ, avgdl = Σ tokens / N. Each segment's
+    * avgdl * N recovers its token total exactly only up to FP division,
+    * so recompute from docLens for exactness. */
+  private lazy val (numDocs: Long, avgdl: Double) = {
+    val totals = segments.map { s =>
+      s.docs.agg(count(lit(1)), coalesce(sum($"docLen".cast("long")), lit(0L)))
+        .as[(Long, Long)].head()
+    }
+    val n = totals.map(_._1).sum
+    val tok = totals.map(_._2).sum
+    (n, if (n == 0) 1.0 else tok.toDouble / n)
+  }
+
+  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    val terms = QueryParser.termsFor(kind, text)
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
+    val perSeg = searchers.map(_.dictLookup(terms))
+    // global df per term string
+    val dfByTerm: Map[String, Long] = perSeg.flatten
+      .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    val conjunctive = kind == "AND"
+    if (dfByTerm.isEmpty || (conjunctive && dfByTerm.size < terms.length))
+      return spark.emptyDataset[Hit]
+    val n = numDocs
+    val scored = searchers.zip(perSeg).collect {
+      case (searcher, entries) if entries.nonEmpty &&
+          !(conjunctive && entries.length < terms.length) =>
+        val idfByTid = entries
+          .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
+        searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
+          conjunctive, k, pruned = false, entries.length)
+    }
+    if (scored.isEmpty) return spark.emptyDataset[Hit]
+    val all = scored.reduce(_ union _)
+    searchers.head.rankTopK(all.toDF("docId", "score"), k, qid)
+  }
+}

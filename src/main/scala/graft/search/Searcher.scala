@@ -48,12 +48,24 @@ final class Searcher(spark: SparkSession, segment: Segment) extends Serializable
 
   private val stats: CorpusStats = segment.stats
 
-  /** Driver-side dict lookup for query terms: a filtered scan returning
-    * ≤|q| rows (broadcast-join equivalent at this cardinality). */
+  /** Vocabularies up to this size are cached driver-side so repeated
+    * queries skip the dict-scan job entirely (a serving-layer would hold
+    * the term dictionary resident; 2^20 entries ≈ tens of MB). */
+  private val DictCacheLimit = 1L << 20
+  private lazy val dictCache: Option[Map[String, DictEntry]] =
+    if (stats.numTerms <= DictCacheLimit)
+      Some(segment.dict.collect().map(e => e.term -> e).toMap)
+    else None
+
+  /** Dict lookup for query terms: cached map, or a filtered scan
+    * returning ≤|q| rows (broadcast-join equivalent at this cardinality). */
   def dictLookup(terms: Array[String]): Array[DictEntry] =
     if (terms.isEmpty) Array.empty
-    else segment.dict.filter($"term".isin(terms.toSeq: _*)).collect()
-      .sortBy(_.termId)
+    else dictCache match {
+      case Some(m) => terms.flatMap(m.get).sortBy(_.termId)
+      case None =>
+        segment.dict.filter($"term".isin(terms.toSeq: _*)).collect().sortBy(_.termId)
+    }
 
   /** Top-k hits for a query. kind ∈ {AND, OR, FREE}; OR/FREE rank by BM25
     * with block-max WAND pruning; AND intersects then ranks. */
@@ -78,18 +90,25 @@ final class Searcher(spark: SparkSession, segment: Segment) extends Serializable
 
   private def scored(entries: Array[DictEntry], conjunctive: Boolean, k: Int,
                      qid: Long, pruned: Boolean): Dataset[Hit] = {
-    val tids = entries.map(_.termId)
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
-    val nTerms = tids.length
-    val avgdl = stats.avgDocLen
+    rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive, k, pruned, entries.length).toDF("docId", "score"), k, qid)
+  }
 
+  /** Per-bucket walk emitting unranked (docId, score) — the building
+    * block shared with MultiSearcher, which supplies GLOBAL (cross-
+    * segment) idf/avgdl instead of this segment's own. */
+  private[search] def scoredRaw(tids: Array[Long], idfByTid: Map[Long, Double],
+                                avgdl: Double, conjunctive: Boolean, k: Int,
+                                pruned: Boolean, nTerms: Int): Dataset[(Long, Double)] = {
     val pls = segment.postings.filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
     // touched buckets only — keeps the doclens scan proportional to the
-    // query's footprint, not the corpus (SURVEY §3 EP2)
-    val buckets = pls.select($"bucket").distinct().as[Int].collect().toSeq
-    if (buckets.isEmpty) return spark.emptyDataset[Hit]
-    val dlb = segment.doclens.filter($"bucket".isin(buckets: _*))
+    // query's footprint, not the corpus (SURVEY §3 EP2). Lazy broadcast
+    // semi-join: the whole query stays ONE Spark job.
+    val dlb = segment.doclens
+      .join(broadcast(pls.select($"bucket").distinct()), Seq("bucket"), "left_semi")
+      .as[DocLenBlock]
 
     val perBucket = pls.groupByKey(_.bucket).cogroup(dlb.groupByKey(_.bucket)) {
       (bucket, plIt, dlIt) =>
@@ -109,13 +128,13 @@ final class Searcher(spark: SparkSession, segment: Segment) extends Serializable
           res.iterator.map(s => (s.docId, s.score))
         }
     }
-    rankTopK(perBucket.toDF("docId", "score"), k, qid)
+    perBucket
   }
 
   /** Global top-k + dense rank. orderBy+limit plans as
     * TakeOrderedAndProject (per-partition partial top-k, driver merge);
     * the rank window then runs over ≤k rows. */
-  private def rankTopK(hitsDf: DataFrame, k: Int, qid: Long): Dataset[Hit] = {
+  private[search] def rankTopK(hitsDf: DataFrame, k: Int, qid: Long): Dataset[Hit] = {
     val w = Window.orderBy($"score".desc, $"docId".asc)
     hitsDf
       .orderBy($"score".desc, $"docId".asc)

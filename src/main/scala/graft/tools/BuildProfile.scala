@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+import graft.build.{BuildParams, SegmentBuilder}
+import graft.corpus.{DatasetCorpusSource, Synthesizer}
+
+/** Ad-hoc build profiler: per-Spark-job wall clock for one segment build
+  * over the synthetic corpus. Not part of the driver contract. */
+object BuildProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val docs = args.headOption.map(_.toLong).getOrElse(20000L)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        jobs.put(s.jobId, (Option(s.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(s.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?"), s.time))
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        val (desc, t0) = jobs.getOrDefault(e.jobId, ("?", e.time))
+        println(f"[job ${e.jobId}%3d] ${(e.time - t0) / 1000.0}%7.2fs  $desc")
+      }
+    })
+
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "1").toInt
+    val times = (1 to trials).map { t =>
+      val t0 = System.nanoTime()
+      val (seg, report) = SegmentBuilder.build(spark,
+        DatasetCorpusSource(Synthesizer.corpus(spark, docs, 400)),
+        BuildParams(numPartitions = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus).toInt,
+          bucketSize = 1L << 12))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"TOTAL trial=$t ${sec}s  report=${report.json}")
+      seg.unpersist()
+      spark.sharedState.cacheManager.clearCache()
+      sec
+    }
+    println(f"BEST ${times.min}%.2fs  docsPerSecBest=${docs / times.min}%.0f cpus=$cpus")
+    spark.stop()
+  }
+}

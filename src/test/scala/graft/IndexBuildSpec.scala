@@ -144,6 +144,21 @@ class IndexBuildSpec extends SparkSpec {
     segSalted.unpersist()
   }
 
+  test("duplicate corpus rows dedup inside the id-assignment sort (no extra shuffle)") {
+    import spark.implicits._
+    val base = Synthesizer.tiny(spark)
+    val withDups = base.union(base.limit(37)).union(base.limit(5))
+    val (numbered, ranges, free) = graft.build.DocIds.assign(withDups, 8)
+    val rows = numbered.collect().sortBy(_.docId)
+    assert(rows.length == 200, "dups must collapse to the 200 unique keys")
+    assert(rows.map(_.docId).toSeq == (0L until 200L))
+    assert(ranges.map(_.count).sum == 200)
+    val keys = rows.map(r => (r.repo, r.path, r.commit))
+    assert(keys.distinct.length == 200)
+    assert(keys.sorted.toSeq == keys.toSeq, "order must still be the global key order")
+    free()
+  }
+
   test("determinism: different parallelism yields identical artifacts") {
     val corpus = Synthesizer.tiny(spark)
     val (seg2, _) = SegmentBuilder.build(spark, DatasetCorpusSource(corpus),

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Ann, Dedup, Multimodal, TextStats}
+
+/** Training-data pipeline operators — dedup, ANN, text stats, multimodal
+  * plumbing. Approximate paths (MinHash-LSH, SimHash banding, vector LSH)
+  * are checked against their exact brute-force counterparts. */
+class PipelineSpec extends SparkSpec {
+
+  /** Small synthetic doc table with planted near-duplicates. */
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(7)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "la", "mu", "nu", "xi", "omicron")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(30 + rng.nextInt(20))(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant near-dups: docs 100+i = doc i with one word changed
+    val dups = (0 until 10).map { i =>
+      val ws = base(i)._2.split(" ")
+      ws(ws.length / 2) = "mutated"
+      ((100 + i).toLong, ws.mkString(" "))
+    }
+    // plant one exact dup pair
+    val exact = Seq((200L, base(0)._2))
+    (base ++ dups ++ exact).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the planted exact duplicate") {
+    val groups = Dedup.exactDups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getSeq[Long](groups.head.fieldIndex("ids")).toSeq == Seq(0L, 200L))
+  }
+
+  test("minhash-LSH pairs == exact jaccard pairs on planted near-dups") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted near-dups must surface")
+    assert(lsh == exact, s"LSH recall/precision failure: ${lsh.diff(exact)} / ${exact.diff(lsh)}")
+  }
+
+  test("simhash banding finds exactly the brute-force hamming<=3 pairs") {
+    import spark.implicits._
+    val got = Dedup.simhashPairs(docs, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, Dedup.simhash64(t)) }
+    val want = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      a = if (sigs(i)._1 < sigs(j)._1) sigs(i) else sigs(j)
+      b = if (sigs(i)._1 < sigs(j)._1) sigs(j) else sigs(i)
+      if java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    } yield (a._1, b._1)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "planted near-dups should collide in simhash space")
+  }
+
+  lazy val embeddings = {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(11)
+    // 8 cluster centers, 120 points jittered around them
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    (0 until 120).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.1f * rng.nextGaussian().toFloat))
+    }.toDS()
+  }
+
+  test("vector LSH top-k has high recall vs brute force") {
+    val qs = embeddings.collect().filter(_._1 < 8)
+    val brute = Ann.bruteTopK(embeddings, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(embeddings, qs, 5, tables = 8, planesPerTable = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("brute-force ANN ranks the query's own cluster first") {
+    val qs = embeddings.collect().filter(_._1 < 2)
+    val top = Ann.bruteTopK(embeddings, qs, 5).collect()
+    top.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      // same cluster = same id mod 8
+      val sameCluster = rows.count(r => r.getLong(1) % 8 == qid % 8)
+      assert(sameCluster >= 4, s"query $qid: only $sameCluster/5 from own cluster")
+    }
+  }
+
+  test("multimodal: batch extraction preserves rows, bytes and hashes") {
+    import spark.implicits._
+    val media = Multimodal.ingest(docs)
+    val feats = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    assert(feats.length == docs.count())
+    val byId = feats.map(f => f.id -> f).toMap
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().foreach { case (id, t) =>
+      val f = byId(id)
+      assert(f.nBytes == t.getBytes("UTF-8").length)
+      assert(f.featureDim == 64)
+      assert(math.abs(f.featureNorm - 1.0) < 1e-6) // L2-normalized stub features
+    }
+  }
+
+  test("quality/langid/fingerprint are deterministic and sane") {
+    val q = TextStats.quality(docs).collect()
+    assert(q.forall(r => r.getDouble(r.fieldIndex("ttr")) <= 1.0))
+    val docsWithLang = docs.withColumn("lang", lit("en"))
+    val l = TextStats.langId(docsWithLang).collect()
+    assert(l.nonEmpty)
+    val f1 = TextStats.fingerprint(docs).collect().map(_.toSeq).toSeq
+    val f2 = TextStats.fingerprint(docs).collect().map(_.toSeq).toSeq
+    assert(f1 == f2)
+  }
+}

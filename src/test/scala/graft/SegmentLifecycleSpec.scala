@@ -91,6 +91,18 @@ class SegmentLifecycleSpec extends SparkSpec {
     val a = sM.hits("FREE", q, 20).collect().map(h => (h.rank, h.docId, h.score)).toSeq
     val b = sF.hits("FREE", q, 20).collect().map(h => (h.rank, h.docId, h.score)).toSeq
     assert(a == b && a.nonEmpty)
+
+    // merge-on-read across the UN-merged pair (global stats, exhaustive
+    // walk) must be rank-identical too — scores bit-equal to the mono build
+    val multi = new graft.search.MultiSearcher(spark, Seq(segA, segB))
+    for ((kind, text) <- Seq(("FREE", q), ("AND", terms.take(2).mkString(" AND ")),
+      ("OR", terms.mkString(" OR ")))) {
+      val m = multi.hits(kind, text, 20).collect()
+        .map(h => (h.rank, h.docId, java.lang.Double.doubleToLongBits(h.score))).toSeq
+      val f = sF.hits(kind, text, 20).collect()
+        .map(h => (h.rank, h.docId, java.lang.Double.doubleToLongBits(h.score))).toSeq
+      assert(m == f && m.nonEmpty, s"multi-segment vs merged: $kind '$text'")
+    }
     merged.unpersist(); mono.unpersist()
   }
 }
