@@ -41,8 +41,18 @@ object DocsIndex {
       val params = BuildParams(
         numPartitions = spark.sparkContext.defaultParallelism,
         bucketSize = 1L << 12) // small buckets: testdata is tiny, exercise >1 bucket
-      val (seg, report) = SegmentBuilder.build(
+      val (seg0, report) = SegmentBuilder.build(
         spark, DatasetCorpusSource(corpus(spark, sfDir)), params)
+      // serving-side compaction: the testdata index is a few MB — re-cache
+      // it in a handful of partitions so each query's scan is a handful of
+      // tasks, not numPartitions empty ones (a production serving tier
+      // sizes cached partitions the same way)
+      val seg = seg0.copy(
+        postings = seg0.postings.repartition(4).cache(),
+        doclens = seg0.doclens.repartition(2).cache(),
+        docs = seg0.docs.repartition(4).cache())
+      seg.postings.count(); seg.doclens.count(); seg.docs.count()
+      seg0.unpersist()
       (seg, new Searcher(spark, seg), report)
     })
 
@@ -58,12 +68,18 @@ object DocsIndex {
                  text: String, k: Int): DataFrame = {
     val (seg, searcher, _) = get(spark, sfDir)
     val hits = searcher.hits(kind, text, k + 50)
+    val spark2 = spark
+    import spark2.implicits._
     hits.join(withDocId(seg), Seq("docId"))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .as[(Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, s) => r += 1; (d, s, r) }
+      }
+      .toDF("doc_id", "score", "rank")
   }
 }

@@ -43,7 +43,8 @@ object QueryParser {
   * plans as TakeOrderedAndProject. The heavy posting bytes never shuffle:
   * only ≤|q| posting rows per touched bucket move.
   */
-final class Searcher(spark: SparkSession, segment: Segment) extends Serializable {
+final class Searcher(spark: SparkSession, segment: Segment,
+                     residentDoclens: Boolean = true) extends Serializable {
   import spark.implicits._
 
   private val stats: CorpusStats = segment.stats
@@ -96,6 +97,19 @@ final class Searcher(spark: SparkSession, segment: Segment) extends Serializable
       conjunctive, k, pruned, entries.length).toDF("docId", "score"), k, qid)
   }
 
+  /** Doc-length arrays up to this many documents stay resident
+    * (broadcast once per searcher) — the Lucene-style serving posture: a
+    * shard's doc values live in memory. Above it, the doclens dataset is
+    * cogrouped in per query (the 100 TB path, where no single node could
+    * hold the forward array). */
+  private val DoclenResidentLimit = 16L << 20
+  private lazy val doclenResident
+      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, (Long, Array[Int])]]] =
+    if (residentDoclens && stats.numDocs <= DoclenResidentLimit)
+      Some(spark.sparkContext.broadcast(
+        segment.doclens.collect().map(b => b.bucket -> (b.firstDocId, b.lens)).toMap))
+    else None
+
   /** Per-bucket walk emitting unranked (docId, score) — the building
     * block shared with MultiSearcher, which supplies GLOBAL (cross-
     * segment) idf/avgdl instead of this segment's own. */
@@ -103,45 +117,63 @@ final class Searcher(spark: SparkSession, segment: Segment) extends Serializable
                                 avgdl: Double, conjunctive: Boolean, k: Int,
                                 pruned: Boolean, nTerms: Int): Dataset[(Long, Double)] = {
     val pls = segment.postings.filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
-    // touched buckets only — keeps the doclens scan proportional to the
-    // query's footprint, not the corpus (SURVEY §3 EP2). Lazy broadcast
-    // semi-join: the whole query stays ONE Spark job.
-    val dlb = segment.doclens
-      .join(broadcast(pls.select($"bucket").distinct()), Seq("bucket"), "left_semi")
-      .as[DocLenBlock]
 
-    val perBucket = pls.groupByKey(_.bucket).cogroup(dlb.groupByKey(_.bucket)) {
-      (bucket, plIt, dlIt) =>
-        if (!dlIt.hasNext || !plIt.hasNext) Iterator.empty
-        else {
-          val dl = dlIt.next()
-          val cursors = plIt.map { pl =>
-            new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl)
-          }.toArray
-          val res =
-            if (conjunctive) {
-              // a bucket missing any query term cannot intersect
-              if (cursors.length < nTerms) Array.empty[Wand.Scored]
-              else Wand.topKAnd(cursors, dl.lens, dl.firstDocId, avgdl, k)
-            } else if (pruned) Wand.topK(cursors, dl.lens, dl.firstDocId, avgdl, k)
-            else Wand.topKOrExhaustive(cursors, dl.lens, dl.firstDocId, avgdl, k)
-          res.iterator.map(s => (s.docId, s.score))
+    def walk(bucket: Int, plIt: Iterator[PostingList], firstDocId: Long,
+             lens: Array[Int]): Iterator[(Long, Double)] = {
+      val cursors = plIt.map { pl =>
+        new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl)
+      }.toArray
+      val res =
+        if (conjunctive) {
+          // a bucket missing any query term cannot intersect
+          if (cursors.length < nTerms) Array.empty[Wand.Scored]
+          else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k)
+        } else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k)
+        else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k)
+      res.iterator.map(s => (s.docId, s.score))
+    }
+
+    doclenResident match {
+      case Some(bc) =>
+        // resident mode: one scan + one tiny shuffle of ≤|q| rows/bucket
+        pls.groupByKey(_.bucket).flatMapGroups { (bucket, plIt) =>
+          bc.value.get(bucket) match {
+            case Some((first, lens)) => walk(bucket, plIt, first, lens)
+            case None => Iterator.empty
+          }
+        }
+      case None =>
+        // cogroup mode: doclens arrive co-partitioned, pruned to the
+        // query's touched buckets by a lazy broadcast semi-join
+        val dlb = segment.doclens
+          .join(broadcast(pls.select($"bucket").distinct()), Seq("bucket"), "left_semi")
+          .as[DocLenBlock]
+        pls.groupByKey(_.bucket).cogroup(dlb.groupByKey(_.bucket)) {
+          (bucket, plIt, dlIt) =>
+            if (!dlIt.hasNext || !plIt.hasNext) Iterator.empty
+            else {
+              val dl = dlIt.next()
+              walk(bucket, plIt, dl.firstDocId, dl.lens)
+            }
         }
     }
-    perBucket
   }
 
   /** Global top-k + dense rank. orderBy+limit plans as
     * TakeOrderedAndProject (per-partition partial top-k, driver merge);
-    * the rank window then runs over ≤k rows. */
+    * rank is then assigned by position in a narrow single-partition pass —
+    * no window exchange (≤k rows; coalesce(1) guards the ordering). */
   private[search] def rankTopK(hitsDf: DataFrame, k: Int, qid: Long): Dataset[Hit] = {
-    val w = Window.orderBy($"score".desc, $"docId".asc)
     hitsDf
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
-      .withColumn("rank", row_number().over(w))
-      .select(lit(qid).as("qid"), $"rank", $"docId", $"score")
-      .as[Hit]
+      .select($"docId", $"score")
+      .as[(Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0
+        it.map { case (d, s) => r += 1; Hit(qid, r, d, s) }
+      }
   }
 
   def search(q: Query): Dataset[Hit] = {

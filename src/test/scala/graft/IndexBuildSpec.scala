@@ -159,6 +159,19 @@ class IndexBuildSpec extends SparkSpec {
     free()
   }
 
+  test("resident and cogroup doclen modes are rank-identical") {
+    val ts = queryTerms()
+    val resident = new Searcher(spark, seg)
+    val cogrouped = new Searcher(spark, seg, residentDoclens = false)
+    for ((kind, text) <- Seq(("FREE", ts.mkString(" ")), ("AND", ts.take(2).mkString(" AND ")))) {
+      val a = resident.hits(kind, text, 25).collect()
+        .map(h => (h.rank, h.docId, java.lang.Double.doubleToLongBits(h.score))).toSeq
+      val b = cogrouped.hits(kind, text, 25).collect()
+        .map(h => (h.rank, h.docId, java.lang.Double.doubleToLongBits(h.score))).toSeq
+      assert(a == b && a.nonEmpty, s"$kind '$text'")
+    }
+  }
+
   test("determinism: different parallelism yields identical artifacts") {
     val corpus = Synthesizer.tiny(spark)
     val (seg2, _) = SegmentBuilder.build(spark, DatasetCorpusSource(corpus),

@@ -47,16 +47,23 @@ class PlanSpec extends SparkSpec {
       s"projection must not read the bytes column:\n$plan")
   }
 
-  test("query plan: doclens side is a broadcast join, no posting-bytes exchange") {
+  test("query plans: resident mode has no doclens join; cogroup mode broadcasts buckets") {
     val loaded = IndexStorage.read(spark, IndexStorage.segDir(dir, 0).toString)
-    val searcher = new graft.search.Searcher(spark, loaded)
     val term = loaded.dict.orderBy(desc("df")).limit(1).collect().head.term
-    val hits = searcher.hits("FREE", term, 10)
-    val plan = hits.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
-      s"bucket semi-join must broadcast the tiny side:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"),
-      s"global top-k must plan as TakeOrdered/limit:\n$plan")
+
+    val resident = new graft.search.Searcher(spark, loaded).hits("FREE", term, 10)
+    val rPlan = resident.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("CoGroup"),
+      s"resident mode must not cogroup doclens:\n$rPlan")
+    assert(rPlan.contains("TakeOrderedAndProject") || rPlan.contains("GlobalLimit"),
+      s"global top-k must plan as TakeOrdered/limit:\n$rPlan")
+
+    val cogrouped = new graft.search.Searcher(spark, loaded, residentDoclens = false)
+      .hits("FREE", term, 10)
+    val cPlan = cogrouped.queryExecution.executedPlan.toString
+    assert(cPlan.contains("CoGroup"), s"cogroup mode must CoGroup:\n$cPlan")
+    assert(cPlan.contains("BroadcastExchange") || cPlan.contains("BroadcastHashJoin"),
+      s"bucket semi-join must broadcast the tiny side:\n$cPlan")
   }
 
   test("TPC-H style join picks broadcast for the small dimension") {
