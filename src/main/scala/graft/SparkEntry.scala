@@ -199,6 +199,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── SQL surface: registered tokenizer UDF + explode = UDTF shape ──
+    "ft_sql_udtf" -> ((s, dir) => {
+      graft.api.SqlSurface.register(s)
+      DocsIndex.documents(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT doc_id, tok AS term, count(*) AS tf
+               FROM graft_documents
+               LATERAL VIEW explode(graft_tokenize(text)) t AS tok
+               GROUP BY doc_id, tok ORDER BY doc_id, term""")
+    }),
+
     // ── relational sweep over the TPC-H-ish tables (SURVEY §2.5) ──
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -249,6 +259,30 @@ object SparkEntry {
       val o = s.read.parquet(s"$dir/orders.parquet")
       o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
+        .orderBy("o_custkey")
+    }),
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+    "q_window_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("run_rev"))
+        .orderBy("o_orderkey")
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct())
         .orderBy("o_custkey")
     }),
     "q_events_daily" -> ((s, dir) =>
@@ -400,6 +434,26 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "ft_sql_udtf" ->
+      s"""$tokCtes
+         |SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*)::BIGINT AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_window_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_rev
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
     "q_events_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.build.BuildParams
+import graft.corpus.Synthesizer
+import graft.index.IndexStorage
+import graft.search.MultiSearcher
+import graft.streaming.StreamIndexer
+
+/** Incremental streaming ingestion — SURVEY §2.5 "Streaming" row: one
+  * segment per micro-batch via Trigger.AvailableNow + foreachBatch,
+  * exactly-once through the streaming checkpoint, queryable merge-on-read. */
+class StreamingSpec extends SparkSpec {
+
+  test("AvailableNow indexes only new files per run; segments accumulate and query") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val idx = Files.createTempDirectory("graft-stream-idx").toString
+    val params = BuildParams(numPartitions = 4, bucketSize = 64)
+    val indexer = new StreamIndexer(idx, params)
+
+    val all = Synthesizer.tiny(spark).collect()
+    spark.createDataset(all.take(100).toSeq).write.mode("append").parquet(src)
+    indexer.runAvailableNow(spark, src)
+    assert(IndexStorage.exists(idx, 0), "first batch must create seg-00000")
+    assert(!IndexStorage.exists(idx, 1))
+    val seg0 = IndexStorage.read(spark, IndexStorage.segDir(idx, 0).toString)
+    assert(seg0.stats.numDocs == 100)
+
+    // second wave of files: only the delta is processed
+    spark.createDataset(all.drop(100).toSeq).write.mode("append").parquet(src)
+    indexer.runAvailableNow(spark, src)
+    assert(IndexStorage.exists(idx, 1), "second batch must append seg-00001")
+    val seg1 = IndexStorage.read(spark, IndexStorage.segDir(idx, 1).toString)
+    assert(seg1.stats.numDocs == 100, s"delta only, got ${seg1.stats.numDocs}")
+    // docIds globally unique, bucket-aligned base
+    val ids0 = seg0.docs.select("docId").as[Long].collect().toSet
+    val ids1 = seg1.docs.select("docId").as[Long].collect().toSet
+    assert(ids0.intersect(ids1).isEmpty)
+    assert(ids1.min % params.bucketSize == 0)
+
+    // no new files ⇒ no new segment
+    indexer.runAvailableNow(spark, src)
+    assert(!IndexStorage.exists(idx, 2))
+
+    // merge-on-read query across the streamed segments
+    val multi = new MultiSearcher(spark, Seq(seg0, seg1))
+    val term = seg0.dict.orderBy(org.apache.spark.sql.functions.desc("df"))
+      .limit(1).collect().head.term
+    val hits = multi.hits("FREE", term, 10).collect()
+    assert(hits.nonEmpty && hits.map(_.rank).toSeq == (1 to hits.length))
+    seg0.unpersist(); seg1.unpersist()
+  }
+}
