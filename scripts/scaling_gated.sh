@@ -31,7 +31,10 @@ while [ "$collected" -lt "$PAIRS" ]; do
     l1=$(cut -d' ' -f1 /proc/loadavg)
     echo "{\"docs\":$DOCS,\"cpus\":$c,\"buildMillis\":${line:-0},\"load0\":$l0,\"load1\":$l1}" >> "$OUT"
     if [ "$c" = "8" ]; then t8=${line:-0}; else t32=${line:-0}; fi
-    if gt "$l0" "$GATE" || gt "$l1" "$GATE" || [ -z "$line" ]; then ok=0; fi
+    # gate on PRE-leg load only: the leg itself (local[32]) raises loadavg,
+    # so post-leg load measures our own work, not co-tenants
+    if gt "$l0" "$GATE" || [ -z "$line" ]; then ok=0; fi
+    sleep 45  # let our own load decay before reading the next gate
   done
   if [ "$ok" = "1" ]; then
     collected=$((collected+1))
