@@ -72,9 +72,18 @@ object DocIds {
     val spark = corpus.sparkSession
     import spark.implicits._
     val keys: Seq[Column] = Seq($"repo", $"path", $"commit")
+    // content as a 4th in-partition sort key: among duplicate natural
+    // keys the dedup below keeps the FIRST row, and without a tie-break
+    // "first" would be whichever the shuffle happened to emit — making
+    // the surviving sha256/docLen nondeterministic across runs and
+    // breaking the byte-identical resume contract (R3). Comparing on
+    // content costs nothing extra: it is only consulted when the 3-key
+    // prefix ties, and the bytes are already in the row. Range
+    // partitioning stays on the 3 natural keys, so equal keys still
+    // co-locate and both passes see them adjacently.
     val sorted = corpus
       .repartitionByRange(numPartitions, keys: _*)
-      .sortWithinPartitions(keys: _*)
+      .sortWithinPartitions((keys :+ $"content"): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     @inline def sameKey(a: CorpusRow, b: CorpusRow): Boolean =

@@ -53,14 +53,44 @@ object IndexStorage {
 
     val st = segment.stats
     val p = segment.params
+    // docId high-watermark: 1 + max docId this segment may contain,
+    // derived from the per-partition lineage rows (partId >= 0). Streamed
+    // segments start at an aligned base > 0, so sum-of-numDocs across
+    // segments UNDERCOUNTS the watermark — persisting it here is what
+    // makes StreamIndexer's next-base computation collision-free.
+    val hwm = segment.meta.collect().iterator
+      .filter(_.partId >= 0)
+      .map(m => m.firstDocId + m.numDocs)
+      .foldLeft(st.numDocs)(math.max)
     Files.writeString(tmp.resolve("stats.json"),
       s"""{"numDocs":${st.numDocs},"avgDocLen":${st.avgDocLen},""" +
         s""""numTerms":${st.numTerms},"numPostings":${st.numPostings},""" +
         s""""bucketSize":${p.bucketSize},"segId":${p.segId},""" +
         s""""numPartitions":${p.numPartitions},"saltThreshold":${p.saltThreshold},""" +
-        s""""numSalts":${p.numSalts}}""")
+        s""""numSalts":${p.numSalts},"docIdHwm":$hwm}""")
     Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
     finalDir
+  }
+
+  /** Driver-side-only segment stats (no Spark jobs, no parquet reads) —
+    * what StreamIndexer's per-batch state scan needs: parsing one tiny
+    * JSON per segment keeps the scan O(segments) file reads instead of
+    * O(segments) parquet-footer jobs. `docIdHwm` = 1 + max docId the
+    * segment can contain (defaults to numDocs for pre-watermark
+    * segments, whose ids start at 0). */
+  final case class SegStats(segId: Long, numDocs: Long, docIdHwm: Long,
+                            bucketSize: Long)
+
+  def readStatsOnly(dir: Path): SegStats = {
+    val json = Files.readString(dir.resolve("stats.json"))
+    def num(key: String, default: Option[String] = None): String = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":([-0-9.eE]+)").matcher(json)
+      if (m.find()) m.group(1)
+      else default.getOrElse(sys.error(s"missing $key in stats.json"))
+    }
+    val numDocs = num("numDocs").toLong
+    SegStats(num("segId").toLong, numDocs,
+      num("docIdHwm", Some(numDocs.toString)).toLong, num("bucketSize").toLong)
   }
 
   def read(spark: SparkSession, dir: String): Segment = {
@@ -99,8 +129,10 @@ object IndexStorage {
   }
 
   private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRec)
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRec) finally children.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -13,12 +13,20 @@ import graft.tokenize.Tokenizer
   * words, BM25-ranked = OR). Query text goes through the SAME tokenizer
   * as documents (the uppercase connectives tokenize away). */
 object QueryParser {
+  /** Split on BOTH uppercase connectives: a mixed query like
+    * `a AND b OR c` is classified OR (disjunction is the safe reading of
+    * a flat grammar), and the embedded AND is grammar that must not
+    * tokenize into the search term "and" — stripping only the
+    * classifying connective would silently change query semantics. */
+  private def operandTerms(t: String): Array[String] =
+    t.split("\\s+(?:AND|OR)\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
+
   def parse(text: String): (String, Array[String]) = {
     val t = text.trim
     if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
-      ("AND", t.split("\\s+AND\\s+").flatMap(Tokenizer.tokenize).distinct.sorted)
+      ("AND", operandTerms(t))
     else if (t.split("\\s+OR\\s+").length > 1)
-      ("OR", t.split("\\s+OR\\s+").flatMap(Tokenizer.tokenize).distinct.sorted)
+      ("OR", operandTerms(t))
     else ("FREE", Tokenizer.queryTerms(t))
   }
 
@@ -27,8 +35,7 @@ object QueryParser {
     * one (an AND query would otherwise short-circuit to ∅ on the
     * out-of-vocabulary token "and"). */
   def termsFor(kind: String, text: String): Array[String] = kind match {
-    case "AND" => text.split("\\s+AND\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
-    case "OR" => text.split("\\s+OR\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
+    case "AND" | "OR" => operandTerms(text)
     case _ => Tokenizer.queryTerms(text)
   }
 }
@@ -43,8 +50,11 @@ object QueryParser {
   * plans as TakeOrderedAndProject. The heavy posting bytes never shuffle:
   * only ≤|q| posting rows per touched bucket move.
   */
+// NOT Serializable on purpose: it holds a SparkSession, and the walk
+// lambdas below close over locals only — the marker would invite an
+// accidental whole-object capture later.
 final class Searcher(spark: SparkSession, segment: Segment,
-                     residentDoclens: Boolean = true) extends Serializable {
+                     residentDoclens: Boolean = true) {
   import spark.implicits._
 
   private val stats: CorpusStats = segment.stats

@@ -30,30 +30,39 @@ import graft.model.{CorpusRow, NumberedRow}
 final class StreamIndexer(val indexDir: String,
                           val params: BuildParams = BuildParams()) {
 
-  /** Highest segId present + total docs indexed (from segment stats). */
-  private def state(spark: SparkSession): (Long, Long) = {
+  /** Highest segId present + docId high-watermark (1 + max docId across
+    * committed segments, from the tiny stats.json files — no Spark jobs).
+    * The watermark, NOT sum(numDocs), must seed the next id base: aligned
+    * bases insert gaps, so from the third non-aligned batch on a
+    * sum-derived base can land BELOW an earlier segment's last docId and
+    * duplicate ids across segments (e.g. bucketSize=100, batches 150
+    * then 50: seg1 spans [200,250) but ceil(200/100)*100 = 200). */
+  private def state(): (Long, Long) = {
     val dir = Paths.get(indexDir)
     if (!Files.exists(dir)) return (-1L, 0L)
     import scala.jdk.CollectionConverters._
-    val segs = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("seg-") &&
-        Files.exists(p.resolve("stats.json")))
-      .toSeq
-    val stats = segs.map(p => IndexStorage.read(spark, p.toString))
-    val maxSeg = (Seq(-1L) ++ stats.map(_.params.segId)).max
-    val docs = stats.map(_.stats.numDocs).sum
-    stats.foreach(_.unpersist())
-    (maxSeg, docs)
+    val listing = Files.list(dir)
+    val segs =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("seg-") &&
+          Files.exists(p.resolve("stats.json")))
+        .toSeq
+      finally listing.close()
+    val stats = segs.map(IndexStorage.readStatsOnly)
+    val maxSeg = (Seq(-1L) ++ stats.map(_.segId)).max
+    val hwm = (Seq(0L) ++ stats.map(_.docIdHwm)).max
+    (maxSeg, hwm)
   }
 
   /** Index one micro-batch as a new segment. */
   private def indexBatch(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
     if (batch.isEmpty) return
-    val (maxSeg, docsSoFar) = state(spark)
-    // align the id base so buckets never straddle segments
+    val (maxSeg, hwm) = state()
+    // align the id base up from the high-watermark so buckets never
+    // straddle segments and no base can collide with an earlier segment
     val bs = params.bucketSize
-    val base = ((docsSoFar + bs - 1) / bs) * bs
+    val base = ((hwm + bs - 1) / bs) * bs
     val assigned = DocIds.assign(batch.as[CorpusRow], params.numPartitions)
     val numbered0 = assigned._1
     val ranges0 = assigned._2

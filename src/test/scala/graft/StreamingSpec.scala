@@ -52,4 +52,34 @@ class StreamingSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.map(_.rank).toSeq == (1 to hits.length))
     seg0.unpersist(); seg1.unpersist()
   }
+
+  test("non-bucket-aligned batches never reuse docIds (high-watermark base)") {
+    // regression: with bucketSize=100 and batch sizes 150, 50, 60, a base
+    // derived from sum(numDocs) would put batch 3 at ceil(200/100)*100 =
+    // 200 — INSIDE seg-1's [200,250) range. The watermark base must not.
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-stream-src2").toString
+    val idx = Files.createTempDirectory("graft-stream-idx2").toString
+    val params = BuildParams(numPartitions = 4, bucketSize = 100)
+    val indexer = new StreamIndexer(idx, params)
+
+    val all = Synthesizer.corpus(spark, 260L).collect()
+    val waves = Seq(all.slice(0, 150), all.slice(150, 200), all.slice(200, 260))
+    waves.foreach { w =>
+      spark.createDataset(w.toSeq).write.mode("append").parquet(src)
+      indexer.runAvailableNow(spark, src)
+    }
+    val segs = (0 until 3).map(i =>
+      IndexStorage.read(spark, IndexStorage.segDir(idx, i.toLong).toString))
+    assert(segs.map(_.stats.numDocs) == Seq(150, 50, 60))
+    val idSets = segs.map(_.docs.select("docId").as[Long].collect().toSet)
+    // globally unique across all three segments
+    assert(idSets(0).intersect(idSets(1)).isEmpty)
+    assert(idSets(0).intersect(idSets(2)).isEmpty)
+    assert(idSets(1).intersect(idSets(2)).isEmpty)
+    // each base bucket-aligned and above the previous segment's max id
+    assert(idSets(1).min % 100 == 0 && idSets(1).min > idSets(0).max)
+    assert(idSets(2).min % 100 == 0 && idSets(2).min > idSets(1).max)
+    segs.foreach(_.unpersist())
+  }
 }

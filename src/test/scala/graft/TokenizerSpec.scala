@@ -63,4 +63,18 @@ class TokenizerSpec extends AnyFunSuite {
     val tokens = Tokenizer.tokenize("parseHttpRequest2 fooBar_baz XMLHttp v8x9")
     tokens.foreach { t => assert(tok(t) == Seq(t), s"token $t not stable") }
   }
+
+  test("QueryParser: mixed connectives classify OR and strip BOTH keywords") {
+    import graft.search.QueryParser
+    val (k0, t0) = QueryParser.parse("alpha AND beta")
+    assert(k0 == "AND" && t0.toSeq == Seq("alpha", "beta"))
+    val (kind, terms) = QueryParser.parse("alpha AND beta OR gamma")
+    assert(kind == "OR")
+    assert(terms.toSeq == Seq("alpha", "beta", "gamma"),
+      "embedded AND must not leak the term 'and': " + terms.mkString(","))
+    assert(QueryParser.termsFor("OR", "alpha AND beta OR gamma").toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    assert(QueryParser.termsFor("AND", "key AND value AND hash").toSeq ==
+      Seq("hash", "key", "value"))
+  }
 }
