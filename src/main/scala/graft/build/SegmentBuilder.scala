@@ -1,6 +1,8 @@
 package graft.build
 
 import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,6 +71,18 @@ final case class BuildReport(
   *      runs (I3/I4); hot terms (df > saltThreshold) take the salted
   *      two-stage path: partial runs per salt, k-way merged per term.
   */
+/** One daemon thread for the build's concurrent side-track: enough to
+  * overlap the docs/doclens jobs with the dict/postings jobs without
+  * unbounded thread growth under chunked/streaming builds. */
+private object BuildPool {
+  val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-build-side")
+      t.setDaemon(true)
+      t
+    }))
+}
+
 object SegmentBuilder {
 
   /** Build-time intermediate: one posting before encoding. */
@@ -97,6 +111,7 @@ object SegmentBuilder {
       : (Segment, BuildReport) = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    val sc = spark.sparkContext
 
     // ── P6/P7/P8 fused: tokenize → per-doc tf + docLen, zero shuffle ──
     val tf: Dataset[TermFreq] = numbered.flatMap { r =>
@@ -111,6 +126,18 @@ object SegmentBuilder {
       counts.iterator.map { case (t, c) => TermFreq(r.docId, t, c, dl) }
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // global stats — numDocs is already known exactly from the id ranges
+    // (no job), and Σ docLen ≡ Σ tf, so totalTokens falls out of the same
+    // narrow scan that materializes the tf cache: no docs-side shuffle or
+    // join sits on the critical path before the dictionary can start.
+    // avgdl stays sum(docLen)/N, the definition the DuckDB oracle
+    // reproduces exactly (SURVEY §5.5).
+    val numDocs = ranges.map(_.count).sum
+    sc.setJobDescription("graft: tf materialize + totalTokens")
+    val totalTokens = tf.agg(coalesce(sum($"tf".cast("long")), lit(0L)))
+      .as[Long].head()
+    val avgdl = if (numDocs == 0) 1.0 else totalTokens.toDouble / numDocs
+
     // ── DocMap: sha256 invariant + docLen (docs with zero tokens keep 0)
     val docLenByDoc = tf.groupBy($"docId").agg(max($"dl").as("docLen"))
     val docs = numbered
@@ -123,14 +150,24 @@ object SegmentBuilder {
       .as[Doc]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // global stats — avgdl defined as sum(docLen)/N in BOTH engines so the
-    // DuckDB oracle reproduces it exactly (SURVEY §5.5)
-    val (numDocs, totalTokens) = docs
-      .agg(count(lit(1)), coalesce(sum($"docLen"), lit(0L)))
-      .as[(Long, Long)].head()
-    val avgdl = if (numDocs == 0) 1.0 else totalTokens.toDouble / numDocs
+    // The docs → doclen-blocks track is independent of the dict →
+    // postings track once tf is cached: run it on its own thread so its
+    // jobs interleave with the dictionary/encode jobs instead of
+    // serializing after them. This attacks the Amdahl term directly —
+    // the driver-side job gaps are corpus-size-invariant, so overlapping
+    // them is what moves the N→4N scaling efficiency, not peak
+    // throughput. (Concurrent actions on one SparkSession are supported;
+    // job descriptions are thread-local.)
+    val docsTrack: Future[Dataset[DocLenBlock]] = Future {
+      sc.setJobDescription("graft: docs materialize + doclen blocks")
+      val doclens = doclenBlocks(docs, params.bucketSize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      doclens.count()
+      doclens
+    }(BuildPool.ec)
 
     // ── I1: dictionary with dense termIds in term sort order ──────────
+    sc.setJobDescription("graft: dictionary agg + dense termIds")
     val dictAgg = tf.groupBy($"term")
       .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
       .repartitionByRange(params.numPartitions, $"term")
@@ -143,6 +180,7 @@ object SegmentBuilder {
     val numTerms = dictRanges.map(_.count).sum // free: no extra count job
 
     // ── I3/I4/I5/I6: encode (shared with the log-structured merge) ────
+    sc.setJobDescription("graft: posting encode + stats agg")
     val postings = encodePostings(spark, tf.toDF(), dict, numDocs, avgdl, params,
       numTermsHint = numTerms)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -151,9 +189,8 @@ object SegmentBuilder {
         coalesce(sum(length($"bytes").cast("long")), lit(0L)))
       .as[(Long, Long)].head()
 
-    val doclens = doclenBlocks(docs, params.bucketSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    doclens.count()
+    val doclens = Await.result(docsTrack, Duration.Inf)
+    sc.setJobDescription(null)
 
     freeDictSort(); tf.unpersist()
 
@@ -202,6 +239,22 @@ object SegmentBuilder {
       .select(
         expr(s"CAST(docId DIV $bucketSize AS INT)").as("bucket"),
         $"termId", $"docId", $"tf", impactCol.as("impact"), $"df")
+
+    // The hot/cold split is a PLAN fork: each branch re-scans tf and
+    // re-runs the join, so when the dictionary says no term can cross
+    // the salt threshold (max df — one ~ms agg on the cached dict), the
+    // hot branch would still cost a full corpus pass that provably
+    // yields zero rows. Skip it, and the whole encode is one scan + one
+    // shuffle. At skewed-corpus scale maxDf exceeds the threshold and
+    // the dual-path plan comes back automatically.
+    val maxDf: Long = dict.agg(coalesce(max($"df"), lit(0L))).as[Long].head()
+    if (maxDf <= params.saltThreshold) {
+      return pre.drop("df")
+        .repartition(params.numPartitions, $"bucket", $"termId")
+        .sortWithinPartitions($"bucket", $"termId", $"docId")
+        .as[PRow]
+        .mapPartitions(groupRuns)
+    }
 
     val cold = pre.filter($"df" <= params.saltThreshold).drop("df")
     val hot = pre.filter($"df" > params.saltThreshold).drop("df")
