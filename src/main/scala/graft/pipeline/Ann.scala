@@ -68,47 +68,19 @@ object Ann {
     sig
   }
 
-  /** LSH-bucketed approximate top-k: `tables` independent signatures of
-    * `planesPerTable` hyperplanes each; candidates = corpus vectors
-    * sharing any table-bucket with the query; exact-cosine rank within
-    * candidates. Recall rises with tables, cost with bucket sizes. */
-  def lshTopK(embeddings: Dataset[(Long, Array[Float])],
-              queries: Array[(Long, Array[Float])], k: Int,
-              tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val planes = (0 until tables).map(t =>
-      hyperplanes(planesPerTable, dim, seed = 1000L + t)).toArray
-    val qs = spark.sparkContext.broadcast(
-      queries.map { case (qid, e) =>
-        (qid, e, planes.indices.map(t => signature(e, planes(t))).toArray)
-      })
-    val scored = embeddings.flatMap { case (vid, emb) =>
-      val sigs = planes.indices.map(t => signature(emb, planes(t)))
-      qs.value.iterator.collect {
-        case (qid, qemb, qsigs)
-            if qid != vid && planes.indices.exists(t => sigs(t) == qsigs(t)) =>
-          (qid, vid, cosine(qemb, emb))
-      }
-    }.toDF("query_id", "neighbor_id", "cos")
-      .withColumn("cos", round($"cos", 6))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"query_id", $"neighbor_id", $"cos", $"rank")
-  }
-
   /** Exact embedding near-duplicate pairs: cosine ≥ tau, doc_a < doc_b.
-    * Quadratic — the oracle; at scale route through lsh buckets. */
+    * Quadratic by definition — this is the small-scale ORACLE twin of
+    * `AnnIndex.nearDupPairs` (the bucketed scale path), mirroring the
+    * jaccardPairs / minhashLshPairs pairing. Executed as a distributed
+    * broadcast-nested-loop join: one side broadcast as a plan-managed
+    * table, the other streamed partition-parallel — NO driver-side
+    * collect of the embedding table anywhere. */
   def nearDupPairs(embeddings: Dataset[(Long, Array[Float])], tau: Double): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val all = spark.sparkContext.broadcast(embeddings.collect().sortBy(_._1))
-    embeddings.flatMap { case (vid, emb) =>
-      all.value.iterator.collect {
-        case (oid, oemb) if oid > vid =>
-          (vid, oid, cosine(emb, oemb))
-      }.filter(_._3 >= tau)
-    }.toDF("doc_a", "doc_b", "cos").withColumn("cos", round($"cos", 6))
+    val a = embeddings.toDF("doc_a", "va")
+    val b = embeddings.toDF("doc_b", "vb")
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("cos", AnnIndex.cosUdf(col("va"), col("vb")))
+      .filter(col("cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
   }
 }

@@ -83,11 +83,15 @@ object Dedup {
   /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
     * bands × rowsPerBand must equal numHashes. The band-bucket groupBy is
     * the only shuffle that grows with corpus size; bucketCap bounds the
-    * quadratic pair expansion inside a degenerate bucket (logged via the
-    * dropped-bucket count rather than silently exploding). */
+    * quadratic pair expansion inside a degenerate bucket, and every
+    * dropped bucket is COUNTED in `dropped` (pass a
+    * `sc.longAccumulator`) — silent truncation in a dedup pipeline is a
+    * data-quality hazard, so callers can gate on the count being 0. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, tau: Double = 0.5,
-                      bucketCap: Int = 10000): DataFrame = {
+                      bucketCap: Int = 10000,
+                      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0)
@@ -100,9 +104,11 @@ object Dedup {
         (b.toLong << 32 | (key & 0xffffffffL), id)
       }
     }
+    val acc = dropped
     val candidates = buckets.groupByKey(_._1).flatMapGroups { (_, it) =>
       val ids = it.map(_._2).toArray.sorted
-      if (ids.length < 2 || ids.length > bucketCap) Iterator.empty
+      if (ids.length > bucketCap) { acc.foreach(_.add(1L)); Iterator.empty }
+      else if (ids.length < 2) Iterator.empty
       else for {
         i <- ids.indices.iterator
         j <- (i + 1 until ids.length).iterator

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Ann, AnnIndex, Dedup, Multimodal, TextStats}
 
 /** Training-data pipeline operators — dedup, ANN, text stats, multimodal
   * plumbing. Approximate paths (MinHash-LSH, SimHash banding, vector LSH)
@@ -72,14 +72,58 @@ class PipelineSpec extends SparkSpec {
     }.toDS()
   }
 
-  test("vector LSH top-k has high recall vs brute force") {
+  lazy val annDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.build(spark, embeddings, d,
+      AnnIndex.Params(tables = 8, planesPerTable = 8, dim = 16))
+    d
+  }
+
+  test("persisted ANN index top-k has high recall vs brute force") {
     val qs = embeddings.collect().filter(_._1 < 8)
     val brute = Ann.bruteTopK(embeddings, qs, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Ann.lshTopK(embeddings, qs, 5, tables = 8, planesPerTable = 8, dim = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = AnnIndex.load(spark, annDir)
+    val lsh = idx.topK(qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("ANN index near-dup pairs == exact pairs at high-sim threshold") {
+    val d = java.nio.file.Files.createTempDirectory("graft-anndup").toString
+    val idx = AnnIndex.build(spark, embeddings, d,
+      AnnIndex.Params(tables = 32, planesPerTable = 4, dim = 16, seed = 7000L))
+    val exact = Ann.nearDupPairs(embeddings, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = idx.nearDupPairs(0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "cluster structure must yield high-sim pairs")
+    assert(lsh == exact,
+      s"missing: ${exact.diff(lsh).take(5)}; extra: ${lsh.diff(exact).take(5)}")
+  }
+
+  test("ANN near-dup bucket drops are counted, never silent") {
+    val idx = AnnIndex.load(spark, annDir)
+    val acc = spark.sparkContext.longAccumulator("graft.ann.droppedBuckets")
+    val out = idx.nearDupPairs(0.8, bucketCap = 1, dropped = Some(acc)).collect()
+    assert(out.isEmpty, "cap=1 drops every bucket with >=2 members")
+    assert(acc.value > 0, "dropped buckets must be counted")
+  }
+
+  test("minhash LSH bucket drops are counted, never silent") {
+    val acc = spark.sparkContext.longAccumulator("graft.dedup.droppedBuckets")
+    val out = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.5,
+      bucketCap = 1, dropped = Some(acc)).collect()
+    assert(out.isEmpty)
+    assert(acc.value > 0)
+  }
+
+  test("exact embedding near-dup plan contains no driver collect (broadcast join)") {
+    val q = Ann.nearDupPairs(embeddings, 0.8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"exact path must be a distributed broadcast join:\n$plan")
   }
 
   test("brute-force ANN ranks the query's own cluster first") {

@@ -66,6 +66,27 @@ class PlanSpec extends SparkSpec {
       s"bucket semi-join must broadcast the tiny side:\n$cPlan")
   }
 
+  test("ANN top-k: signature predicate pushes into the bucket scan; no corpus re-hash") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(3)
+    val emb = (0 until 100).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))).toDS()
+    val d = Files.createTempDirectory("graft-annplan").toString
+    val idx = graft.pipeline.AnnIndex.build(spark, emb, d,
+      graft.pipeline.AnnIndex.Params(tables = 4, planesPerTable = 6, dim = 16))
+    val q = idx.topK(emb.collect().filter(_._1 < 3), 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("sig"),
+      s"(table,sig) predicate must reach the bucket parquet scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast against the bucket table:\n$plan")
+    // the executed plan reads the PERSISTED buckets — it must not carry
+    // a per-row signature recomputation (no flatMap over the raw
+    // embeddings dataset in the query DAG)
+    assert(!plan.contains("DeserializeToObject") || !plan.contains("MapPartitions"),
+      s"query plan must not re-hash the corpus:\n$plan")
+  }
+
   test("TPC-H style join picks broadcast for the small dimension") {
     val sf = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_join_rev")(spark, sf)
