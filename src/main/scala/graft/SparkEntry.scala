@@ -94,6 +94,44 @@ object SparkEntry {
        |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Phrase twin: positions = row_number over the length-filtered token
+    * stream (exactly the engine's position space), consecutive-position
+    * self-joins select the phrase docs, then the standard BM25 CTEs
+    * score the phrase's distinct terms — identical to the engine's
+    * phrase scoring contract (Wand.topKPhrase). */
+  private def phraseSql(terms: Seq[String], k: Int): String = {
+    val joins = (1 until terms.length).map(i =>
+      s"JOIN tokp a$i ON a$i.doc_id = a0.doc_id AND a$i.pos = a0.pos + $i").mkString("\n  ")
+    val conds = terms.zipWithIndex.map { case (t, i) => s"a$i.term = '$t'" }.mkString(" AND ")
+    val inList = terms.distinct.map(t => s"'$t'").mkString(", ")
+    s"""$tokCtes, w2 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), rawtok AS (
+       |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+       |), tokp AS (
+       |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+       |  FROM rawtok WHERE length(term) >= 2
+       |), phr AS (
+       |  SELECT DISTINCT a0.doc_id FROM tokp a0
+       |  $joins
+       |  WHERE $conds
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+       |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN alldl USING (doc_id)
+       |  CROSS JOIN stats
+       |  WHERE tf.term IN ($inList)
+       |    AND tf.doc_id IN (SELECT doc_id FROM phr)
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score,
+       |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   private val jaccardSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -169,6 +207,10 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "AND", "key AND value AND hash", 20)),
     "ft_bm25_or" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "OR", "scan OR window OR batch", 20)),
+    "ft_phrase" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "PHRASE", "\"part filter\"", 20)),
+    "ft_phrase3" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "PHRASE", "\"big order scan\"", 10)),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -353,6 +395,8 @@ object SparkEntry {
     "ft_bm25_topk" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
     "ft_bm25_and" -> bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
+    "ft_phrase" -> phraseSql(Seq("part", "filter"), 20),
+    "ft_phrase3" -> phraseSql(Seq("big", "order", "scan"), 10),
     "dedup_exact" ->
       """SELECT sha256(text) AS text_sha, count(*)::BIGINT AS cnt,
         |       list_sort(list(doc_id)) AS ids

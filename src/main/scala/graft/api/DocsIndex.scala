@@ -40,7 +40,8 @@ object DocsIndex {
     cache.getOrElseUpdate(sfDir, {
       val params = BuildParams(
         numPartitions = spark.sparkContext.defaultParallelism,
-        bucketSize = 1L << 12) // small buckets: testdata is tiny, exercise >1 bucket
+        bucketSize = 1L << 12, // small buckets: testdata is tiny, exercise >1 bucket
+        positional = true)     // phrase queries over the documents surface
       val (seg0, report) = SegmentBuilder.build(
         spark, DatasetCorpusSource(corpus(spark, sfDir)), params)
       // serving-side compaction: the testdata index is a few MB — re-cache

@@ -24,7 +24,11 @@ final case class BuildParams(
       * (SURVEY §2.3 I4). */
     saltThreshold: Long = 1L << 20,
     numSalts: Int = 16,
-    segId: Long = 0L)
+    segId: Long = 0L,
+    /** Store per-posting term positions (codec v2) — enables phrase
+      * queries at ~1.5-2x posting bytes; scoring walks skip position
+      * bytes without decoding them. */
+    positional: Boolean = false)
 
 /** The built index for one segment — all artifacts as typed Datasets.
   * `stats` is driver-side (tiny, broadcast at query time). */
@@ -87,10 +91,18 @@ object SegmentBuilder {
 
   /** Build-time intermediate: one posting before encoding. */
   final case class PRow(bucket: Int, termId: Long, docId: Long, tf: Int, impact: Double)
+  /** Positional variant — `pos` rides the same shuffle. */
+  final case class PRowP(bucket: Int, termId: Long, docId: Long, tf: Int,
+                         impact: Double, pos: Array[Int])
   /** Stage-1 output of the salted path: one sorted partial run. */
   final case class PartialRun(
       bucket: Int, termId: Long, salt: Int,
       docIds: Array[Long], tfs: Array[Int], impacts: Array[Double])
+  /** Positional partial run (salted hot-term path of a positional build). */
+  final case class PartialRunP(
+      bucket: Int, termId: Long, salt: Int,
+      docIds: Array[Long], tfs: Array[Int], impacts: Array[Double],
+      positions: Array[Array[Int]])
 
   def build(spark: SparkSession, source: CorpusSource,
             params: BuildParams = BuildParams()): (Segment, BuildReport) = {
@@ -114,17 +126,37 @@ object SegmentBuilder {
     val sc = spark.sparkContext
 
     // ── P6/P7/P8 fused: tokenize → per-doc tf + docLen, zero shuffle ──
-    val tf: Dataset[TermFreq] = numbered.flatMap { r =>
-      val toks = Tokenizer.tokenize(r.content)
-      val counts = new mutable.HashMap[String, Int]()
-      var i = 0
-      while (i < toks.length) {
-        counts.update(toks(i), counts.getOrElse(toks(i), 0) + 1)
-        i += 1
-      }
-      val dl = toks.length
-      counts.iterator.map { case (t, c) => TermFreq(r.docId, t, c, dl) }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    // (positional builds additionally carry each term's occurrence
+    // indices — one document's tokens still live in one input row, so
+    // positions also need NO extra shuffle)
+    val tf: DataFrame = (if (params.positional) {
+      numbered.flatMap { r =>
+        val toks = Tokenizer.tokenize(r.content)
+        val occ = new mutable.HashMap[String, mutable.ArrayBuilder.ofInt]()
+        var i = 0
+        while (i < toks.length) {
+          occ.getOrElseUpdate(toks(i), new mutable.ArrayBuilder.ofInt) += i
+          i += 1
+        }
+        val dl = toks.length
+        occ.iterator.map { case (t, b) =>
+          val ps = b.result()
+          TermFreqPos(r.docId, t, ps.length, dl, ps)
+        }
+      }.toDF()
+    } else {
+      numbered.flatMap { r =>
+        val toks = Tokenizer.tokenize(r.content)
+        val counts = new mutable.HashMap[String, Int]()
+        var i = 0
+        while (i < toks.length) {
+          counts.update(toks(i), counts.getOrElse(toks(i), 0) + 1)
+          i += 1
+        }
+        val dl = toks.length
+        counts.iterator.map { case (t, c) => TermFreq(r.docId, t, c, dl) }
+      }.toDF()
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // global stats — numDocs is already known exactly from the id ranges
     // (no job), and Σ docLen ≡ Σ tf, so totalTokens falls out of the same
@@ -234,11 +266,14 @@ object SegmentBuilder {
     val idfCol = log(lit(1.0) + (lit(numDocs) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
     val impactCol = idfCol * $"tf" * lit(BM25.K1Plus1) /
       ($"tf" + lit(BM25.K1) * (lit(BM25.OneMinusB) + lit(BM25.B) * $"dl" / lit(avgdl)))
+    val positional = params.positional
+    val baseCols = Seq(
+      expr(s"CAST(docId DIV $bucketSize AS INT)").as("bucket"),
+      $"termId", $"docId", $"tf", impactCol.as("impact")) ++
+      (if (positional) Seq(col("pos")) else Nil)
     val pre = tfDf
       .join(dictSide, Seq("term"))
-      .select(
-        expr(s"CAST(docId DIV $bucketSize AS INT)").as("bucket"),
-        $"termId", $"docId", $"tf", impactCol.as("impact"), $"df")
+      .select((baseCols :+ $"df"): _*)
 
     // The hot/cold split is a PLAN fork: each branch re-scans tf and
     // re-runs the join, so when the dictionary says no term can cross
@@ -248,34 +283,43 @@ object SegmentBuilder {
     // shuffle. At skewed-corpus scale maxDf exceeds the threshold and
     // the dual-path plan comes back automatically.
     val maxDf: Long = dict.agg(coalesce(max($"df"), lit(0L))).as[Long].head()
-    if (maxDf <= params.saltThreshold) {
-      return pre.drop("df")
+
+    def packCold(df: DataFrame): Dataset[PostingList] = {
+      val sorted = df
         .repartition(params.numPartitions, $"bucket", $"termId")
         .sortWithinPartitions($"bucket", $"termId", $"docId")
-        .as[PRow]
-        .mapPartitions(groupRuns)
+      if (positional) sorted.as[PRowP].mapPartitions(groupRunsPos)
+      else sorted.as[PRow].mapPartitions(groupRuns)
     }
+
+    if (maxDf <= params.saltThreshold) return packCold(pre.drop("df"))
 
     val cold = pre.filter($"df" <= params.saltThreshold).drop("df")
     val hot = pre.filter($"df" > params.saltThreshold).drop("df")
-
-    val coldLists = cold
-      .repartition(params.numPartitions, $"bucket", $"termId")
-      .sortWithinPartitions($"bucket", $"termId", $"docId")
-      .as[PRow]
-      .mapPartitions(groupRuns)
+    val coldLists = packCold(cold)
 
     val numSalts = params.numSalts
-    val hotLists = hot
+    val hotSorted = hot
       .withColumn("salt", pmod(hash($"docId"), lit(numSalts)))
       .repartition(params.numPartitions, $"bucket", $"termId", $"salt")
       .sortWithinPartitions($"bucket", $"termId", $"salt", $"docId")
-      .select($"bucket", $"termId", $"docId", $"tf", $"impact", $"salt")
-      .as[(Int, Long, Long, Int, Double, Int)]
-      .mapPartitions(groupPartialRuns)
-      .groupByKey(r => (r.bucket, r.termId))
-      .mapGroups((key: (Int, Long), runs: Iterator[PartialRun]) =>
-        mergeRuns(key._1, key._2, runs))
+    val hotLists =
+      if (positional)
+        hotSorted
+          .select($"bucket", $"termId", $"docId", $"tf", $"impact", $"pos", $"salt")
+          .as[(Int, Long, Long, Int, Double, Array[Int], Int)]
+          .mapPartitions(groupPartialRunsPos)
+          .groupByKey(r => (r.bucket, r.termId))
+          .mapGroups((key: (Int, Long), runs: Iterator[PartialRunP]) =>
+            mergeRunsPos(key._1, key._2, runs))
+      else
+        hotSorted
+          .select($"bucket", $"termId", $"docId", $"tf", $"impact", $"salt")
+          .as[(Int, Long, Long, Int, Double, Int)]
+          .mapPartitions(groupPartialRuns)
+          .groupByKey(r => (r.bucket, r.termId))
+          .mapGroups((key: (Int, Long), runs: Iterator[PartialRun]) =>
+            mergeRuns(key._1, key._2, runs))
 
     coldLists.union(hotLists)
   }
@@ -326,6 +370,27 @@ object SegmentBuilder {
       }
     }
 
+  /** Positional twin of groupRuns. */
+  private def groupRunsPos(it: Iterator[PRowP]): Iterator[PostingList] =
+    new Iterator[PostingList] {
+      private val in = it.buffered
+      override def hasNext: Boolean = in.hasNext
+      override def next(): PostingList = {
+        val head = in.next()
+        val ids = mutable.ArrayBuilder.make[Long]
+        val tfs = mutable.ArrayBuilder.make[Int]
+        val imps = mutable.ArrayBuilder.make[Double]
+        val poss = mutable.ArrayBuilder.make[Array[Int]]
+        ids += head.docId; tfs += head.tf; imps += head.impact; poss += head.pos
+        while (in.hasNext && in.head.bucket == head.bucket && in.head.termId == head.termId) {
+          val r = in.next()
+          ids += r.docId; tfs += r.tf; imps += r.impact; poss += r.pos
+        }
+        packList(head.bucket, head.termId, ids.result(), tfs.result(),
+          imps.result(), poss.result())
+      }
+    }
+
   /** Stage-1 of the salted path: partial sorted runs per (bucket,termId,salt). */
   private def groupPartialRuns(it: Iterator[(Int, Long, Long, Int, Double, Int)])
       : Iterator[PartialRun] =
@@ -343,6 +408,28 @@ object SegmentBuilder {
           ids += r._3; tfs += r._4; imps += r._5
         }
         PartialRun(b, t, s, ids.result(), tfs.result(), imps.result())
+      }
+    }
+
+  /** Positional twin of groupPartialRuns. */
+  private def groupPartialRunsPos(
+      it: Iterator[(Int, Long, Long, Int, Double, Array[Int], Int)])
+      : Iterator[PartialRunP] =
+    new Iterator[PartialRunP] {
+      private val in = it.buffered
+      override def hasNext: Boolean = in.hasNext
+      override def next(): PartialRunP = {
+        val (b, t, d0, tf0, imp0, pos0, s) = in.next()
+        val ids = mutable.ArrayBuilder.make[Long]
+        val tfs = mutable.ArrayBuilder.make[Int]
+        val imps = mutable.ArrayBuilder.make[Double]
+        val poss = mutable.ArrayBuilder.make[Array[Int]]
+        ids += d0; tfs += tf0; imps += imp0; poss += pos0
+        while (in.hasNext && in.head._1 == b && in.head._2 == t && in.head._7 == s) {
+          val r = in.next()
+          ids += r._3; tfs += r._4; imps += r._5; poss += r._6
+        }
+        PartialRunP(b, t, s, ids.result(), tfs.result(), imps.result(), poss.result())
       }
     }
 
@@ -368,9 +455,33 @@ object SegmentBuilder {
     packList(bucket, termId, ids, tfs, imps)
   }
 
+  /** Positional k-way heap merge. */
+  private def mergeRunsPos(bucket: Int, termId: Long,
+                           runsIt: Iterator[PartialRunP]): PostingList = {
+    val runs = runsIt.toArray
+    val total = runs.map(_.docIds.length).sum
+    val ids = new Array[Long](total)
+    val tfs = new Array[Int](total)
+    val imps = new Array[Double](total)
+    val poss = new Array[Array[Int]](total)
+    implicit val ord: Ordering[(Long, Int, Int)] = Ordering.by[(Long, Int, Int), Long](_._1).reverse
+    val heap = mutable.PriorityQueue.empty[(Long, Int, Int)]
+    runs.indices.foreach { r => if (runs(r).docIds.nonEmpty) heap.enqueue((runs(r).docIds(0), r, 0)) }
+    var i = 0
+    while (heap.nonEmpty) {
+      val (d, r, p) = heap.dequeue()
+      ids(i) = d; tfs(i) = runs(r).tfs(p); imps(i) = runs(r).impacts(p)
+      poss(i) = runs(r).positions(p)
+      i += 1
+      if (p + 1 < runs(r).docIds.length) heap.enqueue((runs(r).docIds(p + 1), r, p + 1))
+    }
+    packList(bucket, termId, ids, tfs, imps, poss)
+  }
+
   private def packList(bucket: Int, termId: Long, ids: Array[Long],
-                       tfs: Array[Int], imps: Array[Double]): PostingList = {
-    val packed = PostingCodec.pack(ids, tfs, imps)
+                       tfs: Array[Int], imps: Array[Double],
+                       poss: Array[Array[Int]] = null): PostingList = {
+    val packed = PostingCodec.pack(ids, tfs, imps, poss)
     PostingList(bucket, termId, packed.numDocs, packed.lastDocIds,
       packed.maxImpacts, packed.offsets, packed.bytes)
   }

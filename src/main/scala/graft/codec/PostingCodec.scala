@@ -47,17 +47,33 @@ object PostingCodec extends Serializable {
 
   /** Pack sorted (docId, tf, impact) triples. docIds must be strictly
     * increasing and >= 0; tfs >= 1; impacts are the full BM25 per-term
-    * contributions (used only as pruning upper bounds). */
-  def pack(docIds: Array[Long], tfs: Array[Int], impacts: Array[Double]): Packed = {
+    * contributions (used only as pruning upper bounds).
+    *
+    * Format v2 — positional layout: when `positions` is non-null, each
+    * posting's stream is VByte(gap) VByte(tf) then exactly tf VByte
+    * position-deltas (first delta = pos_0 + 1 relative to a virtual -1,
+    * then strictly-positive diffs — positions are distinct ascending
+    * token indices over the FILTERED token stream). Blocks stay
+    * independently decodable: offsets/lastDocIds are per-block as in v1,
+    * and a positional cursor skips the tf deltas via continuation-bit
+    * scanning on scoring walks (positions decode only on demand).
+    * Whether a list is positional is SEGMENT metadata (stats.json /
+    * BuildParams.positional), not re-derivable from the bytes. */
+  def pack(docIds: Array[Long], tfs: Array[Int], impacts: Array[Double],
+           positions: Array[Array[Int]] = null): Packed = {
     val n = docIds.length
     require(n > 0, "empty posting list")
     require(tfs.length == n && impacts.length == n)
+    require(positions == null || positions.length == n)
     val numBlocks = (n + BlockSize - 1) / BlockSize
     val lastDocIds = new Array[Long](numBlocks)
     val maxImpacts = new Array[Float](numBlocks)
     val offsets = new Array[Int](numBlocks)
-    // worst case 10 bytes per value, 2 values per posting
-    val buf = new Array[Byte](2 * VByte.MaxBytes * n)
+    // worst case 10 bytes per value: 2 values per posting + tf positions
+    val numPos = if (positions == null) 0L else {
+      var s = 0L; var i = 0; while (i < n) { s += tfs(i); i += 1 }; s
+    }
+    val buf = new Array[Byte](((2 * n + numPos) * VByte.MaxBytes).toInt)
     var pos = 0
     var b = 0
     var prev = -1L
@@ -71,6 +87,19 @@ object PostingCodec extends Serializable {
         require(d > prev, s"docIds not strictly increasing: $d after $prev")
         pos = VByte.encode(d - prev, buf, pos)
         pos = VByte.encode(tfs(i).toLong, buf, pos)
+        if (positions != null) {
+          val ps = positions(i)
+          require(ps.length == tfs(i),
+            s"posting needs tf=${tfs(i)} positions, got ${ps.length}")
+          var pprev = -1L
+          var j = 0
+          while (j < ps.length) {
+            require(ps(j) > pprev, "positions must be strictly increasing")
+            pos = VByte.encode(ps(j) - pprev, buf, pos)
+            pprev = ps(j)
+            j += 1
+          }
+        }
         if (impacts(i) > mx) mx = impacts(i)
         prev = d
         i += 1
@@ -92,28 +121,50 @@ object PostingCodec extends Serializable {
   }
 
   /** Decode all (docId, tf) pairs (test/oracle path). */
-  def decodeAll(p: Packed): (Array[Long], Array[Int]) = {
+  def decodeAll(p: Packed, positional: Boolean = false): (Array[Long], Array[Int]) = {
     val ids = new Array[Long](p.numDocs)
     val tfs = new Array[Int](p.numDocs)
-    val c = cursor(p)
+    val c = cursor(p, positional)
     var i = 0
     while (i < p.numDocs) { ids(i) = c.docId; tfs(i) = c.tf; c.next(); i += 1 }
     (ids, tfs)
   }
 
-  def cursor(p: Packed): Cursor =
-    new Cursor(p.numDocs, p.lastDocIds, p.maxImpacts, p.offsets, p.bytes)
+  /** Decode all (docId, tf, positions) of a positional list
+    * (test/merge/oracle path). */
+  def decodeAllPos(p: Packed): (Array[Long], Array[Int], Array[Array[Int]]) = {
+    val ids = new Array[Long](p.numDocs)
+    val tfs = new Array[Int](p.numDocs)
+    val poss = new Array[Array[Int]](p.numDocs)
+    val c = cursor(p, positional = true)
+    var i = 0
+    while (i < p.numDocs) {
+      ids(i) = c.docId; tfs(i) = c.tf; poss(i) = c.positions(); c.next(); i += 1
+    }
+    (ids, tfs, poss)
+  }
+
+  def cursor(p: Packed, positional: Boolean = false): Cursor =
+    new Cursor(p.numDocs, p.lastDocIds, p.maxImpacts, p.offsets, p.bytes,
+      positional)
 
   /** Forward-only posting cursor with block skipping — the WAND walk's
     * primitive. After construction it is positioned ON the first posting;
     * `exhausted` flips when advanced past the end.
+    *
+    * `positional` MUST match how the list was packed: a positional
+    * stream read by a non-positional cursor (or vice versa) misparses.
+    * Scoring walks over positional lists pay only a continuation-bit
+    * scan per posting; `positions()` decodes the current posting's
+    * occurrence indices on demand (phrase intersection only).
     */
   final class Cursor(
       val numDocs: Int,
       lastDocIds: Array[Long],
       maxImpacts: Array[Float],
       offsets: Array[Int],
-      bytes: Array[Byte]) {
+      bytes: Array[Byte],
+      val positional: Boolean = false) {
 
     private val numBlocks = lastDocIds.length
     private val vb = new VByte.Cursor(bytes, 0)
@@ -121,6 +172,9 @@ object PostingCodec extends Serializable {
     private var inBlock = 0        // postings consumed in current block
     private var cur = -1L
     private var curTf = 0
+    // declared BEFORE the readOne() initializer block: field init order
+    // would otherwise zero it after the first posting is read
+    private var posStart = 0
     var exhausted: Boolean = false
 
     { readOne() } // position on first posting
@@ -145,7 +199,21 @@ object PostingCodec extends Serializable {
       val gap = vb.read()
       cur += gap
       curTf = vb.read().toInt
+      if (positional) { posStart = vb.pos; vb.skip(curTf) }
       inBlock += 1
+    }
+
+    /** Decode the current posting's positions (ascending, length == tf).
+      * Allocates — called only on phrase-aligned candidates, never in
+      * the scoring hot loop. */
+    def positions(): Array[Int] = {
+      require(positional, "positions() on a non-positional list")
+      val c = new VByte.Cursor(bytes, posStart)
+      val out = new Array[Int](curTf)
+      var p = -1L
+      var j = 0
+      while (j < curTf) { p += c.read(); out(j) = p.toInt; j += 1 }
+      out
     }
 
     /** Advance one posting. */

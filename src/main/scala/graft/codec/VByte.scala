@@ -69,5 +69,16 @@ object VByte extends Serializable {
       v | ((b & 0x7fL) << shift)
     }
     def seek(p: Int): Unit = pos = p
+    /** Skip n encoded values without decoding them: scan continuation
+      * bits only — the positional-postings cursor uses this so scoring
+      * walks never pay full position decode. */
+    def skip(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        while ((buf(pos) & 0x80) != 0) pos += 1
+        pos += 1
+        i += 1
+      }
+    }
   }
 }

@@ -67,7 +67,8 @@ object IndexStorage {
         s""""numTerms":${st.numTerms},"numPostings":${st.numPostings},""" +
         s""""bucketSize":${p.bucketSize},"segId":${p.segId},""" +
         s""""numPartitions":${p.numPartitions},"saltThreshold":${p.saltThreshold},""" +
-        s""""numSalts":${p.numSalts},"docIdHwm":$hwm}""")
+        s""""numSalts":${p.numSalts},"docIdHwm":$hwm,""" +
+        s""""positional":${if (p.positional) 1 else 0}}""")
     Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
     finalDir
   }
@@ -97,11 +98,12 @@ object IndexStorage {
     import spark.implicits._
     val d = Paths.get(dir)
     val json = Files.readString(d.resolve("stats.json"))
-    def num(key: String): String = {
+    def numOpt(key: String, default: Option[String]): String = {
       val m = java.util.regex.Pattern.compile("\"" + key + "\":([-0-9.eE]+)").matcher(json)
-      require(m.find(), s"missing $key in stats.json")
-      m.group(1)
+      if (m.find()) m.group(1)
+      else default.getOrElse(sys.error(s"missing $key in stats.json"))
     }
+    def num(key: String): String = numOpt(key, None)
     val stats = CorpusStats(num("numDocs").toLong, num("avgDocLen").toDouble,
       num("numTerms").toLong, num("numPostings").toLong)
     val params = BuildParams(
@@ -109,7 +111,8 @@ object IndexStorage {
       bucketSize = num("bucketSize").toLong,
       saltThreshold = num("saltThreshold").toLong,
       numSalts = num("numSalts").toInt,
-      segId = num("segId").toLong)
+      segId = num("segId").toLong,
+      positional = numOpt("positional", Some("0")).toInt == 1)
     Segment(
       spark.read.schema(Encoders.product[Doc].schema)
         .parquet(d.resolve("docs").toString).as[Doc],

@@ -58,6 +58,9 @@ object SegmentMerger {
     require(a.params.bucketSize == params.bucketSize &&
       b.params.bucketSize == params.bucketSize,
       "merge requires a uniform bucketSize")
+    require(a.params.positional == params.positional &&
+      b.params.positional == params.positional,
+      "merge requires uniform positional codec version")
 
     val docs = a.docs.unionByName(b.docs).persist(StorageLevel.MEMORY_AND_DISK)
     val (numDocs, totalTokens) = docs
@@ -71,11 +74,17 @@ object SegmentMerger {
     // decode each side's postings back to (docId, term, tf, dl) rows and
     // re-encode under the merged dict/stats (term strings resolved via
     // each side's own dictionary; dl via each side's docs)
-    def tfRows(s: Segment) =
-      ExactScorer.decodedPostings(spark, s).toDF("termId", "docId", "tf")
+    def tfRows(s: Segment) = {
+      val decoded =
+        if (params.positional)
+          ExactScorer.decodedPostingsPos(spark, s).toDF("termId", "docId", "tf", "pos")
+        else ExactScorer.decodedPostings(spark, s).toDF("termId", "docId", "tf")
+      val posCols = if (params.positional) Seq($"pos") else Nil
+      decoded
         .join(s.dict.select($"termId", $"term"), "termId")
         .join(s.docs.select($"docId", $"docLen".as("dl")), "docId")
-        .select($"docId", $"term", $"tf", $"dl")
+        .select((Seq($"docId", $"term", $"tf", $"dl") ++ posCols): _*)
+    }
     val tfAll = tfRows(a).unionByName(tfRows(b))
     val postings = SegmentBuilder
       .encodePostings(spark, tfAll, dict, numDocs, avgdl, params)

@@ -44,6 +44,13 @@ final case class Doc(
   * shuffle entirely: one document's tokens live in one row). */
 final case class TermFreq(docId: Long, term: String, tf: Int, dl: Int)
 
+/** Positional build intermediate: TermFreq + the term's occurrence
+  * indices over the document's filtered token stream (ascending,
+  * length == tf). Kept as a separate shape so non-positional builds —
+  * the throughput benchmark path — carry no per-row array slot. */
+final case class TermFreqPos(docId: Long, term: String, tf: Int, dl: Int,
+                             pos: Array[Int])
+
 /** Dictionary entry; termIds dense, assigned in term sort order. */
 final case class DictEntry(termId: Long, term: String, df: Long, cf: Long)
 

@@ -23,7 +23,9 @@ object QueryParser {
 
   def parse(text: String): (String, Array[String]) = {
     val t = text.trim
-    if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
+    if (t.length > 1 && t.startsWith("\"") && t.endsWith("\""))
+      ("PHRASE", termsFor("PHRASE", t))
+    else if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
       ("AND", operandTerms(t))
     else if (t.split("\\s+OR\\s+").length > 1)
       ("OR", operandTerms(t))
@@ -33,9 +35,11 @@ object QueryParser {
   /** Terms of a query whose kind is already known: the uppercase
     * connective is grammar, not a term, and must never be tokenized into
     * one (an AND query would otherwise short-circuit to ∅ on the
-    * out-of-vocabulary token "and"). */
+    * out-of-vocabulary token "and"). PHRASE terms keep document order
+    * and duplicates — they are position slots, not a bag. */
   def termsFor(kind: String, text: String): Array[String] = kind match {
     case "AND" | "OR" => operandTerms(text)
+    case "PHRASE" => Tokenizer.tokenize(text.trim.stripPrefix("\"").stripSuffix("\""))
     case _ => Tokenizer.queryTerms(text)
   }
 }
@@ -78,33 +82,41 @@ final class Searcher(spark: SparkSession, segment: Segment,
         segment.dict.filter($"term".isin(terms.toSeq: _*)).collect().sortBy(_.termId)
     }
 
-  /** Top-k hits for a query. kind ∈ {AND, OR, FREE}; OR/FREE rank by BM25
-    * with block-max WAND pruning; AND intersects then ranks. */
-  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
-    val terms = QueryParser.termsFor(kind, text)
-    val entries = dictLookup(terms)
-    val conjunctive = kind == "AND"
-    if (entries.isEmpty || (conjunctive && entries.length < terms.length))
-      return spark.emptyDataset[Hit] // AND with an unknown term ⇒ ∅
-    scored(entries, conjunctive, k, qid, pruned = true)
-  }
+  /** Top-k hits for a query. kind ∈ {AND, OR, FREE, PHRASE}; OR/FREE
+    * rank by BM25 with block-max WAND pruning; AND intersects then
+    * ranks; PHRASE (positional segments only) intersects with
+    * consecutive-position verification then ranks like AND. */
+  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true)
 
   /** Exhaustive (unpruned) evaluation — correctness oracle for WAND. */
-  def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
+  def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = false)
+
+  private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
+                       pruned: Boolean): Dataset[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
-    val entries = dictLookup(terms)
-    val conjunctive = kind == "AND"
-    if (entries.isEmpty || (conjunctive && entries.length < terms.length))
-      return spark.emptyDataset[Hit]
-    scored(entries, conjunctive, k, qid, pruned = false)
+    val entries = dictLookup(terms.distinct)
+    val needAll = kind == "AND" || kind == "PHRASE"
+    if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
+      return spark.emptyDataset[Hit] // AND/PHRASE with an unknown term ⇒ ∅
+    if (kind == "PHRASE") {
+      require(segment.params.positional,
+        "phrase queries need a positional index (BuildParams.positional)")
+      val byTerm = entries.map(e => e.term -> e).toMap
+      val slots = terms.map(t => byTerm(t).termId)
+      scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots)
+    } else scored(entries, conjunctive = kind == "AND", k, qid, pruned)
   }
 
   private def scored(entries: Array[DictEntry], conjunctive: Boolean, k: Int,
-                     qid: Long, pruned: Boolean): Dataset[Hit] = {
+                     qid: Long, pruned: Boolean,
+                     phraseSlots: Array[Long] = null): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
-      conjunctive, k, pruned, entries.length).toDF("docId", "score"), k, qid)
+      conjunctive, k, pruned, entries.length, phraseSlots).toDF("docId", "score"),
+      k, qid)
   }
 
   /** Doc-length arrays up to this many documents stay resident
@@ -125,18 +137,30 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * segment) idf/avgdl instead of this segment's own. */
   private[search] def scoredRaw(tids: Array[Long], idfByTid: Map[Long, Double],
                                 avgdl: Double, conjunctive: Boolean, k: Int,
-                                pruned: Boolean, nTerms: Int): Dataset[(Long, Double)] = {
+                                pruned: Boolean, nTerms: Int,
+                                phraseSlots: Array[Long] = null): Dataset[(Long, Double)] = {
     val pls = segment.postings.filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
+    val positional = segment.params.positional
 
     def walk(bucket: Int, plIt: Iterator[PostingList], firstDocId: Long,
              lens: Array[Int]): Iterator[(Long, Double)] = {
-      val cursors = plIt.map { pl =>
-        new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl)
-      }.toArray
+      val plArr = plIt.toArray
+      def cursors = plArr.map { pl =>
+        new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional)
+      }
       val res =
-        if (conjunctive) {
+        if (phraseSlots != null) {
+          // one independent cursor per phrase slot (duplicates included)
+          val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+          if (plByTid.size < nTerms) Array.empty[Wand.Scored]
+          else {
+            val slots = phraseSlots.map(tid =>
+              new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional))
+            Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)
+          }
+        } else if (conjunctive) {
           // a bucket missing any query term cannot intersect
-          if (cursors.length < nTerms) Array.empty[Wand.Scored]
+          if (plArr.length < nTerms) Array.empty[Wand.Scored]
           else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k)
         } else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k)
         else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k)
@@ -210,12 +234,32 @@ object ExactScorer {
   /** Decode all posting lists back to (termId, docId, tf) rows. */
   def decodedPostings(spark: SparkSession, segment: Segment): Dataset[(Long, Long, Int)] = {
     import spark.implicits._
+    val positional = segment.params.positional
     segment.postings.as[PostingList].flatMap { pl =>
       val c = new graft.codec.PostingCodec.Cursor(
-        pl.numDocs, pl.lastDocIds, pl.maxImpacts, pl.offsets, pl.bytes)
+        pl.numDocs, pl.lastDocIds, pl.maxImpacts, pl.offsets, pl.bytes, positional)
       val out = new Array[(Long, Long, Int)](pl.numDocs)
       var i = 0
       while (i < pl.numDocs) { out(i) = (pl.termId, c.docId, c.tf); c.next(); i += 1 }
+      out.toSeq
+    }
+  }
+
+  /** Decode positional posting lists back to (termId, docId, tf,
+    * positions) rows — the merge path for positional segments. */
+  def decodedPostingsPos(spark: SparkSession, segment: Segment)
+      : Dataset[(Long, Long, Int, Array[Int])] = {
+    import spark.implicits._
+    require(segment.params.positional, "segment is not positional")
+    segment.postings.as[PostingList].flatMap { pl =>
+      val c = new graft.codec.PostingCodec.Cursor(
+        pl.numDocs, pl.lastDocIds, pl.maxImpacts, pl.offsets, pl.bytes,
+        positional = true)
+      val out = new Array[(Long, Long, Int, Array[Int])](pl.numDocs)
+      var i = 0
+      while (i < pl.numDocs) {
+        out(i) = (pl.termId, c.docId, c.tf, c.positions()); c.next(); i += 1
+      }
       out.toSeq
     }
   }

@@ -25,10 +25,12 @@ import graft.model.{BM25, PostingList}
   */
 object Wand {
 
-  /** One query term's posting cursor + scoring state. */
-  final class TermCursor(val termId: Long, val idf: Double, pl: PostingList) {
+  /** One query term's posting cursor + scoring state. `positional` must
+    * match the segment's codec version (BuildParams.positional). */
+  final class TermCursor(val termId: Long, val idf: Double, pl: PostingList,
+                         positional: Boolean = false) {
     val cursor = new PostingCodec.Cursor(pl.numDocs, pl.lastDocIds,
-      pl.maxImpacts, pl.offsets, pl.bytes)
+      pl.maxImpacts, pl.offsets, pl.bytes, positional)
     private val lastDocIds = pl.lastDocIds
     private val maxImpacts = pl.maxImpacts
     /** Whole-list score upper bound. */
@@ -37,6 +39,8 @@ object Wand {
     @inline def docId: Long = cursor.docId
     @inline def exhausted: Boolean = cursor.exhausted
     @inline def tf: Int = cursor.tf
+    /** Current posting's term positions (positional lists only). */
+    def positions(): Array[Int] = cursor.positions()
     def next(): Unit = cursor.next()
     def nextGeq(t: Long): Unit = cursor.nextGeq(t)
 
@@ -178,6 +182,74 @@ object Wand {
       }
     }
     topk.result()
+  }
+
+  /** Phrase evaluation over positional postings — SURVEY §2.4 extension
+    * (codec v2). `slots` holds ONE cursor per phrase position, in phrase
+    * order (a repeated term gets an independent cursor over the same
+    * list). Docs are aligned with the same galloping intersection as
+    * AND; an aligned doc matches iff some start position p has
+    * slot i's positions containing p+i for every i (consecutive terms in
+    * the filtered token stream). Matching docs score standard BM25 over
+    * the phrase's DISTINCT terms — identical to the AND score, so the
+    * SQL twin can score relationally. */
+  def topKPhrase(slots: Array[TermCursor], lens: Array[Int], firstDocId: Long,
+                 avgdl: Double, k: Int): Array[Scored] = {
+    if (slots.isEmpty || slots.exists(_.exhausted)) return Array.empty
+    val topk = new TopK(k)
+    // distinct-term cursors in ascending termId order — deterministic sum
+    val distinctSlots: Array[TermCursor] = {
+      val seen = mutable.Set.empty[Long]
+      slots.filter(c => seen.add(c.termId)).sortBy(_.termId)
+    }
+    var target = slots.map(_.docId).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < slots.length && !done) {
+        slots(i).nextGeq(target)
+        if (slots(i).exhausted) done = true
+        else if (slots(i).docId > target) { target = slots(i).docId; aligned = false }
+        i += 1
+      }
+      if (!done && aligned) {
+        if (phraseMatches(slots)) {
+          val dl = lens((target - firstDocId).toInt)
+          var score = 0.0
+          var j = 0
+          while (j < distinctSlots.length) {
+            score += BM25.impact(distinctSlots(j).idf, distinctSlots(j).tf, dl, avgdl)
+            j += 1
+          }
+          topk.offer(target, score)
+        }
+        target += 1
+      }
+    }
+    topk.result()
+  }
+
+  /** ∃ p: p+i ∈ positions(slot i) for all i — intersect the stair-cased
+    * position lists left to right (all lists ascending, so each step is
+    * a linear merge bounded by the shortest list). */
+  private def phraseMatches(slots: Array[TermCursor]): Boolean = {
+    var cand = slots(0).positions()
+    var i = 1
+    while (i < slots.length && cand.nonEmpty) {
+      val ps = slots(i).positions()
+      val out = mutable.ArrayBuilder.make[Int]
+      var a = 0; var b = 0
+      while (a < cand.length && b < ps.length) {
+        val want = cand(a) + i
+        if (ps(b) == want) { out += cand(a); a += 1; b += 1 }
+        else if (ps(b) < want) b += 1
+        else a += 1
+      }
+      cand = out.result()
+      i += 1
+    }
+    cand.nonEmpty
   }
 
   /** Exhaustive disjunctive evaluation (no pruning) — the safe path for

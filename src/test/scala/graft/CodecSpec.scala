@@ -45,6 +45,52 @@ class CodecSpec extends AnyFunSuite {
     PostingCodec.pack(ids, tfs, impacts)
   }
 
+  private def randPositions(rnd: Random, tfs: Array[Int]): Array[Array[Int]] =
+    tfs.map { tf =>
+      var p = -1
+      Array.fill(tf) { p += 1 + rnd.nextInt(20); p }
+    }
+
+  test("positional pack/decode roundtrip incl. block boundaries") {
+    val rnd = new Random(19)
+    val sizes = Seq(1, 127, 128, 129, 300) ++ Seq.fill(20)(1 + rnd.nextInt(500))
+    sizes.foreach { n =>
+      val ids = randIds(rnd, n)
+      val tfs = ids.indices.map(i => 1 + (i % 5)).toArray
+      val impacts = tfs.map(tf => 1.5 * tf / (tf + 3.0))
+      val poss = randPositions(rnd, tfs)
+      val p = PostingCodec.pack(ids, tfs, impacts, poss)
+      val (gotIds, gotTfs, gotPos) = PostingCodec.decodeAllPos(p)
+      assert(gotIds.toSeq == ids.toSeq, s"n=$n")
+      assert(gotTfs.toSeq == tfs.toSeq)
+      assert(gotPos.map(_.toSeq).toSeq == poss.map(_.toSeq).toSeq, s"n=$n")
+    }
+  }
+
+  test("positional nextGeq: skipping positions keeps docId/tf/positions aligned") {
+    val rnd = new Random(23)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(600)
+      val ids = randIds(rnd, n, maxGap = 50)
+      val tfs = ids.indices.map(i => 1 + (i % 4)).toArray
+      val impacts = tfs.map(_.toDouble)
+      val poss = randPositions(rnd, tfs)
+      val p = PostingCodec.pack(ids, tfs, impacts, poss)
+      val c = PostingCodec.cursor(p, positional = true)
+      // jump to a few random targets; verify landing posting is intact
+      (1 to 10).foreach { _ =>
+        val target = ids(rnd.nextInt(n))
+        if (!c.exhausted && c.docId < target) {
+          c.nextGeq(target)
+          val i = ids.indexOf(c.docId)
+          assert(i >= 0 && c.docId >= target)
+          assert(c.tf == tfs(i))
+          assert(c.positions().toSeq == poss(i).toSeq)
+        }
+      }
+    }
+  }
+
   test("pack/decode roundtrip incl. block boundaries") {
     val rnd = new Random(7)
     val sizes = Seq(1, 2, 127, 128, 129, 255, 256, 257, 300) ++

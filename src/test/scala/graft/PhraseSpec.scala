@@ -1,0 +1,119 @@
+package graft
+
+import graft.build.{BuildParams, SegmentBuilder}
+import graft.corpus.{DatasetCorpusSource, Synthesizer}
+import graft.index.SegmentMerger
+import graft.model.BM25
+import graft.search.{QueryParser, Searcher}
+import graft.tokenize.Tokenizer
+
+/** Phrase queries over positional postings (codec v2) — checked against
+  * a from-first-principles oracle: tokenize every document, scan for the
+  * consecutive phrase, score distinct terms with BM25. */
+class PhraseSpec extends SparkSpec {
+
+  lazy val corpus = Synthesizer.corpus(spark, 300L).collect()
+
+  lazy val (seg, _) = SegmentBuilder.build(spark,
+    DatasetCorpusSource(Synthesizer.corpus(spark, 300L)),
+    BuildParams(numPartitions = 4, bucketSize = 64, positional = true))
+
+  lazy val searcher = new Searcher(spark, seg)
+
+  /** Docs whose filtered token stream contains the phrase consecutively. */
+  private def bruteDocs(phrase: Array[String]): Set[String] =
+    corpus.iterator.flatMap { r =>
+      val toks = Tokenizer.tokenize(r.content)
+      val hit = toks.indices.exists(i =>
+        i + phrase.length <= toks.length &&
+          phrase.indices.forall(j => toks(i + j) == phrase(j)))
+      if (hit) Some(r.repo + "/" + r.path) else None
+    }.toSet
+
+  private def keyOf(docId: Long): String = {
+    val row = seg.docs.filter(s"docId = $docId")
+      .select("repo", "path").collect().head
+    row.getString(0) + "/" + row.getString(1)
+  }
+
+  /** Phrases actually present: adjacent token runs from real documents. */
+  lazy val presentPhrases: Seq[Array[String]] = {
+    val toks = Tokenizer.tokenize(corpus(5).content)
+    val toks2 = Tokenizer.tokenize(corpus(100).content)
+    Seq(
+      toks.slice(3, 5), toks.slice(10, 13),
+      toks2.slice(0, 2), toks2.slice(7, 10))
+      .filter(_.length >= 2)
+  }
+
+  test("phrase hits == brute-force consecutive-token scan, scores are BM25 over distinct terms") {
+    presentPhrases.foreach { phrase =>
+      val text = "\"" + phrase.mkString(" ") + "\""
+      val hits = searcher.hits("PHRASE", text, 1000).collect()
+      val got = hits.map(h => keyOf(h.docId)).toSet
+      val want = bruteDocs(phrase)
+      assert(want.nonEmpty, s"test phrase '${phrase.mkString(" ")}' must occur")
+      assert(got == want,
+        s"phrase '${phrase.mkString(" ")}': got ${got.size} want ${want.size}")
+
+      // scores = the AND-query scores of the same docs (distinct terms)
+      val andText = phrase.distinct.mkString(" AND ")
+      val andScores =
+        if (phrase.distinct.length > 1)
+          searcher.hits("AND", andText, 1000).collect()
+            .map(h => h.docId -> h.score).toMap
+        else
+          searcher.hits("FREE", phrase.head, 1000).collect()
+            .map(h => h.docId -> h.score).toMap
+      hits.foreach { h =>
+        assert(andScores.contains(h.docId))
+        assert(andScores(h.docId) == h.score,
+          s"phrase score must be bit-identical to AND score for doc ${h.docId}")
+      }
+    }
+  }
+
+  test("phrase with absent adjacency or unknown term returns empty") {
+    val toks = Tokenizer.tokenize(corpus(5).content)
+    // reversed adjacent pair is (almost surely) not a phrase; verify brute
+    val reversed = Array(toks(4), toks(3))
+    if (bruteDocs(reversed).isEmpty)
+      assert(searcher.hits("PHRASE", "\"" + reversed.mkString(" ") + "\"", 10).count() == 0)
+    assert(searcher.hits("PHRASE", "\"zzzunknownterm " + toks(3) + "\"", 10).count() == 0)
+  }
+
+  test("QueryParser recognizes quoted phrases and keeps slot order") {
+    val (kind, terms) = QueryParser.parse("\"fooBar baz\"")
+    assert(kind == "PHRASE")
+    assert(terms.toSeq == Seq("foo", "bar", "baz"))
+    assert(QueryParser.termsFor("PHRASE", "\"get get value\"").toSeq ==
+      Seq("get", "get", "value"), "duplicates are slots, not a bag")
+  }
+
+  test("positional segments merge and answer phrases identically") {
+    import org.apache.spark.sql.functions.col
+    val params = BuildParams(numPartitions = 4, bucketSize = 64, positional = true)
+    val src = Synthesizer.corpus(spark, 300L)
+    val (numbered, ranges, free) = graft.build.DocIds.assign(src, 4)
+    try {
+      val half = 150L
+      val (segA, _) = SegmentBuilder.buildFromNumbered(spark,
+        numbered.filter(r => r.docId < half),
+        Array(graft.build.PartRange(0, 0, half)), 0L, Array.empty, params)
+      val (segB, _) = SegmentBuilder.buildFromNumbered(spark,
+        numbered.filter(r => r.docId >= half),
+        Array(graft.build.PartRange(1, half, 300L - half)), 0L, Array.empty,
+        params.copy(segId = 1))
+      val (merged, _) = SegmentMerger.merge(spark, segA, segB, params.copy(segId = 2))
+      val phrase = presentPhrases.head
+      val text = "\"" + phrase.mkString(" ") + "\""
+      val fromMerged = new Searcher(spark, merged).hits("PHRASE", text, 1000)
+        .collect().map(h => (h.docId, h.score)).sortBy(_._1).toSeq
+      val fromSingle = searcher.hits("PHRASE", text, 1000)
+        .collect().map(h => (h.docId, h.score)).sortBy(_._1).toSeq
+      assert(fromMerged == fromSingle,
+        "merged positional segment must answer phrases bit-identically")
+      segA.unpersist(); segB.unpersist(); merged.unpersist()
+    } finally free()
+  }
+}
