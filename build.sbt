@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pre-size the heap: growing from the tiny default to tens of GB mid-
+  // build costs ~90 s of GC churn on the first 600k-doc trial at
+  // local[32], which would masquerade as a scaling-efficiency loss
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -24,10 +24,13 @@ while [ "$collected" -lt "$PAIRS" ]; do
   t8=0; t32=0
   for c in 8 32; do
     l0=$(cut -d' ' -f1 /proc/loadavg)
+    # best of 2 trials in ONE JVM: excludes first-trial JVM/page-cache
+    # warmup (measured ~90s at 600k/local[32]), which is amortized noise
+    # at the design point, not a scaling property
     line=$(SPARK_LOCAL_DIRS=/dev/shm/spark-local SPARK_DRIVER_MEM=48g \
-      SPARK_GRAFT_CPUS=$c SPARK_GRAFT_TRIALS=1 \
+      SPARK_GRAFT_CPUS=$c SPARK_GRAFT_TRIALS=2 \
       sbt -batch "runMain graft.tools.BuildProfile $DOCS" 2>/dev/null \
-      | grep -oE '"buildMillis":[0-9]+' | head -1 | cut -d: -f2)
+      | grep -oE 'BEST [0-9.]+' | awk '{printf "%d", $2*1000}')
     l1=$(cut -d' ' -f1 /proc/loadavg)
     echo "{\"docs\":$DOCS,\"cpus\":$c,\"buildMillis\":${line:-0},\"load0\":$l0,\"load1\":$l1}" >> "$OUT"
     if [ "$c" = "8" ]; then t8=${line:-0}; else t32=${line:-0}; fi

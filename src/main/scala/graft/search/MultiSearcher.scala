@@ -41,21 +41,30 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return spark.emptyDataset[Hit]
-    val perSeg = searchers.map(_.dictLookup(terms))
+    val distinctTerms = terms.distinct
+    val perSeg = searchers.map(_.dictLookup(distinctTerms))
     // global df per term string
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
-    val conjunctive = kind == "AND"
-    if (dfByTerm.isEmpty || (conjunctive && dfByTerm.size < terms.length))
+    val needAll = kind == "AND" || kind == "PHRASE"
+    if (dfByTerm.isEmpty || (needAll && dfByTerm.size < distinctTerms.length))
       return spark.emptyDataset[Hit]
     val n = numDocs
     val scored = searchers.zip(perSeg).collect {
+      // a segment can only answer AND/PHRASE if it knows every term;
+      // docId ranges are disjoint, so per-segment evaluation is exact
       case (searcher, entries) if entries.nonEmpty &&
-          !(conjunctive && entries.length < terms.length) =>
+          !(needAll && entries.length < distinctTerms.length) =>
         val idfByTid = entries
           .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
+        val phraseSlots: Array[Long] =
+          if (kind == "PHRASE") {
+            val byTerm = entries.map(e => e.term -> e.termId).toMap
+            terms.map(byTerm)
+          } else null
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
-          conjunctive, k, pruned = false, entries.length)
+          conjunctive = kind == "AND", k, pruned = false, entries.length,
+          phraseSlots)
     }
     if (scored.isEmpty) return spark.emptyDataset[Hit]
     val all = scored.reduce(_ union _)

@@ -113,6 +113,12 @@ class PhraseSpec extends SparkSpec {
         .collect().map(h => (h.docId, h.score)).sortBy(_._1).toSeq
       assert(fromMerged == fromSingle,
         "merged positional segment must answer phrases bit-identically")
+      // merge-on-read (LSM multi-segment) phrase path, global stats
+      val fromMulti = new graft.search.MultiSearcher(spark, Seq(segA, segB))
+        .hits("PHRASE", text, 1000)
+        .collect().map(h => (h.docId, h.score)).sortBy(_._1).toSeq
+      assert(fromMulti == fromSingle,
+        "multi-segment phrase reads must be bit-identical to the compacted read")
       segA.unpersist(); segB.unpersist(); merged.unpersist()
     } finally free()
   }
