@@ -132,6 +132,53 @@ object SparkEntry {
        |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** NEAR/w twin (two terms): docs with occurrences within w tokens of
+    * each other in the filtered stream, scored like the phrase twin. */
+  private def nearSql(t1: String, t2: String, w: Int, k: Int): String =
+    s"""$tokCtes, w2 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), rawtok AS (
+       |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+       |), tokp AS (
+       |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+       |  FROM rawtok WHERE length(term) >= 2
+       |), nearDocs AS (
+       |  SELECT DISTINCT a.doc_id FROM tokp a
+       |  JOIN tokp b ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= $w
+       |  WHERE a.term = '$t1' AND b.term = '$t2'
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+       |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN alldl USING (doc_id)
+       |  CROSS JOIN stats
+       |  WHERE tf.term IN ('$t1', '$t2')
+       |    AND tf.doc_id IN (SELECT doc_id FROM nearDocs)
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score,
+       |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** PREFIX twin: OR-scored over every vocabulary term LIKE 'p%'. */
+  private def prefixSql(prefix: String, k: Int): String =
+    s"""$tokCtes, sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+       |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN alldl USING (doc_id)
+       |  CROSS JOIN stats
+       |  WHERE tf.term LIKE '$prefix%'
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score,
+       |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
   private val jaccardSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -211,6 +258,10 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "PHRASE", "\"part filter\"", 20)),
     "ft_phrase3" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "PHRASE", "\"big order scan\"", 10)),
+    "ft_near" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "NEAR", "merge NEAR/3 sort", 20)),
+    "ft_prefix" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "PREFIX", "s*", 20)),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -397,6 +448,8 @@ object SparkEntry {
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
     "ft_phrase" -> phraseSql(Seq("part", "filter"), 20),
     "ft_phrase3" -> phraseSql(Seq("big", "order", "scan"), 10),
+    "ft_near" -> nearSql("merge", "sort", 3, 20),
+    "ft_prefix" -> prefixSql("s", 20),
     "dedup_exact" ->
       """SELECT sha256(text) AS text_sha, count(*)::BIGINT AS cnt,
         |       list_sort(list(doc_id)) AS ids

@@ -21,16 +21,27 @@ object QueryParser {
   private def operandTerms(t: String): Array[String] =
     t.split("\\s+(?:AND|OR)\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
 
+  private val NearRe = "\\s+NEAR/(\\d+)\\s+".r
+
   def parse(text: String): (String, Array[String]) = {
     val t = text.trim
     if (t.length > 1 && t.startsWith("\"") && t.endsWith("\""))
       ("PHRASE", termsFor("PHRASE", t))
+    else if (NearRe.findFirstIn(t).isDefined)
+      ("NEAR", termsFor("NEAR", t))
+    else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
+      ("PREFIX", Array(t.dropRight(1).toLowerCase))
     else if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
       ("AND", operandTerms(t))
     else if (t.split("\\s+OR\\s+").length > 1)
       ("OR", operandTerms(t))
     else ("FREE", Tokenizer.queryTerms(t))
   }
+
+  /** Window of a NEAR query: the max w over `NEAR/w` connectives (flat
+    * grammar — one window governs the whole term set). */
+  def nearWindow(text: String): Int =
+    NearRe.findAllMatchIn(text).map(_.group(1).toInt).max
 
   /** Terms of a query whose kind is already known: the uppercase
     * connective is grammar, not a term, and must never be tokenized into
@@ -40,6 +51,9 @@ object QueryParser {
   def termsFor(kind: String, text: String): Array[String] = kind match {
     case "AND" | "OR" => operandTerms(text)
     case "PHRASE" => Tokenizer.tokenize(text.trim.stripPrefix("\"").stripSuffix("\""))
+    case "NEAR" =>
+      text.trim.split("\\s+NEAR/\\d+\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
+    case "PREFIX" => Array(text.trim.stripSuffix("*").toLowerCase)
     case _ => Tokenizer.queryTerms(text)
   }
 }
@@ -82,10 +96,23 @@ final class Searcher(spark: SparkSession, segment: Segment,
         segment.dict.filter($"term".isin(terms.toSeq: _*)).collect().sortBy(_.termId)
     }
 
-  /** Top-k hits for a query. kind ∈ {AND, OR, FREE, PHRASE}; OR/FREE
-    * rank by BM25 with block-max WAND pruning; AND intersects then
-    * ranks; PHRASE (positional segments only) intersects with
-    * consecutive-position verification then ranks like AND. */
+  /** Prefix expansion: every dictionary term starting with `prefix`,
+    * capped DETERMINISTICALLY at `maxExpansion` in term (= termId) sort
+    * order — at corpus scale an unbounded wildcard could expand to
+    * millions of lists. The dict is term-sorted, so the uncached scan is
+    * a contiguous range (parquet min/max prunes it). */
+  def dictLookupPrefix(prefix: String, maxExpansion: Int = 1024): Array[DictEntry] =
+    (dictCache match {
+      case Some(m) => m.valuesIterator.filter(_.term.startsWith(prefix)).toArray
+      case None => segment.dict.filter($"term".startsWith(prefix)).collect()
+    }).sortBy(_.termId).take(maxExpansion)
+
+  /** Top-k hits for a query. kind ∈ {AND, OR, FREE, PHRASE, NEAR,
+    * PREFIX}; OR/FREE rank by BM25 with block-max WAND pruning; AND
+    * intersects then ranks; PHRASE/NEAR (positional segments only)
+    * intersect with consecutive-position / minimal-span verification
+    * then rank like AND; PREFIX expands against the dictionary and
+    * ranks like OR. */
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = true)
 
@@ -96,27 +123,39 @@ final class Searcher(spark: SparkSession, segment: Segment,
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
                        pruned: Boolean): Dataset[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
-    val entries = dictLookup(terms.distinct)
-    val needAll = kind == "AND" || kind == "PHRASE"
+    val entries =
+      if (kind == "PREFIX") dictLookupPrefix(terms.head)
+      else dictLookup(terms.distinct)
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
-      return spark.emptyDataset[Hit] // AND/PHRASE with an unknown term ⇒ ∅
-    if (kind == "PHRASE") {
-      require(segment.params.positional,
-        "phrase queries need a positional index (BuildParams.positional)")
-      val byTerm = entries.map(e => e.term -> e).toMap
-      val slots = terms.map(t => byTerm(t).termId)
-      scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots)
-    } else scored(entries, conjunctive = kind == "AND", k, qid, pruned)
+      return spark.emptyDataset[Hit] // AND/PHRASE/NEAR with an unknown term ⇒ ∅
+    kind match {
+      case "PHRASE" =>
+        require(segment.params.positional,
+          "phrase queries need a positional index (BuildParams.positional)")
+        val byTerm = entries.map(e => e.term -> e).toMap
+        val slots = terms.map(t => byTerm(t).termId)
+        scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots)
+      case "NEAR" =>
+        require(segment.params.positional,
+          "proximity queries need a positional index (BuildParams.positional)")
+        scored(entries, conjunctive = true, k, qid, pruned,
+          phraseSlots = entries.map(_.termId),
+          nearWindow = QueryParser.nearWindow(text))
+      case _ =>
+        scored(entries, conjunctive = kind == "AND", k, qid, pruned)
+    }
   }
 
   private def scored(entries: Array[DictEntry], conjunctive: Boolean, k: Int,
                      qid: Long, pruned: Boolean,
-                     phraseSlots: Array[Long] = null): Dataset[Hit] = {
+                     phraseSlots: Array[Long] = null,
+                     nearWindow: Int = 0): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
-      conjunctive, k, pruned, entries.length, phraseSlots).toDF("docId", "score"),
-      k, qid)
+      conjunctive, k, pruned, entries.length, phraseSlots, nearWindow)
+      .toDF("docId", "score"), k, qid)
   }
 
   /** Doc-length arrays up to this many documents stay resident
@@ -138,7 +177,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
   private[search] def scoredRaw(tids: Array[Long], idfByTid: Map[Long, Double],
                                 avgdl: Double, conjunctive: Boolean, k: Int,
                                 pruned: Boolean, nTerms: Int,
-                                phraseSlots: Array[Long] = null): Dataset[(Long, Double)] = {
+                                phraseSlots: Array[Long] = null,
+                                nearWindow: Int = 0): Dataset[(Long, Double)] = {
     val pls = segment.postings.filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
     val positional = segment.params.positional
 
@@ -150,13 +190,15 @@ final class Searcher(spark: SparkSession, segment: Segment,
       }
       val res =
         if (phraseSlots != null) {
-          // one independent cursor per phrase slot (duplicates included)
+          // one independent cursor per phrase/near slot (duplicates included)
           val plByTid = plArr.map(pl => pl.termId -> pl).toMap
           if (plByTid.size < nTerms) Array.empty[Wand.Scored]
           else {
             val slots = phraseSlots.map(tid =>
               new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional))
-            Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)
+            if (nearWindow > 0)
+              Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow)
+            else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)
           }
         } else if (conjunctive) {
           // a bucket missing any query term cannot intersect

@@ -64,16 +64,25 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     * serving tier's natural shape. */
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
-    val entries = terms.distinct.flatMap(dictCache.get).sortBy(_.termId)
-    val needAll = kind == "AND" || kind == "PHRASE"
+    val entries =
+      if (kind == "PREFIX")
+        dictCache.valuesIterator.filter(_.term.startsWith(terms.head))
+          .toArray.sortBy(_.termId).take(1024)
+      else terms.distinct.flatMap(dictCache.get).sortBy(_.termId)
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return Array.empty
-    val phraseSlots: Array[Long] =
-      if (kind == "PHRASE") {
+    val phraseSlots: Array[Long] = kind match {
+      case "PHRASE" =>
         require(positional, "phrase queries need a positional index")
         val byTerm = entries.map(e => e.term -> e.termId).toMap
         terms.map(byTerm)
-      } else null
+      case "NEAR" =>
+        require(positional, "proximity queries need a positional index")
+        entries.map(_.termId)
+      case _ => null
+    }
+    val nearWindow = if (kind == "NEAR") QueryParser.nearWindow(text) else 0
     val conjunctive = kind == "AND"
     val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     val tids = entries.map(_.termId)
@@ -83,11 +92,12 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val pos = positional
     val kk = k
 
+    val nw = nearWindow
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
-          avgdl, conjunctive, phraseSlots, nTerms, kk, pos))
+          avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos))
 
     val all = perPart.flatten
     java.util.Arrays.sort(all, Ordering.by[Wand.Scored, (Double, Long)](s => (-s.score, s.docId)))
@@ -102,7 +112,7 @@ object ServingSearcher {
       idx: Map[Long, Array[PostingList]], tids: Array[Long],
       idfByTid: Map[Long, Double], doclens: Map[Int, (Long, Array[Int])],
       avgdl: Double, conjunctive: Boolean, phraseSlots: Array[Long],
-      nTerms: Int, k: Int, positional: Boolean): Array[Wand.Scored] = {
+      nearWindow: Int, nTerms: Int, k: Int, positional: Boolean): Array[Wand.Scored] = {
     val lists = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     if (lists.isEmpty) return Array.empty
     lists.groupBy(_.bucket).iterator.flatMap { case (bucket, plArr) =>
@@ -113,9 +123,13 @@ object ServingSearcher {
             if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]
-              else Wand.topKPhrase(
-                phraseSlots.map(tid => new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional)),
-                lens, firstDocId, avgdl, k)
+              else {
+                val slots = phraseSlots.map(tid =>
+                  new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional))
+                if (nearWindow > 0)
+                  Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow)
+                else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)
+              }
             } else if (conjunctive) {
               if (plArr.length < nTerms) Array.empty[Wand.Scored]
               else Wand.topKAnd(cursors(plArr, idfByTid, positional), lens, firstDocId, avgdl, k)

@@ -230,6 +230,65 @@ object Wand {
     topk.result()
   }
 
+  /** Proximity (NEAR/w) evaluation over positional postings: docs where
+    * one occurrence of EVERY distinct term fits inside a w-token window
+    * (minimal span ≤ w). Docs align via the same galloping intersection
+    * as AND; matches score standard BM25 over the distinct terms. */
+  def topKNear(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
+               avgdl: Double, k: Int, window: Int): Array[Scored] = {
+    if (terms.isEmpty || terms.exists(_.exhausted)) return Array.empty
+    val topk = new TopK(k)
+    val byTermId = terms.sortBy(_.termId)
+    var target = terms.map(_.docId).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < terms.length && !done) {
+        terms(i).nextGeq(target)
+        if (terms(i).exhausted) done = true
+        else if (terms(i).docId > target) { target = terms(i).docId; aligned = false }
+        i += 1
+      }
+      if (!done && aligned) {
+        if (minSpan(byTermId.map(_.positions())) <= window) {
+          val dl = lens((target - firstDocId).toInt)
+          var score = 0.0
+          var j = 0
+          while (j < byTermId.length) {
+            score += BM25.impact(byTermId(j).idf, byTermId(j).tf, dl, avgdl)
+            j += 1
+          }
+          topk.offer(target, score)
+        }
+        target += 1
+      }
+    }
+    topk.result()
+  }
+
+  /** Minimal max-min over one pick per sorted list (classic k-pointer
+    * sweep: always advance the list holding the minimum). */
+  private def minSpan(lists: Array[Array[Int]]): Int = {
+    val idx = new Array[Int](lists.length)
+    var best = Int.MaxValue
+    var exhausted = false
+    while (!exhausted) {
+      var mn = Int.MaxValue; var mx = Int.MinValue; var mnList = -1
+      var i = 0
+      while (i < lists.length) {
+        val v = lists(i)(idx(i))
+        if (v < mn) { mn = v; mnList = i }
+        if (v > mx) mx = v
+        i += 1
+      }
+      if (mx - mn < best) best = mx - mn
+      idx(mnList) += 1
+      if (idx(mnList) >= lists(mnList).length) exhausted = true
+    }
+    best
+  }
+
   /** ∃ p: p+i ∈ positions(slot i) for all i — intersect the stair-cased
     * position lists left to right (all lists ascending, so each step is
     * a linear merge bounded by the shortest list). */

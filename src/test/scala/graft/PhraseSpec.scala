@@ -73,6 +73,52 @@ class PhraseSpec extends SparkSpec {
     }
   }
 
+  /** Docs whose token stream has one occurrence of each term within a
+    * w-token minimal span. */
+  private def bruteNear(terms: Array[String], w: Int): Set[String] =
+    corpus.iterator.flatMap { r =>
+      val toks = Tokenizer.tokenize(r.content)
+      val posOf = terms.map(t => toks.indices.filter(i => toks(i) == t).toArray)
+      val hit = posOf.forall(_.nonEmpty) && {
+        // exhaustive minimal span (test-side oracle, small lists)
+        val combos = posOf.foldLeft(Seq(Seq.empty[Int]))((acc, ps) =>
+          acc.flatMap(c => ps.map(c :+ _)))
+        combos.exists(c => c.max - c.min <= w)
+      }
+      if (hit) Some(r.repo + "/" + r.path) else None
+    }.toSet
+
+  test("NEAR hits == brute-force minimal-span scan; scores equal AND scores") {
+    val pairs = Seq((Array("hash", "map"), 4), (Array("get", "value"), 6),
+      (Array(Tokenizer.tokenize(corpus(5).content)(3),
+        Tokenizer.tokenize(corpus(5).content)(10)), 8))
+    pairs.foreach { case (ts0, w) =>
+      val ts = ts0.distinct
+      if (ts.length == 2) {
+        val text = s"${ts(0)} NEAR/$w ${ts(1)}"
+        val hits = searcher.hits("NEAR", text, 1000).collect()
+        val got = hits.map(h => keyOf(h.docId)).toSet
+        val want = bruteNear(ts, w)
+        assert(got == want, s"'$text': got ${got.size} want ${want.size}")
+        val andScores = searcher.hits("AND", s"${ts(0)} AND ${ts(1)}", 1000)
+          .collect().map(h => h.docId -> h.score).toMap
+        hits.foreach(h => assert(andScores(h.docId) == h.score))
+      }
+    }
+  }
+
+  test("PREFIX expands the dictionary and ranks exactly like the expanded OR") {
+    val prefix = "re" // several code tokens start with re- in the synth corpus
+    val expanded = seg.dict.collect().map(_.term).filter(_.startsWith(prefix))
+    assert(expanded.length >= 2, s"need >=2 terms for prefix '$prefix': ${expanded.toSeq}")
+    val viaPrefix = searcher.hits("PREFIX", s"$prefix*", 500).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val viaOr = searcher.hits("OR", expanded.mkString(" OR "), 500).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    assert(viaPrefix == viaOr, "prefix must equal the expanded OR bit-identically")
+    assert(searcher.hits("PREFIX", "zzznothing*", 10).count() == 0)
+  }
+
   test("phrase with absent adjacency or unknown term returns empty") {
     val toks = Tokenizer.tokenize(corpus(5).content)
     // reversed adjacent pair is (almost surely) not a phrase; verify brute

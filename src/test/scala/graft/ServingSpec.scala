@@ -10,11 +10,12 @@ import graft.search.ServingSearcher
   * serving path's latency as the engine's query latency. */
 class ServingSpec extends SparkSpec {
 
-  test("QUERIES.tsv parses: 30 queries, all kinds present") {
+  test("QUERIES.tsv parses: 34 queries, all kinds present") {
     val qs = QuerySet.load()
-    assert(qs.size == 30)
-    assert(Set("FREE", "AND", "OR", "PHRASE").subsetOf(qs.map(_.kind).toSet))
-    assert(qs.map(_.qid).distinct.size == 30)
+    assert(qs.size == 34)
+    assert(Set("FREE", "AND", "OR", "PHRASE", "NEAR", "PREFIX")
+      .subsetOf(qs.map(_.kind).toSet))
+    assert(qs.map(_.qid).distinct.size == 34)
   }
 
   test("serving hits are bit-identical to the relational path on the full query set") {
