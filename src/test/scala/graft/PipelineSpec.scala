@@ -119,11 +119,20 @@ class PipelineSpec extends SparkSpec {
     assert(acc.value > 0)
   }
 
-  test("exact embedding near-dup plan contains no driver collect (broadcast join)") {
+  test("exact embedding near-dup is a distributed block-pair plan, no cartesian") {
     val q = Ann.nearDupPairs(embeddings, 0.8)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"exact path must be a distributed broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact path must be the block-pair join, not a row-pair product:\n$plan")
+    assert(plan.contains("Join"), s"block-pair join expected:\n$plan")
+    // sanity: block path == per-pair brute force computed test-side
+    val vs = embeddings.collect()
+    val want = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      c = Ann.cosine(vs(i)._2, vs(j)._2) if c >= 0.8
+    } yield (math.min(vs(i)._1, vs(j)._1), math.max(vs(i)._1, vs(j)._1))).toSet
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
   }
 
   test("brute-force ANN ranks the query's own cluster first") {
