@@ -67,8 +67,32 @@ object DocsIndex {
     * cannot change the selected set. */
   def rankedHits(spark: SparkSession, sfDir: String, kind: String,
                  text: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.hits(kind, text, k + 50), k)
+  }
+
+  /** rankedHits restricted to one source/repo: the (repo, path, commit)
+    * sort order makes a repo a CONTIGUOUS docId range, so the scope is a
+    * cursor-range view + bucket pruning, not a filter pass. Scores keep
+    * global corpus statistics. */
+  def scopedRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                       text: String, k: Int, source: String): DataFrame = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val (seg, searcher, _) = get(spark, sfDir)
-    val hits = searcher.hits(kind, text, k + 50)
+    val range = seg.docs.filter(col("repo") === source)
+      .agg(fmin(col("docId")), fmax(col("docId")))
+      .collect().headOption.filter(!_.isNullAt(0))
+    range match {
+      case None => rank(spark, sfDir, searcher.hits(kind, text, 0), k)
+      case Some(r) =>
+        rank(spark, sfDir,
+          searcher.scopedHits(kind, text, k + 50, r.getLong(0), r.getLong(1) + 1), k)
+    }
+  }
+
+  private def rank(spark: SparkSession, sfDir: String,
+                   hits: org.apache.spark.sql.Dataset[graft.model.Hit], k: Int): DataFrame = {
+    val (seg, _, _) = get(spark, sfDir)
     val spark2 = spark
     import spark2.implicits._
     hits.join(withDocId(seg), Seq("docId"))

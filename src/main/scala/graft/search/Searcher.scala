@@ -120,8 +120,19 @@ final class Searcher(spark: SparkSession, segment: Segment,
   def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = false)
 
+  /** Top-k restricted to the docId range `[lo, hi)` — scoped search
+    * (e.g. one repo, one repo prefix: contiguous by the P4 sort order).
+    * Scores keep GLOBAL corpus statistics (idf/avgdl), the standard
+    * filter-doesn't-rescale semantics; the restriction is pushed all the
+    * way down: bucket pruning on the postings scan + a range view on
+    * every cursor (block skips, no filter pass). */
+  def scopedHits(kind: String, text: String, k: Int, lo: Long, hi: Long,
+                 qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true, lo = lo, hi = hi)
+
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
-                       pruned: Boolean): Dataset[Hit] = {
+                       pruned: Boolean, lo: Long = 0L,
+                       hi: Long = Long.MaxValue): Dataset[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     val entries =
       if (kind == "PREFIX") dictLookupPrefix(terms.head)
@@ -135,26 +146,29 @@ final class Searcher(spark: SparkSession, segment: Segment,
           "phrase queries need a positional index (BuildParams.positional)")
         val byTerm = entries.map(e => e.term -> e).toMap
         val slots = terms.map(t => byTerm(t).termId)
-        scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots)
+        scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots,
+          lo = lo, hi = hi)
       case "NEAR" =>
         require(segment.params.positional,
           "proximity queries need a positional index (BuildParams.positional)")
         scored(entries, conjunctive = true, k, qid, pruned,
           phraseSlots = entries.map(_.termId),
-          nearWindow = QueryParser.nearWindow(text))
+          nearWindow = QueryParser.nearWindow(text), lo = lo, hi = hi)
       case _ =>
-        scored(entries, conjunctive = kind == "AND", k, qid, pruned)
+        scored(entries, conjunctive = kind == "AND", k, qid, pruned,
+          lo = lo, hi = hi)
     }
   }
 
   private def scored(entries: Array[DictEntry], conjunctive: Boolean, k: Int,
                      qid: Long, pruned: Boolean,
                      phraseSlots: Array[Long] = null,
-                     nearWindow: Int = 0): Dataset[Hit] = {
+                     nearWindow: Int = 0, lo: Long = 0L,
+                     hi: Long = Long.MaxValue): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
-      conjunctive, k, pruned, entries.length, phraseSlots, nearWindow)
+      conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -178,15 +192,22 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 avgdl: Double, conjunctive: Boolean, k: Int,
                                 pruned: Boolean, nTerms: Int,
                                 phraseSlots: Array[Long] = null,
-                                nearWindow: Int = 0): Dataset[(Long, Double)] = {
-    val pls = segment.postings.filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
+                                nearWindow: Int = 0, lo: Long = 0L,
+                                hi: Long = Long.MaxValue): Dataset[(Long, Double)] = {
+    val scoped = lo > 0L || hi != Long.MaxValue
+    val pls0 = segment.postings.filter($"termId".isin(tids.toSeq: _*))
+    // scoped search prunes whole buckets before any decode
+    val bs = segment.params.bucketSize
+    val pls = (if (scoped)
+      pls0.filter($"bucket" >= (lo / bs).toInt && $"bucket" <= ((hi - 1) / bs).toInt)
+    else pls0).as[PostingList]
     val positional = segment.params.positional
 
     def walk(bucket: Int, plIt: Iterator[PostingList], firstDocId: Long,
              lens: Array[Int]): Iterator[(Long, Double)] = {
       val plArr = plIt.toArray
       def cursors = plArr.map { pl =>
-        new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional)
+        new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional, lo, hi)
       }
       val res =
         if (phraseSlots != null) {
@@ -195,7 +216,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
           if (plByTid.size < nTerms) Array.empty[Wand.Scored]
           else {
             val slots = phraseSlots.map(tid =>
-              new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional))
+              new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
             if (nearWindow > 0)
               Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow)
             else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)

@@ -26,18 +26,26 @@ import graft.model.{BM25, PostingList}
 object Wand {
 
   /** One query term's posting cursor + scoring state. `positional` must
-    * match the segment's codec version (BuildParams.positional). */
+    * match the segment's codec version (BuildParams.positional).
+    *
+    * `[lo, hi)` is an optional docId-range VIEW: the cursor starts at
+    * the first posting ≥ lo and reads as exhausted once past hi. Because
+    * docIds are the global (repo, path, commit) sort rank, a repo (or
+    * repo prefix) is a CONTIGUOUS range — scoped search costs a block
+    * skip, not a filter pass, and every walk works unchanged. */
   final class TermCursor(val termId: Long, val idf: Double, pl: PostingList,
-                         positional: Boolean = false) {
+                         positional: Boolean = false,
+                         lo: Long = 0L, hi: Long = Long.MaxValue) {
     val cursor = new PostingCodec.Cursor(pl.numDocs, pl.lastDocIds,
       pl.maxImpacts, pl.offsets, pl.bytes, positional)
+    if (lo > 0L) cursor.nextGeq(lo)
     private val lastDocIds = pl.lastDocIds
     private val maxImpacts = pl.maxImpacts
     /** Whole-list score upper bound. */
     val listMax: Double = cursor.listMax.toDouble
 
     @inline def docId: Long = cursor.docId
-    @inline def exhausted: Boolean = cursor.exhausted
+    @inline def exhausted: Boolean = cursor.exhausted || cursor.docId >= hi
     @inline def tf: Int = cursor.tf
     /** Current posting's term positions (positional lists only). */
     def positions(): Array[Int] = cursor.positions()

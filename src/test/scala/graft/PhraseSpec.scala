@@ -119,6 +119,40 @@ class PhraseSpec extends SparkSpec {
     assert(searcher.hits("PREFIX", "zzznothing*", 10).count() == 0)
   }
 
+  test("scoped search == global results filtered to the repo's docId range") {
+    import org.apache.spark.sql.functions.col
+    val repo = corpus(57).repo
+    val range = seg.docs.filter(col("repo") === repo)
+      .agg(org.apache.spark.sql.functions.min(col("docId")),
+        org.apache.spark.sql.functions.max(col("docId")))
+      .collect().head
+    val (lo, hi) = (range.getLong(0), range.getLong(1) + 1)
+    // the repo is contiguous in docId space (P4 sort order)
+    assert(seg.docs.filter(col("docId") >= lo && col("docId") < hi)
+      .filter(col("repo") =!= repo).count() == 0)
+    // use terms that provably occur inside the scoped repo
+    val inRepo = Tokenizer.tokenize(corpus(57).content).distinct
+    Seq(("FREE", s"${inRepo(0)} ${inRepo(1)} ${inRepo(2)}"),
+      ("AND", s"${inRepo(0)} AND ${inRepo(1)}"),
+      ("OR", s"${inRepo(3)} OR ${inRepo(4)}")).foreach { case (kind, text) =>
+      val scoped = searcher.scopedHits(kind, text, 10, lo, hi).collect()
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      val want = searcher.hitsExhaustive(kind, text, 100000).collect()
+        .filter(h => h.docId >= lo && h.docId < hi)
+        .sortBy(h => (-h.score, h.docId)).take(10).zipWithIndex
+        .map { case (h, i) => (i + 1, h.docId, h.score) }.toSeq
+      assert(scoped == want, s"$kind '$text': scoped=$scoped want=$want")
+      assert(scoped.nonEmpty, s"$kind '$text' should hit inside $repo")
+    }
+    // scoped phrase also works (range view composes with position checks)
+    val phrase = presentPhrases.head
+    val text = "\"" + phrase.mkString(" ") + "\""
+    val scopedP = searcher.scopedHits("PHRASE", text, 100, lo, hi).collect()
+    val allP = searcher.hits("PHRASE", text, 100000).collect()
+      .filter(h => h.docId >= lo && h.docId < hi).map(h => (h.docId, h.score)).toSet
+    assert(scopedP.map(h => (h.docId, h.score)).toSet == allP)
+  }
+
   test("phrase with absent adjacency or unknown term returns empty") {
     val toks = Tokenizer.tokenize(corpus(5).content)
     // reversed adjacent pair is (almost surely) not a phrase; verify brute
