@@ -62,7 +62,17 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
   /** Top-k hits, same contract and bit-identical results as
     * Searcher.hits (ServingSpec). Returns driver-side rows — the
     * serving tier's natural shape. */
-  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] = {
+  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, 0L, Long.MaxValue)
+
+  /** Scoped (docId-range) top-k — same range-view semantics as
+    * Searcher.scopedHits, same global statistics. */
+  def scopedHits(kind: String, text: String, k: Int, lo: Long, hi: Long,
+                 qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, lo, hi)
+
+  private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
+                       lo: Long, hi: Long): Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     val entries =
       if (kind == "PREFIX")
@@ -93,11 +103,14 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val kk = k
 
     val nw = nearWindow
+    val rlo = lo
+    val rhi = hi
+    val bs = segment.params.bucketSize
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
-          avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos))
+          avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs))
 
     val all = perPart.flatten
     java.util.Arrays.sort(all, Ordering.by[Wand.Scored, (Double, Long)](s => (-s.score, s.docId)))
@@ -112,8 +125,13 @@ object ServingSearcher {
       idx: Map[Long, Array[PostingList]], tids: Array[Long],
       idfByTid: Map[Long, Double], doclens: Map[Int, (Long, Array[Int])],
       avgdl: Double, conjunctive: Boolean, phraseSlots: Array[Long],
-      nearWindow: Int, nTerms: Int, k: Int, positional: Boolean): Array[Wand.Scored] = {
-    val lists = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
+      nearWindow: Int, nTerms: Int, k: Int, positional: Boolean,
+      lo: Long = 0L, hi: Long = Long.MaxValue,
+      bucketSize: Long = Long.MaxValue): Array[Wand.Scored] = {
+    val scoped = lo > 0L || hi != Long.MaxValue
+    val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
+    val lists = if (!scoped) lists0 else lists0.filter(pl =>
+      pl.bucket >= (lo / bucketSize).toInt && pl.bucket <= ((hi - 1) / bucketSize).toInt)
     if (lists.isEmpty) return Array.empty
     lists.groupBy(_.bucket).iterator.flatMap { case (bucket, plArr) =>
       doclens.get(bucket) match {
@@ -125,21 +143,21 @@ object ServingSearcher {
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]
               else {
                 val slots = phraseSlots.map(tid =>
-                  new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional))
+                  new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
                 if (nearWindow > 0)
                   Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow)
                 else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)
               }
             } else if (conjunctive) {
               if (plArr.length < nTerms) Array.empty[Wand.Scored]
-              else Wand.topKAnd(cursors(plArr, idfByTid, positional), lens, firstDocId, avgdl, k)
-            } else Wand.topK(cursors(plArr, idfByTid, positional), lens, firstDocId, avgdl, k)
+              else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
+            } else Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
           res.iterator
       }
     }.toArray
   }
 
   private def cursors(plArr: Array[PostingList], idfByTid: Map[Long, Double],
-                      positional: Boolean): Array[Wand.TermCursor] =
-    plArr.map(pl => new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional))
+                      positional: Boolean, lo: Long, hi: Long): Array[Wand.TermCursor] =
+    plArr.map(pl => new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional, lo, hi))
 }

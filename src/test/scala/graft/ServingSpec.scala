@@ -35,6 +35,25 @@ class ServingSpec extends SparkSpec {
     serving.close()
   }
 
+  test("scoped serving hits are bit-identical to the relational scoped path") {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val (seg, searcher, _) = DocsIndex.get(spark, "/root/testdata/sf0.001")
+    val serving = new ServingSearcher(spark, seg)
+    val r = seg.docs.filter(col("repo") === "src7")
+      .agg(min(col("docId")), max(col("docId"))).collect().head
+    val (lo, hi) = (r.getLong(0), r.getLong(1) + 1)
+    Seq(("FREE", "fast merge sort"), ("AND", "key AND value"),
+      ("PHRASE", "\"part filter\"")).foreach { case (kind, text) =>
+      val got = serving.scopedHits(kind, text, 10, lo, hi)
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      val want = searcher.scopedHits(kind, text, 10, lo, hi).collect()
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      assert(got == want, s"$kind '$text'")
+      assert(got.nonEmpty || kind == "PHRASE", s"$kind '$text' empty in scope")
+    }
+    serving.close()
+  }
+
   test("zero-hit and term-absent queries return empty through both paths") {
     val (seg, searcher, _) = DocsIndex.get(spark, "/root/testdata/sf0.001")
     val serving = new ServingSearcher(spark, seg)
