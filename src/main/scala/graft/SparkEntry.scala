@@ -264,6 +264,8 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "PREFIX", "s*", 20)),
     "ft_scoped" -> ((s, dir) =>
       DocsIndex.scopedRankedHits(s, dir, "FREE", "fast merge sort", 10, "src7")),
+    "ft_regex" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "REGEX", "re:(fast|slow|merge)", 20)),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -452,6 +454,21 @@ object SparkEntry {
     "ft_phrase3" -> phraseSql(Seq("big", "order", "scan"), 10),
     "ft_near" -> nearSql("merge", "sort", 3, 20),
     "ft_prefix" -> prefixSql("s", 20),
+    "ft_regex" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE regexp_full_match(tf.term, '(fast|slow|merge)')
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ft_scoped" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

@@ -31,6 +31,8 @@ object QueryParser {
       ("NEAR", termsFor("NEAR", t))
     else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
       ("PREFIX", Array(t.dropRight(1).toLowerCase))
+    else if (t.startsWith("re:"))
+      ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
       ("AND", operandTerms(t))
     else if (t.split("\\s+OR\\s+").length > 1)
@@ -54,6 +56,7 @@ object QueryParser {
     case "NEAR" =>
       text.trim.split("\\s+NEAR/\\d+\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
     case "PREFIX" => Array(text.trim.stripSuffix("*").toLowerCase)
+    case "REGEX" => Array(text.trim.stripPrefix("re:").trim)
     case _ => Tokenizer.queryTerms(text)
   }
 }
@@ -107,6 +110,18 @@ final class Searcher(spark: SparkSession, segment: Segment,
       case None => segment.dict.filter($"term".startsWith(prefix)).collect()
     }).sortBy(_.termId).take(maxExpansion)
 
+  /** Regex expansion (anchored full-term match), same deterministic cap
+    * as prefix. Unlike prefix there is no contiguous dict range — the
+    * uncached path is a full dictionary scan (dictionary-sized, not
+    * corpus-sized: the vocabulary is the small artifact by design). */
+  def dictLookupRegex(pattern: String, maxExpansion: Int = 1024): Array[DictEntry] = {
+    val re = java.util.regex.Pattern.compile(pattern)
+    (dictCache match {
+      case Some(m) => m.valuesIterator.filter(e => re.matcher(e.term).matches()).toArray
+      case None => segment.dict.filter($"term".rlike("^(?:" + pattern + ")$")).collect()
+    }).sortBy(_.termId).take(maxExpansion)
+  }
+
   /** Top-k hits for a query. kind ∈ {AND, OR, FREE, PHRASE, NEAR,
     * PREFIX}; OR/FREE rank by BM25 with block-max WAND pruning; AND
     * intersects then ranks; PHRASE/NEAR (positional segments only)
@@ -134,9 +149,11 @@ final class Searcher(spark: SparkSession, segment: Segment,
                        pruned: Boolean, lo: Long = 0L,
                        hi: Long = Long.MaxValue): Dataset[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
-    val entries =
-      if (kind == "PREFIX") dictLookupPrefix(terms.head)
-      else dictLookup(terms.distinct)
+    val entries = kind match {
+      case "PREFIX" => dictLookupPrefix(terms.head)
+      case "REGEX" => dictLookupRegex(terms.head)
+      case _ => dictLookup(terms.distinct)
+    }
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return spark.emptyDataset[Hit] // AND/PHRASE/NEAR with an unknown term ⇒ ∅

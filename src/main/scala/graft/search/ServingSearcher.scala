@@ -74,11 +74,16 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
                        lo: Long, hi: Long): Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
-    val entries =
-      if (kind == "PREFIX")
+    val entries = kind match {
+      case "PREFIX" =>
         dictCache.valuesIterator.filter(_.term.startsWith(terms.head))
           .toArray.sortBy(_.termId).take(1024)
-      else terms.distinct.flatMap(dictCache.get).sortBy(_.termId)
+      case "REGEX" =>
+        val re = java.util.regex.Pattern.compile(terms.head)
+        dictCache.valuesIterator.filter(e => re.matcher(e.term).matches())
+          .toArray.sortBy(_.termId).take(1024)
+      case _ => terms.distinct.flatMap(dictCache.get).sortBy(_.termId)
+    }
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return Array.empty

@@ -119,6 +119,19 @@ class PhraseSpec extends SparkSpec {
     assert(searcher.hits("PREFIX", "zzznothing*", 10).count() == 0)
   }
 
+  test("REGEX expands like PREFIX and ranks exactly like the expanded OR") {
+    val expanded = seg.dict.collect().map(_.term).filter(_.matches("re.*"))
+    assert(expanded.length >= 2, expanded.toSeq.toString)
+    val viaRegex = searcher.hits("REGEX", "re:re.*", 500).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val viaOr = searcher.hits("OR", expanded.mkString(" OR "), 500).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    assert(viaRegex == viaOr, "regex must equal the expanded OR bit-identically")
+    val (kind, terms) = QueryParser.parse("re:(foo|bar)baz")
+    assert(kind == "REGEX" && terms.head == "(foo|bar)baz")
+    assert(searcher.hits("REGEX", "re:zzz.*qqq", 10).count() == 0)
+  }
+
   test("scoped search == global results filtered to the repo's docId range") {
     import org.apache.spark.sql.functions.col
     val repo = corpus(57).repo

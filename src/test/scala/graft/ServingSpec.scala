@@ -10,12 +10,12 @@ import graft.search.ServingSearcher
   * serving path's latency as the engine's query latency. */
 class ServingSpec extends SparkSpec {
 
-  test("QUERIES.tsv parses: 34 queries, all kinds present") {
+  test("QUERIES.tsv parses: 36 queries, all kinds present") {
     val qs = QuerySet.load()
-    assert(qs.size == 34)
-    assert(Set("FREE", "AND", "OR", "PHRASE", "NEAR", "PREFIX")
+    assert(qs.size == 36)
+    assert(Set("FREE", "AND", "OR", "PHRASE", "NEAR", "PREFIX", "REGEX")
       .subsetOf(qs.map(_.kind).toSet))
-    assert(qs.map(_.qid).distinct.size == 34)
+    assert(qs.map(_.qid).distinct.size == 36)
   }
 
   test("serving hits are bit-identical to the relational path on the full query set") {
