@@ -27,8 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // pre-size the heap: growing from the tiny default to tens of GB mid-
-  // build costs ~90 s of GC churn on the first 600k-doc trial at
-  // local[32], which would masquerade as a scaling-efficiency loss
+  // pre-size the heap so heap growth is not a variable in benchmark
+  // trials. NOTE: the measured ~90s+ first-600k-trial warmup at
+  // local[32] persists even with -Xms=-Xmx (so it is JIT/page-cache/
+  // co-tenant, not heap growth) — benchmark methodology must still take
+  // best-of-N trials in one JVM (scripts/scaling_gated.sh does).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

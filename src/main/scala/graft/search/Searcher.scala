@@ -29,10 +29,10 @@ object QueryParser {
       ("PHRASE", termsFor("PHRASE", t))
     else if (NearRe.findFirstIn(t).isDefined)
       ("NEAR", termsFor("NEAR", t))
+    else if (t.startsWith("re:")) // before PREFIX: a pattern may end in *
+      ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
       ("PREFIX", Array(t.dropRight(1).toLowerCase))
-    else if (t.startsWith("re:"))
-      ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
       ("AND", operandTerms(t))
     else if (t.split("\\s+OR\\s+").length > 1)

@@ -129,6 +129,9 @@ class PhraseSpec extends SparkSpec {
     assert(viaRegex == viaOr, "regex must equal the expanded OR bit-identically")
     val (kind, terms) = QueryParser.parse("re:(foo|bar)baz")
     assert(kind == "REGEX" && terms.head == "(foo|bar)baz")
+    // a pattern ending in * must stay REGEX, not misparse as PREFIX
+    assert(QueryParser.parse("re:ab*")._1 == "REGEX")
+    assert(QueryParser.parse("re:ab*")._2.head == "ab*")
     assert(searcher.hits("REGEX", "re:zzz.*qqq", 10).count() == 0)
   }
 
