@@ -53,6 +53,15 @@ object SparkEntry {
       AnnIndex.build(s, embeddings(s, dir), out, p)
     })
 
+  /** Force both ANN index builds NOW — Bench calls this before the timed
+    * query loop so one-time index construction is billed as its own
+    * `ann_build` metric, not smeared into `ann_lsh`/`dedup_embed_lsh`
+    * query times. */
+  def prebuildAnnIndexes(s: SparkSession, dir: String): Unit = {
+    annIndex(s, dir, "topk")
+    annIndex(s, dir, "neardup")
+  }
+
   // ───────────────────────── shared SQL fragments ─────────────────────
   /** Tokenize + tf + dl + stats CTEs over `documents` (DuckDB dialect). */
   private val tokCtes: String =

@@ -23,6 +23,10 @@ object DocsIndex {
 
   private val cache = TrieMap.empty[String, (Segment, Searcher, BuildReport)]
 
+  /** Drop memoized segments (tests only: a suite-level clearCache()
+    * uncaches the datasets a memoized segment still references). */
+  private[graft] def reset(): Unit = cache.clear()
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -51,8 +55,13 @@ object DocsIndex {
       val seg = seg0.copy(
         postings = seg0.postings.repartition(4).cache(),
         doclens = seg0.doclens.repartition(2).cache(),
-        docs = seg0.docs.repartition(4).cache())
-      seg.postings.count(); seg.doclens.count(); seg.docs.count()
+        docs = seg0.docs.repartition(4).cache(),
+        // the dict must be re-cached too: seg0.unpersist() drops seg0's
+        // cached dict, and a seg that still referenced it would recompute
+        // the full tokenize+agg lineage on EVERY dict access (ft_dict
+        // went 0.98s -> 4.91s in round 2 before this copy was added)
+        dict = seg0.dict.repartition(1).cache())
+      seg.postings.count(); seg.doclens.count(); seg.docs.count(); seg.dict.count()
       seg0.unpersist()
       (seg, new Searcher(spark, seg), report)
     })
@@ -83,7 +92,10 @@ object DocsIndex {
       .agg(fmin(col("docId")), fmax(col("docId")))
       .collect().headOption.filter(!_.isNullAt(0))
     range match {
-      case None => rank(spark, sfDir, searcher.hits(kind, text, 0), k)
+      case None => // unknown source: no docs in scope — empty result, not a k=0 query
+        val spark2 = spark
+        import spark2.implicits._
+        rank(spark, sfDir, spark.emptyDataset[graft.model.Hit], k)
       case Some(r) =>
         rank(spark, sfDir,
           searcher.scopedHits(kind, text, k + 50, r.getLong(0), r.getLong(1) + 1), k)

@@ -69,11 +69,18 @@ object PostingCodec extends Serializable {
     val lastDocIds = new Array[Long](numBlocks)
     val maxImpacts = new Array[Float](numBlocks)
     val offsets = new Array[Int](numBlocks)
-    // worst case 10 bytes per value: 2 values per posting + tf positions
+    // worst case 10 bytes per value: 2 values per posting + tf positions.
+    // Size in Long and fail LOUDLY past Int — a ~214M-position list would
+    // otherwise overflow to a NegativeArraySizeException deep in pack.
     val numPos = if (positions == null) 0L else {
       var s = 0L; var i = 0; while (i < n) { s += tfs(i); i += 1 }; s
     }
-    val buf = new Array[Byte](((2 * n + numPos) * VByte.MaxBytes).toInt)
+    val bufLen: Long = (2L * n + numPos) * VByte.MaxBytes
+    require(bufLen <= Int.MaxValue,
+      s"posting list too large to pack in one segment: $n docs, $numPos " +
+        s"positions need $bufLen worst-case bytes (> Int.MaxValue) — " +
+        "shrink bucketSize so per-(bucket,term) lists stay bounded")
+    val buf = new Array[Byte](bufLen.toInt)
     var pos = 0
     var b = 0
     var prev = -1L

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: `jaccardPairs` is the small-scale oracle (its shingle
   * self-join is quadratic in hot shingles); at cluster scale use
-  * `minhashLshPairs`, whose cost is linear in docs × signature size and
-  * whose only shuffle is the band-bucket groupBy. Both end in the same
-  * exact-Jaccard verification, so LSH output ⊆ exact output with recall
-  * governed by (bands, rowsPerBand).
+  * `minhashLshPairs`: signatures are computed in one NARROW pass
+  * (a doc's text is one row), so candidate generation's only
+  * corpus-scale shuffle is the band-bucket groupBy — pair dedup happens
+  * at the source via first-collision ownership, not a second shuffle.
+  * Both end in the same exact-Jaccard verification (a candidate-scale
+  * join against the shingle table), so LSH output ⊆ exact output with
+  * recall governed by (bands, rowsPerBand).
   */
 object Dedup {
 
@@ -61,61 +64,110 @@ object Dedup {
   @inline private def hash32(s: String, seed: Int): Int =
     MurmurHash3.stringHash(s, seed)
 
-  /** MinHash signatures: sig(d)(p) = min over shingles of h_p(shingle). */
-  def minhashSignatures(sh: Dataset[(Long, String)], numHashes: Int)
+  /** MinHash signatures computed in ONE NARROW pass over documents: a
+    * document's text lives in a single row, so its distinct shingles AND
+    * its full signature fit inside one map — no (doc, shingle) distinct
+    * shuffle, no per-doc groupByKey. sig(d)(p) = min over distinct
+    * shingles of h_p(shingle); docs with fewer than n words emit nothing
+    * (they have no shingles — same domain as [[shingles]]). */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int)
       : Dataset[(Long, Array[Int])] = {
-    val spark = sh.sparkSession
+    val spark = docs.sparkSession
     import spark.implicits._
-    sh.groupByKey(_._1).mapGroups { (id, it) =>
-      val sig = Array.fill(numHashes)(Int.MaxValue)
-      it.foreach { case (_, s) =>
-        var p = 0
-        while (p < numHashes) {
-          val h = hash32(s, p * 0x9e3779b9 + 1)
-          if (h < sig(p)) sig(p) = h
-          p += 1
+    docs.select($"doc_id", $"text").as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val ws = text.split(" ")
+        if (ws.length < n) Iterator.empty
+        else {
+          val sig = Array.fill(numHashes)(Int.MaxValue)
+          val seen = new scala.collection.mutable.HashSet[String]
+          var i = 0
+          while (i <= ws.length - n) {
+            val s = ws.slice(i, i + n).mkString(" ")
+            if (seen.add(s)) {
+              var p = 0
+              while (p < numHashes) {
+                val h = hash32(s, p * 0x9e3779b9 + 1)
+                if (h < sig(p)) sig(p) = h
+                p += 1
+              }
+            }
+            i += 1
+          }
+          Iterator.single((id, sig))
         }
       }
-      (id, sig)
     }
   }
 
-  /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
-    * bands × rowsPerBand must equal numHashes. The band-bucket groupBy is
-    * the only shuffle that grows with corpus size; bucketCap bounds the
-    * quadratic pair expansion inside a degenerate bucket, and every
-    * dropped bucket is COUNTED in `dropped` (pass a
-    * `sc.longAccumulator`) — silent truncation in a dedup pipeline is a
-    * data-quality hazard, so callers can gate on the count being 0. */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
-                      bands: Int = 16, tau: Double = 0.5,
-                      bucketCap: Int = 10000,
-                      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+  /** Band slices equal ⇒ first band where they agree; -1 if none. */
+  private def firstSharedBand(sa: Array[Int], sb: Array[Int],
+                              bands: Int, rows: Int): Int = {
+    var b = 0
+    while (b < bands) {
+      var eq = true
+      var r = b * rows
+      val end = r + rows
+      while (eq && r < end) { if (sa(r) != sb(r)) eq = false; r += 1 }
+      if (eq) return b
+      b += 1
+    }
+    -1
+  }
+
+  /** LSH candidate pairs (pre-verification): the band-bucket groupBy is
+    * the ONLY corpus-scale shuffle on this path — signatures are narrow
+    * ([[minhashSignatures]]) and duplicate pairs are eliminated at the
+    * source by first-collision ownership (a pair is emitted only by the
+    * FIRST band on which the two signatures agree), not by a second
+    * corpus-scale distinct. bucketCap bounds the quadratic pair expansion
+    * inside a degenerate bucket, and every dropped bucket is COUNTED in
+    * `dropped` — silent truncation in a dedup pipeline is a data-quality
+    * hazard, so callers can gate on the count being 0. */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, bucketCap: Int = 10000,
+                        dropped: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sh = shingles(docs, n).cache()
-    val sigs = minhashSignatures(sh, numHashes)
+    val sigs = minhashSignatures(docs, n, numHashes)
     val buckets = sigs.flatMap { case (id, sig) =>
       (0 until bands).iterator.map { b =>
         val key = MurmurHash3.arrayHash(sig.slice(b * rows, (b + 1) * rows), b)
-        (b.toLong << 32 | (key & 0xffffffffL), id)
+        (b.toLong << 32 | (key & 0xffffffffL), id, sig)
       }
     }
     val acc = dropped
-    val candidates = buckets.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val ids = it.map(_._2).toArray.sorted
-      if (ids.length > bucketCap) { acc.foreach(_.add(1L)); Iterator.empty }
-      else if (ids.length < 2) Iterator.empty
+    val nBands = bands
+    buckets.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val band = (key >>> 32).toInt
+      val rs = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      if (rs.length > bucketCap) { acc.foreach(_.add(1L)); Iterator.empty }
+      else if (rs.length < 2) Iterator.empty
       else for {
-        i <- ids.indices.iterator
-        j <- (i + 1 until ids.length).iterator
-        if ids(i) != ids(j)
-      } yield (ids(i), ids(j))
-    }.distinct().toDF("doc_a", "doc_b")
-    verifyJaccard(candidates, sh.toDF("doc_id", "shingle"), tau)
+        i <- rs.indices.iterator
+        j <- (i + 1 until rs.length).iterator
+        if rs(i)._1 != rs(j)._1
+        // first-collision ownership: exactly one band emits each pair
+        if firstSharedBand(rs(i)._2, rs(j)._2, nBands, rows) == band
+      } yield (rs(i)._1, rs(j)._1)
+    }.toDF("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
+    * bands × rowsPerBand must equal numHashes. Candidate generation is
+    * one narrow signature pass + one band-bucket shuffle
+    * ([[minhashCandidates]]); the shingle table is materialized ONLY for
+    * the exact-Jaccard verification join, which genuinely needs it. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, tau: Double = 0.5,
+                      bucketCap: Int = 10000,
+                      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val candidates = minhashCandidates(docs, n, numHashes, bands, bucketCap, dropped)
+    verifyJaccard(candidates, shingles(docs, n).toDF("doc_id", "shingle"), tau)
   }
 
   /** Exact-Jaccard verification of candidate pairs (LSH post-filter). */

@@ -41,30 +41,45 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return spark.emptyDataset[Hit]
+    // positional requirements surface HERE, not as a deep executor
+    // require inside a walk lambda
+    if (kind == "PHRASE" || kind == "NEAR")
+      require(segments.forall(_.params.positional),
+        s"$kind queries need positional segments (BuildParams.positional)")
     val distinctTerms = terms.distinct
-    val perSeg = searchers.map(_.dictLookup(distinctTerms))
+    // PREFIX/REGEX expand against each segment's own dictionary (term →
+    // termId spaces differ per segment); everything else looks up the
+    // literal terms
+    val perSeg: Seq[Array[DictEntry]] = kind match {
+      case "PREFIX" => searchers.map(_.dictLookupPrefix(terms.head))
+      case "REGEX" => searchers.map(_.dictLookupRegex(terms.head))
+      case _ => searchers.map(_.dictLookup(distinctTerms))
+    }
     // global df per term string
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
-    val needAll = kind == "AND" || kind == "PHRASE"
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (dfByTerm.isEmpty || (needAll && dfByTerm.size < distinctTerms.length))
       return spark.emptyDataset[Hit]
+    val nearWin = if (kind == "NEAR") QueryParser.nearWindow(text) else 0
     val n = numDocs
     val scored = searchers.zip(perSeg).collect {
-      // a segment can only answer AND/PHRASE if it knows every term;
+      // a segment can only answer AND/PHRASE/NEAR if it knows every term;
       // docId ranges are disjoint, so per-segment evaluation is exact
       case (searcher, entries) if entries.nonEmpty &&
           !(needAll && entries.length < distinctTerms.length) =>
         val idfByTid = entries
           .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
-        val phraseSlots: Array[Long] =
-          if (kind == "PHRASE") {
+        val phraseSlots: Array[Long] = kind match {
+          case "PHRASE" =>
             val byTerm = entries.map(e => e.term -> e.termId).toMap
             terms.map(byTerm)
-          } else null
+          case "NEAR" => entries.map(_.termId)
+          case _ => null
+        }
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = kind == "AND", k, pruned = false, entries.length,
-          phraseSlots)
+          phraseSlots, nearWindow = nearWin)
     }
     if (scored.isEmpty) return spark.emptyDataset[Hit]
     val all = scored.reduce(_ union _)

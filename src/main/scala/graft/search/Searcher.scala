@@ -32,7 +32,7 @@ object QueryParser {
     else if (t.startsWith("re:")) // before PREFIX: a pattern may end in *
       ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
-      ("PREFIX", Array(t.dropRight(1).toLowerCase))
+      ("PREFIX", termsFor("PREFIX", t))
     else if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
       ("AND", operandTerms(t))
     else if (t.split("\\s+OR\\s+").length > 1)
@@ -40,10 +40,17 @@ object QueryParser {
     else ("FREE", Tokenizer.queryTerms(t))
   }
 
+  /** Default NEAR window when kind "NEAR" is forced on text that has no
+    * `NEAR/w` connective (e.g. a Query fixture) — adjacent-token span. */
+  final val DefaultNearWindow = 1
+
   /** Window of a NEAR query: the max w over `NEAR/w` connectives (flat
-    * grammar — one window governs the whole term set). */
-  def nearWindow(text: String): Int =
-    NearRe.findAllMatchIn(text).map(_.group(1).toInt).max
+    * grammar — one window governs the whole term set). Falls back to
+    * [[DefaultNearWindow]] instead of throwing on connective-free text. */
+  def nearWindow(text: String): Int = {
+    val ws = NearRe.findAllMatchIn(text).map(_.group(1).toInt)
+    if (ws.isEmpty) DefaultNearWindow else ws.max
+  }
 
   /** Terms of a query whose kind is already known: the uppercase
     * connective is grammar, not a term, and must never be tokenized into
@@ -55,7 +62,14 @@ object QueryParser {
     case "PHRASE" => Tokenizer.tokenize(text.trim.stripPrefix("\"").stripSuffix("\""))
     case "NEAR" =>
       text.trim.split("\\s+NEAR/\\d+\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
-    case "PREFIX" => Array(text.trim.stripSuffix("*").toLowerCase)
+    case "PREFIX" =>
+      // normalize through the tokenizer's boundary rules: dictionary
+      // terms are post-split lowercase pieces, so a prefix containing
+      // split chars (underscores, camel humps, digit boundaries) could
+      // never match raw — the LAST unfiltered piece is the live prefix
+      // (e.g. `get_val*` expands terms starting with "val")
+      val pieces = Tokenizer.tokenizeUnfiltered(text.trim.stripSuffix("*"))
+      Array(if (pieces.isEmpty) "" else pieces.last)
     case "REGEX" => Array(text.trim.stripPrefix("re:").trim)
     case _ => Tokenizer.queryTerms(text)
   }
@@ -105,7 +119,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * millions of lists. The dict is term-sorted, so the uncached scan is
     * a contiguous range (parquet min/max prunes it). */
   def dictLookupPrefix(prefix: String, maxExpansion: Int = 1024): Array[DictEntry] =
-    (dictCache match {
+    if (prefix.isEmpty) Array.empty // `*` alone must not expand the whole dict
+    else (dictCache match {
       case Some(m) => m.valuesIterator.filter(_.term.startsWith(prefix)).toArray
       case None => segment.dict.filter($"term".startsWith(prefix)).collect()
     }).sortBy(_.termId).take(maxExpansion)
@@ -213,10 +228,16 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 hi: Long = Long.MaxValue): Dataset[(Long, Double)] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val pls0 = segment.postings.filter($"termId".isin(tids.toSeq: _*))
-    // scoped search prunes whole buckets before any decode
+    // scoped search prunes whole buckets before any decode. Bounds stay
+    // in Long: an open-ended scope (hi = Long.MaxValue) would overflow
+    // ((hi-1)/bs).toInt to a negative bucket and silently drop everything.
     val bs = segment.params.bucketSize
+    // clamp to Int AFTER the Long division so the filter literals stay
+    // Int (bucket is the partition column — a cast would defeat pruning)
+    val loBucket = math.min(lo / bs, Int.MaxValue.toLong).toInt
+    val hiBucket = math.min((hi - 1) / bs, Int.MaxValue.toLong).toInt
     val pls = (if (scoped)
-      pls0.filter($"bucket" >= (lo / bs).toInt && $"bucket" <= ((hi - 1) / bs).toInt)
+      pls0.filter($"bucket" >= loBucket && $"bucket" <= hiBucket)
     else pls0).as[PostingList]
     val positional = segment.params.positional
 
@@ -295,10 +316,13 @@ final class Searcher(spark: SparkSession, segment: Segment,
     hits(kind, q.text, q.k, q.qid)
   }
 
-  /** Hits joined back to the doc map (SURVEY §2.4 Q9 — broadcast join). */
+  /** Hits joined back to the doc map (SURVEY §2.4 Q9). The HITS side is
+    * broadcast — it is ≤k rows by construction, while the docmap is
+    * corpus-sized (10^12 rows at the design point): broadcasting the
+    * docmap would OOM at scale. */
   def topDocs(kind: String, text: String, k: Int): DataFrame =
-    hits(kind, text, k)
-      .join(broadcast(segment.docs).hint("broadcast"), Seq("docId"))
+    broadcast(hits(kind, text, k))
+      .join(segment.docs, Seq("docId"))
       .orderBy($"rank")
       .select($"rank", $"docId", $"score", $"repo", $"path", $"commit", $"lang")
 }

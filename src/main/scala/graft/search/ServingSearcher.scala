@@ -38,6 +38,17 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
   private val stats: CorpusStats = segment.stats
   private val positional = segment.params.positional
 
+  // this tier ASSUMES a resident dictionary + doc-length array (the
+  // per-shard serving posture). Enforce the bound it assumes instead of
+  // OOMing past it — a shard above these limits must be split, or served
+  // through the relational Searcher (which has cogroup fallbacks).
+  require(stats.numTerms <= ServingSearcher.MaxResidentTerms,
+    s"ServingSearcher serves shards up to ${ServingSearcher.MaxResidentTerms} " +
+      s"terms (got ${stats.numTerms}); split the shard or use Searcher")
+  require(stats.numDocs <= ServingSearcher.MaxResidentDocs,
+    s"ServingSearcher serves shards up to ${ServingSearcher.MaxResidentDocs} " +
+      s"docs (got ${stats.numDocs}); split the shard or use Searcher")
+
   private val dictCache: Map[String, DictEntry] =
     segment.dict.collect().map(e => e.term -> e).toMap
 
@@ -76,7 +87,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val terms = QueryParser.termsFor(kind, text)
     val entries = kind match {
       case "PREFIX" =>
-        dictCache.valuesIterator.filter(_.term.startsWith(terms.head))
+        if (terms.head.isEmpty) Array.empty[DictEntry] // `*` alone: no expansion
+        else dictCache.valuesIterator.filter(_.term.startsWith(terms.head))
           .toArray.sortBy(_.termId).take(1024)
       case "REGEX" =>
         val re = java.util.regex.Pattern.compile(terms.head)
@@ -124,6 +136,11 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
 }
 
 object ServingSearcher {
+  /** Resident-dictionary bound (≈ tens of MB driver-side at 4M terms). */
+  final val MaxResidentTerms: Long = 1L << 22
+  /** Resident doc-length bound — matches Searcher.DoclenResidentLimit. */
+  final val MaxResidentDocs: Long = 16L << 20
+
   /** Static per-partition walk — captures nothing, safe to ship in the
     * runJob closure. Same per-bucket Wand walks as Searcher.scoredRaw. */
   private[search] def walkPartition(
@@ -135,8 +152,12 @@ object ServingSearcher {
       bucketSize: Long = Long.MaxValue): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
+    // bucket bounds computed in Long then clamped: an open-ended scope
+    // (hi = Long.MaxValue) must not overflow to a negative Int bound
+    val loBucket = math.min(lo / bucketSize, Int.MaxValue.toLong).toInt
+    val hiBucket = math.min((hi - 1) / bucketSize, Int.MaxValue.toLong).toInt
     val lists = if (!scoped) lists0 else lists0.filter(pl =>
-      pl.bucket >= (lo / bucketSize).toInt && pl.bucket <= ((hi - 1) / bucketSize).toInt)
+      pl.bucket >= loBucket && pl.bucket <= hiBucket)
     if (lists.isEmpty) return Array.empty
     lists.groupBy(_.bucket).iterator.flatMap { case (bucket, plArr) =>
       doclens.get(bucket) match {

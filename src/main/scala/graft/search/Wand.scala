@@ -76,8 +76,14 @@ object Wand {
     private implicit val ord: Ordering[Scored] =
       Ordering.by[Scored, (Double, Long)](s => (-s.score, s.docId))
     private val heap = mutable.PriorityQueue.empty[Scored] // head = worst
-    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    // k <= 0: heap stays empty — theta must not touch heap.head, and a
+    // +Inf theta lets WAND's pivot test terminate the walk immediately
+    def theta: Double =
+      if (k <= 0) Double.PositiveInfinity
+      else if (heap.size < k) Double.NegativeInfinity
+      else heap.head.score
     def offer(docId: Long, score: Double): Unit = {
+      if (k <= 0) return
       if (heap.size < k) heap.enqueue(Scored(docId, score))
       else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Scored(docId, score)) }
     }

@@ -33,7 +33,16 @@ object Tokenizer extends Serializable {
   @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   /** Tokenize one document (or query) into terms, in order of occurrence. */
-  def tokenize(content: String): Array[String] = {
+  def tokenize(content: String): Array[String] = tokenizeImpl(content, filtered = true)
+
+  /** Same boundary splitting as [[tokenize]] but WITHOUT the length /
+    * pure-number filters — for normalizing query operands (e.g. a PREFIX
+    * pattern) into the dictionary's piece space, where even a 1-char or
+    * numeric final piece is a legitimate prefix. */
+  def tokenizeUnfiltered(content: String): Array[String] =
+    tokenizeImpl(content, filtered = false)
+
+  private def tokenizeImpl(content: String, filtered: Boolean): Array[String] = {
     if (content == null || content.isEmpty) return Array.empty
     val out = new ArrayBuffer[String](content.length / 6 + 4)
     val n = content.length
@@ -43,7 +52,7 @@ object Tokenizer extends Serializable {
       while (i < n && !isWordChar(content.charAt(i))) i += 1
       val start = i
       while (i < n && isWordChar(content.charAt(i))) i += 1
-      if (i > start) splitPiece(content, start, i, out)
+      if (i > start) splitPiece(content, start, i, out, filtered)
     }
     out.toArray
   }
@@ -51,7 +60,8 @@ object Tokenizer extends Serializable {
   /** Split one [A-Za-z0-9_]+ piece on '_', camel, and letter↔digit
     * boundaries; lowercase + filter + append to `out`. */
   private def splitPiece(s: String, from: Int, until: Int,
-                         out: ArrayBuffer[String]): Unit = {
+                         out: ArrayBuffer[String],
+                         filtered: Boolean = true): Unit = {
     var segStart = from
     var j = from
     while (j <= until) {
@@ -72,7 +82,7 @@ object Tokenizer extends Serializable {
           } else false
         }
       if (boundary) {
-        if (j > segStart) emit(s, segStart, j, out)
+        if (j > segStart) emit(s, segStart, j, out, filtered)
         segStart = if (j < until && s.charAt(j) == '_') j + 1 else j
       }
       j += 1
@@ -80,13 +90,15 @@ object Tokenizer extends Serializable {
   }
 
   private def emit(s: String, from: Int, until: Int,
-                   out: ArrayBuffer[String]): Unit = {
+                   out: ArrayBuffer[String], filtered: Boolean = true): Unit = {
     val len = until - from
-    if (len < MinLen || len > MaxLen) return
-    var allDigit = true
-    var k = from
-    while (k < until && allDigit) { if (!isDigit(s.charAt(k))) allDigit = false; k += 1 }
-    if (allDigit) return
+    if (filtered) {
+      if (len < MinLen || len > MaxLen) return
+      var allDigit = true
+      var k = from
+      while (k < until && allDigit) { if (!isDigit(s.charAt(k))) allDigit = false; k += 1 }
+      if (allDigit) return
+    }
     // lowercase without Locale surprises: ASCII-only input by construction
     val arr = new Array[Char](len)
     var m = 0
