@@ -171,6 +171,37 @@ object SparkEntry {
        |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
        |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Nested-boolean twin: presence pivot per candidate term, the WHERE
+    * clause mirrors the query's paren/precedence structure, and matching
+    * docs score standard BM25 over their PRESENT candidate terms —
+    * exactly Wand.topKBool's contract. */
+  private def boolSql(terms: Seq[String], whereClause: String, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.map(t =>
+      s"max(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS p_$t").mkString(",\n  ")
+    s"""$tokCtes, pres AS (
+       |  SELECT doc_id,
+       |  $pivots
+       |  FROM tf WHERE term IN ($inList) GROUP BY doc_id
+       |), boolmatch AS (
+       |  SELECT doc_id FROM pres WHERE $whereClause
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+       |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN alldl USING (doc_id)
+       |  CROSS JOIN stats
+       |  WHERE tf.term IN ($inList)
+       |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score,
+       |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** PREFIX twin: OR-scored over every vocabulary term LIKE 'p%'. */
   private def prefixSql(prefix: String, k: Int): String =
     s"""$tokCtes, sc AS (
@@ -275,6 +306,14 @@ object SparkEntry {
       DocsIndex.scopedRankedHits(s, dir, "FREE", "fast merge sort", 10, "src7")),
     "ft_regex" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "REGEX", "re:(fast|slow|merge)", 20)),
+    "ft_bool_nested" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "BOOL", "(fast OR slow) AND merge", 20)),
+    "ft_highlight" -> ((s, dir) =>
+      DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
+    "ft_fielded" -> ((s, dir) =>
+      DocsIndex.fieldedRankedHits(s, dir, "lang:fr fast merge sort", 20)),
+    "ft_fielded_combo" -> ((s, dir) =>
+      DocsIndex.fieldedRankedHits(s, dir, "repo:src3 lang:en fast merge sort", 10)),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -478,6 +517,66 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_bool_nested" -> boolSql(Seq("fast", "slow", "merge"),
+      "(p_fast = 1 OR p_slow = 1) AND p_merge = 1", 20),
+    "ft_highlight" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge')
+         |  GROUP BY tf.doc_id
+         |), topd AS (
+         |  SELECT doc_id FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+         |)
+         |SELECT t.doc_id, t.term, t.pos::BIGINT AS pos
+         |FROM tokp t
+         |WHERE t.term IN ('fast', 'merge') AND t.doc_id IN (SELECT doc_id FROM topd)
+         |ORDER BY doc_id, term, pos""".stripMargin,
+    "ft_fielded" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort')
+         |    AND tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ft_fielded_combo" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort')
+         |    AND tf.doc_id IN (SELECT doc_id FROM documents
+         |                      WHERE source = 'src3' AND lang = 'en')
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ft_scoped" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

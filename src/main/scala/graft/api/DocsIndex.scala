@@ -102,6 +102,71 @@ object DocsIndex {
     }
   }
 
+  /** Fielded query surface: `lang:x` / `repo:y` atoms anywhere in the
+    * query text, combined with any query kind for the remainder.
+    * `repo:` resolves to the contiguous docId-range scope (X7);
+    * `lang:` to a per-bucket docmap bitset probed inside the walks;
+    * both compose. Scores keep GLOBAL corpus statistics. */
+  def fieldedRankedHits(spark: SparkSession, sfDir: String, query: String,
+                        k: Int): DataFrame = {
+    import graft.search.QueryParser
+    val (fields, rest) = QueryParser.parseFields(query)
+    val (kind, _) = QueryParser.parse(rest)
+    val (seg, searcher, _) = get(spark, sfDir)
+    (fields.get("repo"), fields.get("lang")) match {
+      case (None, None) => rankedHits(spark, sfDir, kind, rest, k)
+      case (None, Some(l)) =>
+        rank(spark, sfDir, searcher.fieldedHits(kind, rest, k + 50, "lang", l), k)
+      case (Some(r), langOpt) =>
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val range = seg.docs.filter(col("repo") === r)
+          .agg(fmin(col("docId")), fmax(col("docId")))
+          .collect().headOption.filter(!_.isNullAt(0))
+        range match {
+          case None =>
+            val spark2 = spark
+            import spark2.implicits._
+            rank(spark, sfDir, spark.emptyDataset[graft.model.Hit], k)
+          case Some(row) =>
+            val (lo, hi) = (row.getLong(0), row.getLong(1) + 1)
+            val hits = langOpt match {
+              case Some(l) =>
+                searcher.scopedFieldedHits(kind, rest, k + 50, lo, hi, "lang", l)
+              case None => searcher.scopedHits(kind, rest, k + 50, lo, hi)
+            }
+            rank(spark, sfDir, hits, k)
+        }
+    }
+  }
+
+  /** Matched term positions for the top-k docs of a query — the
+    * snippet/highlight surface, in the oracle's coordinate space:
+    * positions are 1-based over the filtered token stream (the engine's
+    * 0-based index positions + 1 == DuckDB row_number over the same
+    * stream). The top-k doc set is selected by the SAME rounded ranking
+    * as rankedHits, so both engines pick identical docs. */
+  def highlights(spark: SparkSession, sfDir: String, kind: String,
+                 text: String, k: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val top = rankedHits(spark, sfDir, kind, text, k)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // ≤k rows: doc_id (external) → docId (dense internal) via the docmap
+    val idByDocId = seg.docs
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+      .filter(col("doc_id").isin(top.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val terms = graft.search.QueryParser.termsFor(kind, text)
+    val entries = searcher.dictLookup(terms.distinct)
+    val termByTid = entries.map(e => e.termId -> e.term).toMap
+    val spark2 = spark
+    import spark2.implicits._
+    val bId = spark.sparkContext.broadcast(idByDocId)
+    searcher.matchedPositions(entries, idByDocId.keys.toArray)
+      .map { case (d, tid, p) => (bId.value(d), termByTid(tid), (p + 1).toLong) }
+      .toDF("doc_id", "term", "pos")
+      .orderBy("doc_id", "term", "pos")
+  }
+
   private def rank(spark: SparkSession, sfDir: String,
                    hits: org.apache.spark.sql.Dataset[graft.model.Hit], k: Int): DataFrame = {
     val (seg, _, _) = get(spark, sfDir)

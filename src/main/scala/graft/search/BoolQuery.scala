@@ -1,0 +1,154 @@
+package graft.search
+
+import graft.tokenize.Tokenizer
+
+/** Nested boolean query grammar — parens + AND/OR precedence over term
+  * atoms. Semantics pinned here (the reference tree was empty at survey
+  * time, SURVEY.md §0):
+  *
+  *   expr := and (OR and)*          -- OR binds loosest
+  *   and  := atom ((AND)? atom)*    -- adjacent atoms are implicit AND
+  *   atom := '(' expr ')' | WORD
+  *
+  * A WORD atom runs through the shared code tokenizer; a word that
+  * splits into several tokens (camelCase, snake_case) becomes the AND of
+  * its pieces, and a word that tokenizes to nothing (too short, pure
+  * number) drops out of its enclosing AND (neutral element).
+  *
+  * Matching: a document satisfies the expression over the predicate
+  * "term t is present in the document". Scoring: standard BM25 over the
+  * DISTINCT terms of the expression that are present in the matching
+  * document — identical to how AND/PHRASE score, so `a AND b` evaluates
+  * bit-identically through the flat and nested paths, and the DuckDB
+  * twin can score relationally.
+  */
+object BoolQuery {
+
+  sealed trait Expr extends Serializable
+  final case class Term(t: String) extends Expr
+  final case class And(cs: List[Expr]) extends Expr
+  final case class Or(cs: List[Expr]) extends Expr
+
+  /** True when the text needs the nested grammar: parentheses, or both
+    * connectives mixed in one flat query. */
+  def isNested(text: String): Boolean =
+    text.contains("(") || text.contains(")") ||
+      (text.split("\\s+AND\\s+").length > 1 && text.contains(" OR "))
+
+  /** All distinct terms of the expression, sorted. */
+  def terms(e: Expr): Array[String] = {
+    val out = scala.collection.mutable.SortedSet.empty[String]
+    def walk(x: Expr): Unit = x match {
+      case Term(t) => out += t
+      case And(cs) => cs.foreach(walk)
+      case Or(cs) => cs.foreach(walk)
+    }
+    walk(e)
+    out.toArray
+  }
+
+  /** Compile to a predicate over a presence vector indexed by `slot`
+    * (term → index). Terms absent from `slot` (not in the dictionary)
+    * are constant-false: they can never be present. */
+  def compile(e: Expr, slot: Map[String, Int]): Array[Boolean] => Boolean = e match {
+    case Term(t) => slot.get(t) match {
+      case Some(i) => p => p(i)
+      case None => _ => false
+    }
+    case And(cs) =>
+      val fs = cs.map(compile(_, slot))
+      p => fs.forall(_(p))
+    case Or(cs) =>
+      val fs = cs.map(compile(_, slot))
+      p => fs.exists(_(p))
+  }
+
+  /** Can the expression be satisfied at all, given that only terms in
+    * `known` can ever be present? (An AND containing an unknown term is
+    * unsatisfiable; an OR survives if any branch does.) */
+  def satisfiable(e: Expr, known: Set[String]): Boolean = e match {
+    case Term(t) => known.contains(t)
+    case And(cs) => cs.forall(satisfiable(_, known))
+    case Or(cs) => cs.exists(satisfiable(_, known))
+  }
+
+  // ───────────────────────────── parser ───────────────────────────────
+
+  /** Parse or throw IllegalArgumentException on malformed input
+    * (unbalanced parens, dangling connective). */
+  def parse(text: String): Expr = {
+    val toks = lex(text)
+    val p = new P(toks)
+    val e = p.expr()
+    require(p.eof, s"trailing input after position ${p.at}: ${toks.drop(p.at).mkString(" ")}")
+    e
+  }
+
+  private def lex(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit = { if (sb.nonEmpty) { out += sb.toString; sb.clear() } }
+    text.foreach {
+      case '(' => flush(); out += "("
+      case ')' => flush(); out += ")"
+      case c if c.isWhitespace => flush()
+      case c => sb += c
+    }
+    flush()
+    out.toArray
+  }
+
+  private final class P(toks: Array[String]) {
+    var at = 0
+    def eof: Boolean = at >= toks.length
+    private def peek: String = toks(at)
+
+    def expr(): Expr = {
+      val first = and()
+      val cs = scala.collection.mutable.ListBuffer(first)
+      while (!eof && peek == "OR") {
+        at += 1
+        cs += and()
+      }
+      if (cs.length == 1) cs.head else Or(cs.toList)
+    }
+
+    private def and(): Expr = {
+      val cs = scala.collection.mutable.ListBuffer(atom())
+      var more = true
+      while (more && !eof) {
+        if (peek == "AND") { at += 1; cs += atom() }
+        else if (peek != "OR" && peek != ")") cs += atom() // implicit AND
+        else more = false
+      }
+      // a word that tokenized to nothing is the AND-neutral element
+      val kept = cs.toList.filter(_ != And(Nil))
+      kept match {
+        case Nil => And(Nil) // everything dropped: vacuously true
+        case single :: Nil => single
+        case many => And(many)
+      }
+    }
+
+    private def atom(): Expr = {
+      require(!eof, "dangling connective: expected a term or '('")
+      peek match {
+        case "(" =>
+          at += 1
+          val e = expr()
+          require(!eof && peek == ")", "unbalanced '('")
+          at += 1
+          e
+        case "AND" | "OR" | ")" =>
+          throw new IllegalArgumentException(s"unexpected '$peek' at position $at")
+        case w =>
+          at += 1
+          Tokenizer.tokenize(w).toList match {
+            case Nil => And(Nil) // drops out of the enclosing AND
+            case t :: Nil => Term(t)
+            case ts => And(ts.map(Term(_)))
+          }
+      }
+    }
+  }
+}

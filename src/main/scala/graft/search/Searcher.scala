@@ -33,11 +33,34 @@ object QueryParser {
       ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
       ("PREFIX", termsFor("PREFIX", t))
+    else if (BoolQuery.isNested(t))
+      // parens or mixed AND/OR: the nested grammar (precedence: AND binds
+      // tighter than OR). Malformed nesting (unbalanced parens pasted
+      // from code) falls back to free text rather than erroring.
+      try ("BOOL", termsFor("BOOL", t))
+      catch { case _: IllegalArgumentException => ("FREE", Tokenizer.queryTerms(t)) }
     else if (t.split("\\s+AND\\s+").length > 1 && !t.contains(" OR "))
       ("AND", operandTerms(t))
     else if (t.split("\\s+OR\\s+").length > 1)
       ("OR", operandTerms(t))
     else ("FREE", Tokenizer.queryTerms(t))
+  }
+
+  private val FieldRe = "^(lang|repo):(\\S+)$".r
+
+  /** Extract fielded atoms (`lang:v`, `repo:v`) from a query; returns
+    * (fields, remaining query text). `repo:` maps to the contiguous
+    * docId-range scope (X7); `lang:` to the docmap bitset filter. A field
+    * repeated last-wins; atoms can sit anywhere in the query. */
+  def parseFields(text: String): (Map[String, String], String) = {
+    val parts = text.trim.split("\\s+").filter(_.nonEmpty)
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val rest = new StringBuilder
+    parts.foreach {
+      case FieldRe(f, v) => fields(f) = v
+      case w => if (rest.nonEmpty) rest += ' '; rest ++= w
+    }
+    (fields.toMap, rest.toString)
   }
 
   /** Default NEAR window when kind "NEAR" is forced on text that has no
@@ -71,6 +94,7 @@ object QueryParser {
       val pieces = Tokenizer.tokenizeUnfiltered(text.trim.stripSuffix("*"))
       Array(if (pieces.isEmpty) "" else pieces.last)
     case "REGEX" => Array(text.trim.stripPrefix("re:").trim)
+    case "BOOL" => BoolQuery.terms(BoolQuery.parse(text))
     case _ => Tokenizer.queryTerms(text)
   }
 }
@@ -137,6 +161,37 @@ final class Searcher(spark: SparkSession, segment: Segment,
     }).sortBy(_.termId).take(maxExpansion)
   }
 
+  /** Per-bucket docId bitsets for a docmap field predicate — the
+    * fielded-query filter (`lang:scala`). Built once per (field, value)
+    * and broadcast; bucket-local bitsets are computed executor-side in a
+    * mapGroups, then collected as ≤ bucketSize/8-byte blocks (driver
+    * residency is numDocs/8 bytes — the same regime as the resident
+    * doclens; past DoclenResidentLimit a cogroup-style distribution of
+    * these blocks is the scale path, like doclens). */
+  private val filterCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]]]
+
+  private[search] def docFilter(field: String, value: String)
+      : org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] =
+    filterCache.getOrElseUpdate((field, value), {
+      val bs = segment.params.bucketSize
+      val blocks = segment.docs
+        .filter(col(field) === value)
+        .select($"docId").as[Long]
+        .groupByKey(d => (d / bs).toInt)
+        .mapGroups { (bucket, it) =>
+          val bits = new Array[Long](((bs + 63) / 64).toInt)
+          it.foreach { d =>
+            val off = (d - bucket.toLong * bs).toInt
+            bits(off >> 6) |= 1L << (off & 63)
+          }
+          (bucket, bits)
+        }
+        .collect().toMap
+      spark.sparkContext.broadcast(blocks)
+    })
+
   /** Top-k hits for a query. kind ∈ {AND, OR, FREE, PHRASE, NEAR,
     * PREFIX}; OR/FREE rank by BM25 with block-max WAND pruning; AND
     * intersects then ranks; PHRASE/NEAR (positional segments only)
@@ -145,6 +200,23 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * ranks like OR. */
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = true)
+
+  /** Top-k restricted to docs whose docmap `field` equals `value` —
+    * fielded queries (`lang:x terms…`). Scores keep GLOBAL corpus
+    * statistics (standard filter-doesn't-rescale semantics); the filter
+    * is pushed into the per-bucket walks as a bitset probe, so no
+    * separate filter pass or join runs. */
+  def fieldedHits(kind: String, text: String, k: Int, field: String,
+                  value: String, qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true,
+      acceptB = docFilter(field, value))
+
+  /** Fielded + scoped combined: docId-range view AND docmap filter. */
+  def scopedFieldedHits(kind: String, text: String, k: Int, lo: Long,
+                        hi: Long, field: String, value: String,
+                        qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true, lo = lo, hi = hi,
+      acceptB = docFilter(field, value))
 
   /** Exhaustive (unpruned) evaluation — correctness oracle for WAND. */
   def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
@@ -160,9 +232,13 @@ final class Searcher(spark: SparkSession, segment: Segment,
                  qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = true, lo = lo, hi = hi)
 
+  private type AcceptB = org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]]
+
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
                        pruned: Boolean, lo: Long = 0L,
-                       hi: Long = Long.MaxValue): Dataset[Hit] = {
+                       hi: Long = Long.MaxValue,
+                       acceptB: AcceptB = null): Dataset[Hit] = {
+    if (kind == "BOOL") return boolHits(text, k, qid, lo, hi, acceptB)
     val terms = QueryParser.termsFor(kind, text)
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
@@ -179,16 +255,17 @@ final class Searcher(spark: SparkSession, segment: Segment,
         val byTerm = entries.map(e => e.term -> e).toMap
         val slots = terms.map(t => byTerm(t).termId)
         scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots,
-          lo = lo, hi = hi)
+          lo = lo, hi = hi, acceptB = acceptB)
       case "NEAR" =>
         require(segment.params.positional,
           "proximity queries need a positional index (BuildParams.positional)")
         scored(entries, conjunctive = true, k, qid, pruned,
           phraseSlots = entries.map(_.termId),
-          nearWindow = QueryParser.nearWindow(text), lo = lo, hi = hi)
+          nearWindow = QueryParser.nearWindow(text), lo = lo, hi = hi,
+          acceptB = acceptB)
       case _ =>
         scored(entries, conjunctive = kind == "AND", k, qid, pruned,
-          lo = lo, hi = hi)
+          lo = lo, hi = hi, acceptB = acceptB)
     }
   }
 
@@ -196,11 +273,37 @@ final class Searcher(spark: SparkSession, segment: Segment,
                      qid: Long, pruned: Boolean,
                      phraseSlots: Array[Long] = null,
                      nearWindow: Int = 0, lo: Long = 0L,
-                     hi: Long = Long.MaxValue): Dataset[Hit] = {
+                     hi: Long = Long.MaxValue,
+                     acceptB: AcceptB = null): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
-      conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi)
+      conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi,
+      acceptB = acceptB)
+      .toDF("docId", "score"), k, qid)
+  }
+
+  /** Nested boolean query (kind BOOL): parse parens/precedence, look up
+    * the expression's distinct terms, compile the presence predicate
+    * over ascending-termId slots, and run the document-at-a-time walk.
+    * Unsatisfiable expressions (an AND branch naming an out-of-vocabulary
+    * term with no OR escape) short-circuit to ∅ without a job. */
+  private def boolHits(text: String, k: Int, qid: Long,
+                       lo: Long, hi: Long,
+                       acceptB: AcceptB = null): Dataset[Hit] = {
+    val ast = BoolQuery.parse(text)
+    val terms = BoolQuery.terms(ast)
+    val entries = dictLookup(terms) // ascending termId
+    if (terms.isEmpty || entries.isEmpty ||
+        !BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
+      return spark.emptyDataset[Hit]
+    val slotByTerm = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
+    val eval = BoolQuery.compile(ast, slotByTerm)
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive = false, k, pruned = false, entries.length,
+      boolEval = eval, lo = lo, hi = hi, acceptB = acceptB)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -225,7 +328,10 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 pruned: Boolean, nTerms: Int,
                                 phraseSlots: Array[Long] = null,
                                 nearWindow: Int = 0, lo: Long = 0L,
-                                hi: Long = Long.MaxValue): Dataset[(Long, Double)] = {
+                                hi: Long = Long.MaxValue,
+                                boolEval: Array[Boolean] => Boolean = null,
+                                acceptB: AcceptB = null)
+      : Dataset[(Long, Double)] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val pls0 = segment.postings.filter($"termId".isin(tids.toSeq: _*))
     // scoped search prunes whole buckets before any decode. Bounds stay
@@ -243,12 +349,30 @@ final class Searcher(spark: SparkSession, segment: Segment,
 
     def walk(bucket: Int, plIt: Iterator[PostingList], firstDocId: Long,
              lens: Array[Int]): Iterator[(Long, Double)] = {
+      // fielded filter: resolve this bucket's bitset once; a bucket with
+      // no matching docs skips its walk (and decode) entirely
+      val accept: Long => Boolean =
+        if (acceptB == null) null
+        else acceptB.value.get(bucket) match {
+          case None => return Iterator.empty
+          case Some(bits) =>
+            val base = bucket.toLong * bs
+            d => { val off = (d - base).toInt; (bits(off >> 6) & (1L << (off & 63))) != 0L }
+        }
       val plArr = plIt.toArray
       def cursors = plArr.map { pl =>
         new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional, lo, hi)
       }
       val res =
-        if (phraseSlots != null) {
+        if (boolEval != null) {
+          // slots aligned to the GLOBAL ascending-termId order `tids`;
+          // a slot with no list in this bucket stays null (never present)
+          val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+          val slots = tids.map(tid => plByTid.get(tid)
+            .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
+            .orNull)
+          Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept)
+        } else if (phraseSlots != null) {
           // one independent cursor per phrase/near slot (duplicates included)
           val plByTid = plArr.map(pl => pl.termId -> pl).toMap
           if (plByTid.size < nTerms) Array.empty[Wand.Scored]
@@ -256,15 +380,15 @@ final class Searcher(spark: SparkSession, segment: Segment,
             val slots = phraseSlots.map(tid =>
               new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
             if (nearWindow > 0)
-              Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow)
-            else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)
+              Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept)
+            else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept)
           }
         } else if (conjunctive) {
           // a bucket missing any query term cannot intersect
           if (plArr.length < nTerms) Array.empty[Wand.Scored]
-          else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k)
-        } else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k)
-        else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k)
+          else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k, accept)
+        } else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k, accept)
+        else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k, accept)
       res.iterator.map(s => (s.docId, s.score))
     }
 
@@ -314,6 +438,71 @@ final class Searcher(spark: SparkSession, segment: Segment,
   def search(q: Query): Dataset[Hit] = {
     val (kind, _) = if (q.kind == "PARSE") QueryParser.parse(q.text) else (q.kind, null)
     hits(kind, q.text, q.k, q.qid)
+  }
+
+  /** Matched positions for highlighting/snippets: for each (docId in
+    * `docIds`) × (query term in `entries`), the term's occurrence
+    * positions in that document — decoded from the positional index
+    * (codec v2), which stores exactly this. The scan touches ONLY the
+    * query's termIds and the ≤k hit docs' buckets (both pushed down);
+    * inside each posting list the cursor GALLOPS to the target docIds —
+    * no full-list decode. Positions are 0-based indices over the
+    * filtered token stream (the index's position space).
+    *
+    * Returns (docId, termId, pos) rows. */
+  def matchedPositions(entries: Array[DictEntry], docIds: Array[Long])
+      : Dataset[(Long, Long, Int)] = {
+    require(segment.params.positional,
+      "highlighting needs a positional index (BuildParams.positional)")
+    if (entries.isEmpty || docIds.isEmpty)
+      return spark.emptyDataset[(Long, Long, Int)]
+    val bs = segment.params.bucketSize
+    val byBucket: Map[Int, Array[Long]] =
+      docIds.groupBy(d => (d / bs).toInt).map { case (b, ds) => b -> ds.sorted }
+    val bcast = spark.sparkContext.broadcast(byBucket)
+    val tids = entries.map(_.termId)
+    val buckets = byBucket.keys.toSeq
+    segment.postings
+      .filter($"termId".isin(tids.toSeq: _*) && $"bucket".isin(buckets: _*))
+      .as[PostingList]
+      .flatMap { pl =>
+        val targets = bcast.value.getOrElse(pl.bucket, Array.empty[Long])
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        val c = new graft.codec.PostingCodec.Cursor(
+          pl.numDocs, pl.lastDocIds, pl.maxImpacts, pl.offsets, pl.bytes,
+          positional = true)
+        var i = 0
+        while (i < targets.length && !c.exhausted) {
+          c.nextGeq(targets(i))
+          if (!c.exhausted && c.docId == targets(i)) {
+            val ps = c.positions()
+            var j = 0
+            while (j < ps.length) { out += ((targets(i), pl.termId, ps(j))); j += 1 }
+          }
+          i += 1
+        }
+        out
+      }
+  }
+
+  /** Top-k hits WITH their matched positions — the snippet/highlight
+    * surface every code-search UI needs. Uses the same expansion rules
+    * as [[hits]] for the given kind. */
+  def highlight(kind: String, text: String, k: Int): DataFrame = {
+    val terms = QueryParser.termsFor(kind, text)
+    val entries = kind match {
+      case "PREFIX" => dictLookupPrefix(terms.head)
+      case "REGEX" => dictLookupRegex(terms.head)
+      case "BOOL" => dictLookup(terms)
+      case _ => dictLookup(terms.distinct)
+    }
+    val hitDocs = hits(kind, text, k).collect().map(_.docId)
+    // entries are already driver-side: map termId → term in a narrow
+    // projection instead of a dict join
+    val termByTid = entries.map(e => e.termId -> e.term).toMap
+    matchedPositions(entries, hitDocs)
+      .map { case (d, tid, p) => (d, termByTid(tid), p) }
+      .toDF("docId", "term", "pos")
   }
 
   /** Hits joined back to the doc map (SURVEY §2.4 Q9). The HITS side is

@@ -99,6 +99,17 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return Array.empty
+    // nested boolean: compile the presence predicate over the entries'
+    // ascending-termId slot order (same contract as Searcher.boolHits)
+    val boolEval: Array[Boolean] => Boolean =
+      if (kind != "BOOL") null
+      else {
+        val ast = BoolQuery.parse(text)
+        if (!BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
+          return Array.empty
+        BoolQuery.compile(ast,
+          entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap)
+      }
     val phraseSlots: Array[Long] = kind match {
       case "PHRASE" =>
         require(positional, "phrase queries need a positional index")
@@ -127,7 +138,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
-          avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs))
+          avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
+          boolEval))
 
     val all = perPart.flatten
     java.util.Arrays.sort(all, Ordering.by[Wand.Scored, (Double, Long)](s => (-s.score, s.docId)))
@@ -149,7 +161,8 @@ object ServingSearcher {
       avgdl: Double, conjunctive: Boolean, phraseSlots: Array[Long],
       nearWindow: Int, nTerms: Int, k: Int, positional: Boolean,
       lo: Long = 0L, hi: Long = Long.MaxValue,
-      bucketSize: Long = Long.MaxValue): Array[Wand.Scored] = {
+      bucketSize: Long = Long.MaxValue,
+      boolEval: Array[Boolean] => Boolean = null): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -164,7 +177,13 @@ object ServingSearcher {
         case None => Iterator.empty
         case Some((firstDocId, lens)) =>
           val res =
-            if (phraseSlots != null) {
+            if (boolEval != null) {
+              val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+              val slots = tids.map(tid => plByTid.get(tid)
+                .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
+                .orNull)
+              Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval)
+            } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]
               else {

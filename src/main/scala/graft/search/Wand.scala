@@ -95,7 +95,8 @@ object Wand {
   /** Block-max WAND top-k over one bucket's postings. `lens(d - firstDocId)`
     * is the doc length. Emits up to k (docId, score), ordered. */
   def topK(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
-           avgdl: Double, k: Int): Array[Scored] = {
+           avgdl: Double, k: Int,
+           accept: Long => Boolean = null): Array[Scored] = {
     val topk = new TopK(k)
     // live cursors ordered by current docId (insertion-sorted per advance)
     var live = terms.filter(!_.exhausted).sortBy(_.docId)
@@ -144,7 +145,7 @@ object Wand {
           score += BM25.impact(c.idf, c.tf, dl, avgdl)
           j += 1
         }
-        topk.offer(pivotDoc, score)
+        if (accept == null || accept(pivotDoc)) topk.offer(pivotDoc, score)
         live = advance(live, pivotDoc + 1)
       } else {
         // align: move all cursors before the pivot up to pivotDoc
@@ -167,7 +168,8 @@ object Wand {
   /** Conjunctive (AND) evaluation: k-way galloping intersection, exact
     * scoring of every intersecting doc — SURVEY §2.4 Q4. */
   def topKAnd(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
-              avgdl: Double, k: Int): Array[Scored] = {
+              avgdl: Double, k: Int,
+              accept: Long => Boolean = null): Array[Scored] = {
     if (terms.isEmpty || terms.exists(_.exhausted)) return Array.empty
     val topk = new TopK(k)
     val byTermId = terms.sortBy(_.termId)
@@ -191,7 +193,7 @@ object Wand {
           score += BM25.impact(byTermId(j).idf, byTermId(j).tf, dl, avgdl)
           j += 1
         }
-        topk.offer(target, score)
+        if (accept == null || accept(target)) topk.offer(target, score)
         target += 1
       }
     }
@@ -208,7 +210,8 @@ object Wand {
     * the phrase's DISTINCT terms — identical to the AND score, so the
     * SQL twin can score relationally. */
   def topKPhrase(slots: Array[TermCursor], lens: Array[Int], firstDocId: Long,
-                 avgdl: Double, k: Int): Array[Scored] = {
+                 avgdl: Double, k: Int,
+                 accept: Long => Boolean = null): Array[Scored] = {
     if (slots.isEmpty || slots.exists(_.exhausted)) return Array.empty
     val topk = new TopK(k)
     // distinct-term cursors in ascending termId order — deterministic sum
@@ -228,7 +231,7 @@ object Wand {
         i += 1
       }
       if (!done && aligned) {
-        if (phraseMatches(slots)) {
+        if ((accept == null || accept(target)) && phraseMatches(slots)) {
           val dl = lens((target - firstDocId).toInt)
           var score = 0.0
           var j = 0
@@ -249,7 +252,8 @@ object Wand {
     * (minimal span ≤ w). Docs align via the same galloping intersection
     * as AND; matches score standard BM25 over the distinct terms. */
   def topKNear(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
-               avgdl: Double, k: Int, window: Int): Array[Scored] = {
+               avgdl: Double, k: Int, window: Int,
+               accept: Long => Boolean = null): Array[Scored] = {
     if (terms.isEmpty || terms.exists(_.exhausted)) return Array.empty
     val topk = new TopK(k)
     val byTermId = terms.sortBy(_.termId)
@@ -265,7 +269,8 @@ object Wand {
         i += 1
       }
       if (!done && aligned) {
-        if (minSpan(byTermId.map(_.positions())) <= window) {
+        if ((accept == null || accept(target)) &&
+            minSpan(byTermId.map(_.positions())) <= window) {
           val dl = lens((target - firstDocId).toInt)
           var score = 0.0
           var j = 0
@@ -325,11 +330,59 @@ object Wand {
     cand.nonEmpty
   }
 
+  /** Nested-boolean evaluation: document-at-a-time over the union of the
+    * query's posting lists. `slots` is indexed by the GLOBAL distinct-term
+    * slot order (ascending termId); entries may be null when this bucket
+    * has no list for that slot (the term is simply absent here). For each
+    * candidate doc the presence vector is evaluated by `eval` (compiled
+    * from the BoolQuery AST); matching docs score standard BM25 over
+    * their PRESENT query terms — ascending-termId accumulation, so
+    * `a AND b` through this walk is bit-identical to topKAnd. */
+  def topKBool(slots: Array[TermCursor], lens: Array[Int], firstDocId: Long,
+               avgdl: Double, k: Int,
+               eval: Array[Boolean] => Boolean,
+               accept: Long => Boolean = null): Array[Scored] = {
+    val topk = new TopK(k)
+    val n = slots.length
+    val present = new Array[Boolean](n)
+    var anyLive = slots.exists(c => c != null && !c.exhausted)
+    while (anyLive) {
+      var d = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val c = slots(i)
+        if (c != null && !c.exhausted && c.docId < d) d = c.docId
+        i += 1
+      }
+      java.util.Arrays.fill(present, false)
+      val dl = lens((d - firstDocId).toInt)
+      var score = 0.0
+      i = 0
+      anyLive = false
+      while (i < n) {
+        val c = slots(i)
+        if (c != null && !c.exhausted) {
+          if (c.docId == d) {
+            present(i) = true
+            // slots are ascending-termId: deterministic Double sum order
+            score += BM25.impact(c.idf, c.tf, dl, avgdl)
+            c.next()
+          }
+          if (!c.exhausted) anyLive = true
+        }
+        i += 1
+      }
+      if ((accept == null || accept(d)) && eval(present)) topk.offer(d, score)
+    }
+    topk.result()
+  }
+
   /** Exhaustive disjunctive evaluation (no pruning) — the safe path for
     * multi-segment reads where stored block maxima are not valid bounds
     * (SURVEY §2.3 I7 note); also the in-bucket oracle for WAND tests. */
   def topKOrExhaustive(terms: Array[TermCursor], lens: Array[Int],
-                       firstDocId: Long, avgdl: Double, k: Int): Array[Scored] = {
+                       firstDocId: Long, avgdl: Double, k: Int,
+                       accept: Long => Boolean = null): Array[Scored] = {
     val topk = new TopK(k)
     val byTermId = terms.sortBy(_.termId)
     var live = byTermId.filter(!_.exhausted)
@@ -344,7 +397,7 @@ object Wand {
         if (live(i).docId == d) { score += BM25.impact(live(i).idf, live(i).tf, dl, avgdl); live(i).next() }
         i += 1
       }
-      topk.offer(d, score)
+      if (accept == null || accept(d)) topk.offer(d, score)
       live = live.filter(!_.exhausted)
     }
     topk.result()

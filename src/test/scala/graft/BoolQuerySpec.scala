@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.build.{BuildParams, SegmentBuilder}
+import graft.corpus.{DatasetCorpusSource, Synthesizer}
+import graft.search.{BoolQuery, QueryParser, Searcher, ServingSearcher}
+import graft.search.BoolQuery.{And, Or, Term}
+
+/** Nested boolean grammar: parser precedence, evaluation equivalences
+  * against the flat AND/OR paths, and serving-tier parity. */
+class BoolQuerySpec extends SparkSpec {
+
+  lazy val seg = {
+    val (s, _) = SegmentBuilder.build(spark,
+      DatasetCorpusSource(Synthesizer.corpus(spark, 300L)),
+      BuildParams(numPartitions = 4, bucketSize = 64, positional = true))
+    s
+  }
+  lazy val searcher = new Searcher(spark, seg)
+
+  private def top2(t: String): Array[String] =
+    seg.dict.orderBy(desc("df")).limit(4).collect().map(_.term)
+
+  test("parser: AND binds tighter than OR; parens override") {
+    assert(BoolQuery.parse("aa AND bb OR cc") ==
+      Or(List(And(List(Term("aa"), Term("bb"))), Term("cc"))))
+    assert(BoolQuery.parse("aa AND (bb OR cc)") ==
+      And(List(Term("aa"), Or(List(Term("bb"), Term("cc"))))))
+    assert(BoolQuery.parse("(aa AND bb) OR cc") ==
+      Or(List(And(List(Term("aa"), Term("bb"))), Term("cc"))))
+    // implicit AND between adjacent atoms
+    assert(BoolQuery.parse("aa bb") == And(List(Term("aa"), Term("bb"))))
+    // camelCase atom splits into an AND of its pieces
+    assert(BoolQuery.parse("getValue") == And(List(Term("get"), Term("value"))))
+    // a sub-MinLen atom drops out of its enclosing AND (neutral element)
+    assert(BoolQuery.parse("aa AND b") == Term("aa"))
+    // malformed input throws (QueryParser.parse falls back to FREE)
+    intercept[IllegalArgumentException](BoolQuery.parse("(aa AND bb"))
+    intercept[IllegalArgumentException](BoolQuery.parse("aa AND"))
+    intercept[IllegalArgumentException](BoolQuery.parse("AND aa"))
+    assert(QueryParser.parse("(fast merge")._1 == "FREE")
+    assert(QueryParser.parse("(aa OR bb) AND cc")._1 == "BOOL")
+    assert(QueryParser.parse("aa AND bb OR cc")._1 == "BOOL")
+    assert(QueryParser.parse("aa AND bb")._1 == "AND")
+  }
+
+  test("BOOL 'a AND b' is bit-identical to flat AND; 'a OR b' to flat OR") {
+    val ts = top2("")
+    val a = ts(0); val b = ts(1)
+    val flatAnd = searcher.hits("AND", s"$a AND $b", 15).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val boolAnd = searcher.hits("BOOL", s"$a AND $b", 15).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    assert(flatAnd.nonEmpty && boolAnd == flatAnd)
+
+    val flatOr = searcher.hitsExhaustive("OR", s"$a OR $b", 15).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val boolOr = searcher.hits("BOOL", s"$a OR $b", 15).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    assert(flatOr.nonEmpty && boolOr == flatOr)
+  }
+
+  test("BOOL nested evaluation matches a relational oracle") {
+    import spark.implicits._
+    val ts = top2("")
+    val a = ts(0); val b = ts(1); val c = ts(2)
+    val got = searcher.hits("BOOL", s"($a OR $b) AND $c", 1000).collect()
+      .map(_.docId).toSet
+    // oracle: doc term sets from the decoded postings
+    val byTerm = graft.search.ExactScorer.decodedPostings(spark, seg)
+      .toDF("termId", "docId", "tf")
+      .join(seg.dict.select($"termId", $"term"), "termId")
+      .select($"docId", $"term").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    val want = byTerm.collect {
+      case (d, s) if (s(a) || s(b)) && s(c) => d
+    }.toSet
+    assert(want.nonEmpty, "fixture terms must co-occur")
+    assert(got == want)
+  }
+
+  test("unsatisfiable AND branch returns empty without error") {
+    val ts = top2("")
+    assert(searcher.hits("BOOL", s"${ts(0)} AND zzzznotaterm", 10).collect().isEmpty)
+    // but an OR escape keeps it satisfiable
+    assert(searcher.hits("BOOL", s"(${ts(0)} OR zzzznotaterm) AND ${ts(1)}", 10)
+      .collect().nonEmpty)
+  }
+
+  test("serving tier evaluates BOOL bit-identically to the relational path") {
+    val ts = top2("")
+    val q = s"(${ts(0)} OR ${ts(1)}) AND ${ts(2)}"
+    val rel = searcher.hits("BOOL", q, 10).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val serving = new ServingSearcher(spark, seg)
+    val srv = serving.hits("BOOL", q, 10).map(h => (h.rank, h.docId, h.score)).toSeq
+    serving.close()
+    assert(rel.nonEmpty && srv == rel)
+  }
+}

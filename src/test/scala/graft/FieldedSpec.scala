@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.build.{BuildParams, SegmentBuilder}
+import graft.corpus.{DatasetCorpusSource, Synthesizer}
+import graft.search.{QueryParser, Searcher}
+
+/** Fielded query atoms (`lang:x`, `repo:y`): parse, and the bitset
+  * filter must be exactly equivalent to filtering a global ranking. */
+class FieldedSpec extends SparkSpec {
+
+  lazy val seg = {
+    val (s, _) = SegmentBuilder.build(spark,
+      DatasetCorpusSource(Synthesizer.corpus(spark, 300L)),
+      BuildParams(numPartitions = 4, bucketSize = 64, positional = true))
+    s
+  }
+  lazy val searcher = new Searcher(spark, seg)
+
+  test("parseFields extracts lang:/repo: atoms anywhere and keeps the rest") {
+    assert(QueryParser.parseFields("lang:scala fast merge") ==
+      (Map("lang" -> "scala"), "fast merge"))
+    assert(QueryParser.parseFields("fast repo:r1 merge lang:go") ==
+      (Map("repo" -> "r1", "lang" -> "go"), "fast merge"))
+    assert(QueryParser.parseFields("fast merge") == (Map.empty, "fast merge"))
+    // unknown fields stay query text
+    assert(QueryParser.parseFields("size:3 fast")._2 == "size:3 fast")
+  }
+
+  test("fielded hits == filtered global ranking (same global stats)") {
+    val lang = seg.docs.groupBy(col("lang")).count()
+      .orderBy(desc("count")).limit(1).collect().head.getString(0)
+    val langDocs = seg.docs.filter(col("lang") === lang)
+      .select(col("docId")).collect().map(_.getLong(0)).toSet
+    assert(langDocs.nonEmpty)
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val q = s"${terms(0)} ${terms(1)}"
+
+    val fielded = searcher.fieldedHits("FREE", q, 10, "lang", lang).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    // oracle: global exhaustive ranking, filtered to the lang set, top 10
+    val global = searcher.hitsExhaustive("FREE", q, seg.stats.numDocs.toInt)
+      .collect().filter(h => langDocs(h.docId))
+      .sortBy(h => (-h.score, h.docId)).take(10)
+      .map(h => (h.docId, h.score)).toSeq
+    assert(fielded.nonEmpty && fielded == global)
+  }
+
+  test("fielded AND / PHRASE kinds honor the filter too") {
+    val lang = seg.docs.groupBy(col("lang")).count()
+      .orderBy(desc("count")).limit(1).collect().head.getString(0)
+    val langDocs = seg.docs.filter(col("lang") === lang)
+      .select(col("docId")).collect().map(_.getLong(0)).toSet
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val got = searcher.fieldedHits("AND", s"${terms(0)} AND ${terms(1)}", 50,
+      "lang", lang).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(h => langDocs(h.docId)))
+  }
+
+  test("scoped + fielded compose: repo range AND lang filter") {
+    val repo = seg.docs.groupBy(col("repo")).count()
+      .orderBy(desc("count")).limit(1).collect().head.getString(0)
+    val range = seg.docs.filter(col("repo") === repo)
+      .agg(min(col("docId")), max(col("docId"))).collect().head
+    val (lo, hi) = (range.getLong(0), range.getLong(1) + 1)
+    val lang = seg.docs.filter(col("repo") === repo)
+      .groupBy(col("lang")).count()
+      .orderBy(desc("count")).limit(1).collect().head.getString(0)
+    val okDocs = seg.docs
+      .filter(col("repo") === repo && col("lang") === lang)
+      .select(col("docId")).collect().map(_.getLong(0)).toSet
+    val terms = seg.dict.orderBy(desc("df")).limit(1).collect().map(_.term)
+    val got = searcher.scopedFieldedHits("FREE", terms(0), 100, lo, hi,
+      "lang", lang).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(h => okDocs(h.docId)))
+  }
+}

@@ -64,12 +64,15 @@ class TokenizerSpec extends AnyFunSuite {
     tokens.foreach { t => assert(tok(t) == Seq(t), s"token $t not stable") }
   }
 
-  test("QueryParser: mixed connectives classify OR and strip BOTH keywords") {
+  test("QueryParser: mixed connectives route to the nested grammar, keywords never leak") {
     import graft.search.QueryParser
     val (k0, t0) = QueryParser.parse("alpha AND beta")
     assert(k0 == "AND" && t0.toSeq == Seq("alpha", "beta"))
+    // since round 3 a mixed query parses with real precedence (BOOL)
+    // instead of the flat safe-OR reading; the connectives are still
+    // grammar, never search terms
     val (kind, terms) = QueryParser.parse("alpha AND beta OR gamma")
-    assert(kind == "OR")
+    assert(kind == "BOOL")
     assert(terms.toSeq == Seq("alpha", "beta", "gamma"),
       "embedded AND must not leak the term 'and': " + terms.mkString(","))
     assert(QueryParser.termsFor("OR", "alpha AND beta OR gamma").toSeq ==
