@@ -85,7 +85,21 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
                        lo: Long, hi: Long): Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
-    val entries = kind match {
+    val entries = entriesFor(kind, terms)
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
+    if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
+      return Array.empty
+    val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val all = rawScored(kind, text, terms, entries, idfByTid, stats.avgDocLen,
+      k, lo, hi, pruned = true)
+    ServingSearcher.rankMerge(all, k, qid)
+  }
+
+  /** Dictionary resolution for a query's terms under this segment's own
+    * vocabulary — shared with the multi-segment tier, which re-derives
+    * GLOBAL idf from these per-segment entries. */
+  private[search] def entriesFor(kind: String, terms: Array[String]): Array[DictEntry] =
+    kind match {
       case "PREFIX" =>
         if (terms.head.isEmpty) Array.empty[DictEntry] // `*` alone: no expansion
         else dictCache.valuesIterator.filter(_.term.startsWith(terms.head))
@@ -96,9 +110,18 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
           .toArray.sortBy(_.termId).take(1024)
       case _ => terms.distinct.flatMap(dictCache.get).sortBy(_.termId)
     }
-    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
-    if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
-      return Array.empty
+
+  /** One serving job over this segment's resident partitions with
+    * CALLER-SUPPLIED statistics (idf map + avgdl): unranked per-bucket
+    * candidates. `pruned = false` forces the exhaustive disjunctive walk
+    * — required when the stats are global (multi-segment): stored block
+    * maxima were computed under per-segment stats and are not valid WAND
+    * bounds under different idf values. */
+  private[search] def rawScored(kind: String, text: String,
+                                terms: Array[String], entries: Array[DictEntry],
+                                idfByTid: Map[Long, Double], avgdl: Double,
+                                k: Int, lo: Long = 0L, hi: Long = Long.MaxValue,
+                                pruned: Boolean = true): Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits)
     val boolEval: Array[Boolean] => Boolean =
@@ -122,28 +145,82 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     }
     val nearWindow = if (kind == "NEAR") QueryParser.nearWindow(text) else 0
     val conjunctive = kind == "AND"
-    val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     val tids = entries.map(_.termId)
     val nTerms = entries.length
-    val avgdl = stats.avgDocLen
     val dlB = doclensB
     val pos = positional
     val kk = k
-
     val nw = nearWindow
     val rlo = lo
     val rhi = hi
     val bs = segment.params.bucketSize
+    val pr = pruned
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
-          boolEval))
+          boolEval, pr))
+    perPart.flatten
+  }
+}
 
-    val all = perPart.flatten
-    java.util.Arrays.sort(all, Ordering.by[Wand.Scored, (Double, Long)](s => (-s.score, s.docId)))
-    all.take(k).zipWithIndex.map { case (s, i) => Hit(qid, i + 1, s.docId, s.score) }
+/** Multi-segment serving tier — merge-on-read over un-compacted segments
+  * (the live LSM read path: base segment + streamed appends), at serving
+  * latency. Statistics are GLOBAL exactly as in MultiSearcher: N and
+  * avgdl combine across segments, per-term df sums across the segment
+  * dictionaries, and — because stored block maxima are not valid bounds
+  * under global stats — every segment walks exhaustively
+  * (pruned = false). docId ranges are disjoint by construction
+  * (StreamIndexer's high-watermark base), so per-segment candidates
+  * merge by (score desc, docId). Bit-identity to MultiSearcher's
+  * relational merge-on-read path is proven in ServingSpec.
+  */
+final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
+  require(segments.nonEmpty)
+  private val servers = segments.map(new ServingSearcher(spark, _))
+
+  /** Combined corpus stats — recomputed from docLens for exactness
+    * (same derivation as MultiSearcher). */
+  private val (numDocs: Long, avgdl: Double) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val totals = segments.map { s =>
+      s.docs.agg(count(lit(1)), coalesce(sum($"docLen".cast("long")), lit(0L)))
+        .as[(Long, Long)].head()
+    }
+    val n = totals.map(_._1).sum
+    val tok = totals.map(_._2).sum
+    (n, if (n == 0) 1.0 else tok.toDouble / n)
+  }
+
+  def close(): Unit = servers.foreach(_.close())
+
+  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] = {
+    val terms = QueryParser.termsFor(kind, text)
+    if (terms.isEmpty) return Array.empty
+    if (kind == "PHRASE" || kind == "NEAR")
+      require(segments.forall(_.params.positional),
+        s"$kind queries need positional segments (BuildParams.positional)")
+    val distinctTerms = terms.distinct
+    val perSeg = servers.map(_.entriesFor(kind, terms))
+    val dfByTerm: Map[String, Long] = perSeg.flatten
+      .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
+    if (dfByTerm.isEmpty || (needAll && dfByTerm.size < distinctTerms.length))
+      return Array.empty
+    val n = numDocs
+    val all = servers.zip(perSeg).flatMap { case (srv, entries) =>
+      if (entries.isEmpty || (needAll && entries.length < distinctTerms.length))
+        Array.empty[Wand.Scored]
+      else {
+        val idfByTid = entries
+          .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
+        srv.rawScored(kind, text, terms, entries, idfByTid, avgdl, k,
+          pruned = false)
+      }
+    }.toArray
+    ServingSearcher.rankMerge(all, k, qid)
   }
 }
 
@@ -152,6 +229,15 @@ object ServingSearcher {
   final val MaxResidentTerms: Long = 1L << 22
   /** Resident doc-length bound — matches Searcher.DoclenResidentLimit. */
   final val MaxResidentDocs: Long = 16L << 20
+
+  /** (score desc, docId asc) merge of per-partition/per-segment
+    * candidates into ranked top-k hits. */
+  private[search] def rankMerge(all: Array[Wand.Scored], k: Int,
+                                qid: Long): Array[Hit] = {
+    java.util.Arrays.sort(all,
+      Ordering.by[Wand.Scored, (Double, Long)](s => (-s.score, s.docId)))
+    all.take(k).zipWithIndex.map { case (s, i) => Hit(qid, i + 1, s.docId, s.score) }
+  }
 
   /** Static per-partition walk — captures nothing, safe to ship in the
     * runJob closure. Same per-bucket Wand walks as Searcher.scoredRaw. */
@@ -162,7 +248,8 @@ object ServingSearcher {
       nearWindow: Int, nTerms: Int, k: Int, positional: Boolean,
       lo: Long = 0L, hi: Long = Long.MaxValue,
       bucketSize: Long = Long.MaxValue,
-      boolEval: Array[Boolean] => Boolean = null): Array[Wand.Scored] = {
+      boolEval: Array[Boolean] => Boolean = null,
+      pruned: Boolean = true): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -196,7 +283,12 @@ object ServingSearcher {
             } else if (conjunctive) {
               if (plArr.length < nTerms) Array.empty[Wand.Scored]
               else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
-            } else Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
+            } else if (pruned)
+              Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
+            else
+              // multi-segment global stats: stored block maxima are not
+              // valid bounds — exhaustive walk, same as MultiSearcher
+              Wand.topKOrExhaustive(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
           res.iterator
       }
     }.toArray
