@@ -308,6 +308,8 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "REGEX", "re:(fast|slow|merge)", 20)),
     "ft_bool_nested" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "(fast OR slow) AND merge", 20)),
+    "ft_bool_not" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "BOOL", "merge AND NOT slow", 20)),
     "ft_highlight" -> ((s, dir) =>
       DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
     "ft_fielded" -> ((s, dir) =>
@@ -519,6 +521,8 @@ object SparkEntry {
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ft_bool_nested" -> boolSql(Seq("fast", "slow", "merge"),
       "(p_fast = 1 OR p_slow = 1) AND p_merge = 1", 20),
+    "ft_bool_not" -> boolSql(Seq("merge", "slow"),
+      "p_merge = 1 AND p_slow = 0", 20),
     "ft_highlight" ->
       s"""$tokCtes, w2 AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -2,13 +2,18 @@ package graft.search
 
 import graft.tokenize.Tokenizer
 
-/** Nested boolean query grammar — parens + AND/OR precedence over term
-  * atoms. Semantics pinned here (the reference tree was empty at survey
-  * time, SURVEY.md §0):
+/** Nested boolean query grammar — parens + AND/OR/NOT precedence over
+  * term atoms. Semantics pinned here (the reference tree was empty at
+  * survey time, SURVEY.md §0):
   *
   *   expr := and (OR and)*          -- OR binds loosest
   *   and  := atom ((AND)? atom)*    -- adjacent atoms are implicit AND
-  *   atom := '(' expr ')' | WORD
+  *   atom := NOT atom | '(' expr ')' | WORD
+  *
+  * Pure-negative queries (satisfied by a document containing none of the
+  * terms, e.g. `NOT x`) are rejected by the evaluators — their match set
+  * is a corpus-sized complement; embed the negation under a positive
+  * requirement (`a AND NOT x`) instead.
   *
   * A WORD atom runs through the shared code tokenizer; a word that
   * splits into several tokens (camelCase, snake_case) becomes the AND of
@@ -28,20 +33,24 @@ object BoolQuery {
   final case class Term(t: String) extends Expr
   final case class And(cs: List[Expr]) extends Expr
   final case class Or(cs: List[Expr]) extends Expr
+  final case class Not(c: Expr) extends Expr
 
-  /** True when the text needs the nested grammar: parentheses, or both
-    * connectives mixed in one flat query. */
+  /** True when the text needs the nested grammar: parentheses, a NOT,
+    * or both flat connectives mixed in one query. */
   def isNested(text: String): Boolean =
     text.contains("(") || text.contains(")") ||
+      text.split("\\s+").contains("NOT") ||
       (text.split("\\s+AND\\s+").length > 1 && text.contains(" OR "))
 
-  /** All distinct terms of the expression, sorted. */
+  /** All distinct terms of the expression (including under NOT — their
+    * presence must still be tested), sorted. */
   def terms(e: Expr): Array[String] = {
     val out = scala.collection.mutable.SortedSet.empty[String]
     def walk(x: Expr): Unit = x match {
       case Term(t) => out += t
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
+      case Not(c) => walk(c)
     }
     walk(e)
     out.toArray
@@ -61,7 +70,17 @@ object BoolQuery {
     case Or(cs) =>
       val fs = cs.map(compile(_, slot))
       p => fs.exists(_(p))
+    case Not(c) =>
+      val f = compile(c, slot)
+      p => !f(p)
   }
+
+  /** A query satisfiable by the all-absent presence vector matches every
+    * document containing NONE of its terms — a corpus-sized complement
+    * no index walk can (or should) enumerate. Callers reject these
+    * (`NOT x` alone); `a AND NOT x` is fine: its matches all contain a. */
+  def matchesEmpty(e: Expr, slot: Map[String, Int], nSlots: Int): Boolean =
+    compile(e, slot)(new Array[Boolean](nSlots))
 
   /** Can the expression be satisfied at all, given that only terms in
     * `known` can ever be present? (An AND containing an unknown term is
@@ -70,6 +89,7 @@ object BoolQuery {
     case Term(t) => known.contains(t)
     case And(cs) => cs.forall(satisfiable(_, known))
     case Or(cs) => cs.exists(satisfiable(_, known))
+    case Not(_) => true // a negation can always hold (conservative)
   }
 
   // ───────────────────────────── parser ───────────────────────────────
@@ -118,7 +138,7 @@ object BoolQuery {
       var more = true
       while (more && !eof) {
         if (peek == "AND") { at += 1; cs += atom() }
-        else if (peek != "OR" && peek != ")") cs += atom() // implicit AND
+        else if (peek != "OR" && peek != ")") cs += atom() // implicit AND (incl. NOT)
         else more = false
       }
       // a word that tokenized to nothing is the AND-neutral element
@@ -133,6 +153,13 @@ object BoolQuery {
     private def atom(): Expr = {
       require(!eof, "dangling connective: expected a term or '('")
       peek match {
+        case "NOT" =>
+          at += 1
+          Not(atom()) match {
+            // NOT of a dropped (sub-MinLen) atom is vacuous — drop it too
+            case Not(And(Nil)) => And(Nil)
+            case n => n
+          }
         case "(" =>
           at += 1
           val e = expr()

@@ -298,6 +298,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
         !BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
       return spark.emptyDataset[Hit]
     val slotByTerm = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
+    require(!BoolQuery.matchesEmpty(ast, slotByTerm, entries.length),
+      s"pure-negative boolean query '$text' matches a corpus-sized " +
+        "complement; add a positive requirement (a AND NOT x)")
     val eval = BoolQuery.compile(ast, slotByTerm)
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap

@@ -130,8 +130,11 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
         val ast = BoolQuery.parse(text)
         if (!BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
           return Array.empty
-        BoolQuery.compile(ast,
-          entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap)
+        val slot = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
+        require(!BoolQuery.matchesEmpty(ast, slot, entries.length),
+          s"pure-negative boolean query '$text' matches a corpus-sized " +
+            "complement; add a positive requirement (a AND NOT x)")
+        BoolQuery.compile(ast, slot)
       }
     val phraseSlots: Array[Long] = kind match {
       case "PHRASE" =>

@@ -80,6 +80,36 @@ class BoolQuerySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("NOT: parses with highest precedence, excludes docs, rejects pure negation") {
+    import graft.search.BoolQuery.Not
+    assert(BoolQuery.parse("aa AND NOT bb") ==
+      And(List(Term("aa"), Not(Term("bb")))))
+    assert(BoolQuery.parse("aa NOT bb") == // implicit AND before NOT
+      And(List(Term("aa"), Not(Term("bb")))))
+    assert(BoolQuery.parse("NOT (aa OR bb) AND cc") ==
+      And(List(Not(Or(List(Term("aa"), Term("bb")))), Term("cc"))))
+    assert(QueryParser.parse("aa AND NOT bb")._1 == "BOOL")
+
+    val ts = top2("")
+    val a = ts(0); val b = ts(1)
+    val got = searcher.hits("BOOL", s"$a AND NOT $b", 1000).collect().map(_.docId).toSet
+    import spark.implicits._
+    val byTerm = graft.search.ExactScorer.decodedPostings(spark, seg)
+      .toDF("termId", "docId", "tf")
+      .join(seg.dict.select($"termId", $"term"), "termId")
+      .select($"docId", $"term").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    val want = byTerm.collect { case (d, s) if s(a) && !s(b) => d }.toSet
+    assert(got == want)
+
+    // pure-negative queries reject loudly, relational AND serving path
+    intercept[IllegalArgumentException](
+      searcher.hits("BOOL", s"NOT $a", 10).collect())
+    val serving = new ServingSearcher(spark, seg)
+    intercept[IllegalArgumentException](serving.hits("BOOL", s"NOT $a", 10))
+    serving.close()
+  }
+
   test("unsatisfiable AND branch returns empty without error") {
     val ts = top2("")
     assert(searcher.hits("BOOL", s"${ts(0)} AND zzzznotaterm", 10).collect().isEmpty)
