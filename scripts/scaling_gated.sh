@@ -27,7 +27,7 @@ while [ "$collected" -lt "$PAIRS" ]; do
     # best of 2 trials in ONE JVM: excludes first-trial JVM/page-cache
     # warmup (measured ~90s at 600k/local[32]), which is amortized noise
     # at the design point, not a scaling property
-    line=$(SPARK_LOCAL_DIRS=/dev/shm/spark-local SPARK_DRIVER_MEM=48g \
+    line=$(SPARK_LOCAL_DIRS=/dev/shm/spark-local SPARK_DRIVER_MEM=${MEM:-48g} \
       SPARK_GRAFT_CPUS=$c SPARK_GRAFT_TRIALS=2 \
       sbt -batch "runMain graft.tools.BuildProfile $DOCS" 2>/dev/null \
       | grep -oE 'BEST [0-9.]+' | awk '{printf "%d", $2*1000}')

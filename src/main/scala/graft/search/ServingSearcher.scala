@@ -82,8 +82,23 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                  qid: Long = 0L): Array[Hit] =
     hitsImpl(kind, text, k, qid, lo, hi)
 
+  /** Fielded top-k (`lang:x`) — same bitset-filter semantics as
+    * Searcher.fieldedHits, at serving latency. Bitsets build once per
+    * (field, value) and stay broadcast. */
+  def fieldedHits(kind: String, text: String, k: Int, field: String,
+                  value: String, qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, 0L, Long.MaxValue, docFilterB(field, value))
+
+  private val filterCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]]]
+  private def docFilterB(field: String, value: String) =
+    filterCache.getOrElseUpdate((field, value),
+      sc.broadcast(ServingSearcher.bucketBitsets(segment, field, value)))
+
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
-                       lo: Long, hi: Long): Array[Hit] = {
+                       lo: Long, hi: Long,
+                       acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
+      : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     val entries = entriesFor(kind, terms)
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
@@ -91,7 +106,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       return Array.empty
     val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     val all = rawScored(kind, text, terms, entries, idfByTid, stats.avgDocLen,
-      k, lo, hi, pruned = true)
+      k, lo, hi, pruned = true, acceptB = acceptB)
     ServingSearcher.rankMerge(all, k, qid)
   }
 
@@ -121,7 +136,9 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 terms: Array[String], entries: Array[DictEntry],
                                 idfByTid: Map[Long, Double], avgdl: Double,
                                 k: Int, lo: Long = 0L, hi: Long = Long.MaxValue,
-                                pruned: Boolean = true): Array[Wand.Scored] = {
+                                pruned: Boolean = true,
+                                acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
+      : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits)
     val boolEval: Array[Boolean] => Boolean =
@@ -158,12 +175,13 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val rhi = hi
     val bs = segment.params.bucketSize
     val pr = pruned
+    val ab = acceptB
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
-          boolEval, pr))
+          boolEval, pr, if (ab == null) null else ab.value))
     perPart.flatten
   }
 }
@@ -233,6 +251,34 @@ object ServingSearcher {
   /** Resident doc-length bound — matches Searcher.DoclenResidentLimit. */
   final val MaxResidentDocs: Long = 16L << 20
 
+  /** Sentinel accept function: this bucket has no docs passing the
+    * filter — skip its walk entirely. */
+  private[search] val RejectAll: Long => Boolean = _ => false
+
+  /** Per-bucket docId bitsets for a docmap field predicate, built
+    * executor-side and collected as ≤ bucketSize/8-byte blocks (driver
+    * residency numDocs/8 bytes — the resident-doclens regime this tier
+    * already enforces). Shared with Searcher.docFilter. */
+  private[search] def bucketBitsets(segment: Segment, field: String,
+                                    value: String): Map[Int, Array[Long]] = {
+    val spark = segment.docs.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val bs = segment.params.bucketSize
+    segment.docs.filter(col(field) === value)
+      .select(col("docId")).as[Long]
+      .groupByKey(d => (d / bs).toInt)
+      .mapGroups { (bucket, it) =>
+        val bits = new Array[Long](((bs + 63) / 64).toInt)
+        it.foreach { d =>
+          val off = (d - bucket.toLong * bs).toInt
+          bits(off >> 6) |= 1L << (off & 63)
+        }
+        (bucket, bits)
+      }
+      .collect().toMap
+  }
+
   /** (score desc, docId asc) merge of per-partition/per-segment
     * candidates into ranked top-k hits. */
   private[search] def rankMerge(all: Array[Wand.Scored], k: Int,
@@ -252,7 +298,8 @@ object ServingSearcher {
       lo: Long = 0L, hi: Long = Long.MaxValue,
       bucketSize: Long = Long.MaxValue,
       boolEval: Array[Boolean] => Boolean = null,
-      pruned: Boolean = true): Array[Wand.Scored] = {
+      pruned: Boolean = true,
+      acceptBits: Map[Int, Array[Long]] = null): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -263,7 +310,17 @@ object ServingSearcher {
       pl.bucket >= loBucket && pl.bucket <= hiBucket)
     if (lists.isEmpty) return Array.empty
     lists.groupBy(_.bucket).iterator.flatMap { case (bucket, plArr) =>
-      doclens.get(bucket) match {
+      // fielded filter: a bucket with no matching docs walks nothing
+      val accept: Long => Boolean =
+        if (acceptBits == null) null
+        else acceptBits.get(bucket) match {
+          case None => ServingSearcher.RejectAll
+          case Some(bits) =>
+            val base = bucket.toLong * bucketSize
+            d => { val off = (d - base).toInt; (bits(off >> 6) & (1L << (off & 63))) != 0L }
+        }
+      if (accept eq ServingSearcher.RejectAll) Iterator.empty
+      else doclens.get(bucket) match {
         case None => Iterator.empty
         case Some((firstDocId, lens)) =>
           val res =
@@ -272,7 +329,7 @@ object ServingSearcher {
               val slots = tids.map(tid => plByTid.get(tid)
                 .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
                 .orNull)
-              Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval)
+              Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept)
             } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]
@@ -280,18 +337,18 @@ object ServingSearcher {
                 val slots = phraseSlots.map(tid =>
                   new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
                 if (nearWindow > 0)
-                  Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow)
-                else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k)
+                  Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept)
+                else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept)
               }
             } else if (conjunctive) {
               if (plArr.length < nTerms) Array.empty[Wand.Scored]
-              else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
+              else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept)
             } else if (pruned)
-              Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
+              Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept)
             else
               // multi-segment global stats: stored block maxima are not
               // valid bounds — exhaustive walk, same as MultiSearcher
-              Wand.topKOrExhaustive(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k)
+              Wand.topKOrExhaustive(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept)
           res.iterator
       }
     }.toArray

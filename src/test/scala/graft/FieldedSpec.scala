@@ -59,6 +59,20 @@ class FieldedSpec extends SparkSpec {
     assert(got.forall(h => langDocs(h.docId)))
   }
 
+  test("serving tier fielded hits are bit-identical to the relational path") {
+    val lang = seg.docs.groupBy(col("lang")).count()
+      .orderBy(desc("count")).limit(1).collect().head.getString(0)
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val q = s"${terms(0)} ${terms(1)}"
+    val rel = searcher.fieldedHits("FREE", q, 10, "lang", lang).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val serving = new graft.search.ServingSearcher(spark, seg)
+    val srv = serving.fieldedHits("FREE", q, 10, "lang", lang)
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    serving.close()
+    assert(rel.nonEmpty && srv == rel)
+  }
+
   test("scoped + fielded compose: repo range AND lang filter") {
     val repo = seg.docs.groupBy(col("repo")).count()
       .orderBy(desc("count")).limit(1).collect().head.getString(0)
