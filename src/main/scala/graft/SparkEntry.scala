@@ -219,8 +219,11 @@ object SparkEntry {
        |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
        |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
-  private val jaccardSql: String =
-    """WITH w AS (
+  /** Shared CTE block computing exact 3-gram Jaccard pairs ≥ 0.5 as
+    * `jpairs(doc_a, doc_b, jac)` — reused by the pair query and the
+    * clustering twin. */
+  private val jaccardCtes: String =
+    """w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id, ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS s
@@ -232,11 +235,15 @@ object SparkEntry {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |)
-      |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac
-      |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |), jpairs AS (
+      |  SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac
+      |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+      |)""".stripMargin
+
+  private val jaccardSql: String =
+    s"""WITH $jaccardCtes
+       |SELECT doc_a, doc_b, jac FROM jpairs ORDER BY doc_a, doc_b""".stripMargin
 
   private val embedDupSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -339,6 +346,12 @@ object SparkEntry {
     // per-pair miss probability < 3e-4 at cos = 0.4, deterministic seed)
     "dedup_embed_lsh" -> ((s, dir) =>
       annIndex(s, dir, "neardup").nearDupPairs(0.4).orderBy("doc_a", "doc_b")),
+    // pairs -> duplicate GROUPS: connected components (large-star/
+    // small-star) with the min doc_id as the deterministic canonical
+    "dedup_clusters" -> ((s, dir) =>
+      graft.pipeline.Components.connectedComponents(
+        Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5))
+        .orderBy("doc_id")),
 
     // ── similarity search ──
     "ann_topk" -> ((s, dir) => {
@@ -471,7 +484,14 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(avg("k"), 6).as("avg_k"))
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+    // the streaming windowed-agg operator on a bounded frame (watermark
+    // is a no-op in batch) — its unbounded behavior (late-event drop,
+    // state finalization) is covered in StreamingSpec
+    "q_events_hourly" -> ((s, dir) =>
+      graft.streaming.StreamStats.windowedCounts(
+        s.read.parquet(s"$dir/events.parquet"), "1 hour", "1 hour")
+        .orderBy("win_start", "event_type")))
 
   // ─────────────────────────── oracle SQL ─────────────────────────────
   def oracleSql: Map[String, String] = Map(
@@ -604,6 +624,21 @@ object SparkEntry {
         |ORDER BY text_sha""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
     "dedup_minhash" -> jaccardSql, // LSH banding at J≈0.99 pairs: recall 1 − (1−J⁴)¹⁶ ≈ 1
+    // transitive closure of the exact-Jaccard pair graph (recursive CTE)
+    // — component = min reachable doc_id, the same canonical rule
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS doc_id, least(u, min(v))::BIGINT AS component
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dedup_embed" -> embedDupSql,
     // the LSH path is exact-verified, and at these parameters its recall
     // on the testdata is total — so it shares the exact oracle, the same
@@ -733,5 +768,10 @@ object SparkEntry {
     "q_events_json" ->
       """SELECT event_type, count(*)::BIGINT AS cnt,
         |       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*)::BIGINT AS cnt,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

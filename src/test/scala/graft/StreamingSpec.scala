@@ -6,7 +6,7 @@ import graft.build.BuildParams
 import graft.corpus.Synthesizer
 import graft.index.IndexStorage
 import graft.search.MultiSearcher
-import graft.streaming.StreamIndexer
+import graft.streaming.{StreamIndexer, StreamStats}
 
 /** Incremental streaming ingestion — SURVEY §2.5 "Streaming" row: one
   * segment per micro-batch via Trigger.AvailableNow + foreachBatch,
@@ -81,5 +81,71 @@ class StreamingSpec extends SparkSpec {
     assert(idSets(1).min % 100 == 0 && idSets(1).min > idSets(0).max)
     assert(idSets(2).min % 100 == 0 && idSets(2).min > idSets(1).max)
     segs.foreach(_.unpersist())
+  }
+
+  test("watermarked windowed aggregation drops late events, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600L * 1000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamStats.windowedCounts(events, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("update").start()
+    try {
+      // batch 1: events in hours 0 and 1
+      mem.addData((ts(0), "a", 1.0), (ts(0), "a", 2.0), (ts(1), "b", 3.0))
+      q.processAllAvailable()
+      // batch 2: hour 5 advances the watermark to hour 4...
+      mem.addData((ts(5), "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: ...so an hour-0 straggler is LATE and must be dropped
+      mem.addData((ts(0), "a", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .groupBy($"win_start", $"event_type")
+        .agg(max($"cnt").as("cnt"), max($"sum_value").as("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2026-01-01 00:00:00", "a", 2L, 3.0),   // straggler NOT counted
+        ("2026-01-01 01:00:00", "b", 1L, 3.0),
+        ("2026-01-01 05:00:00", "a", 1L, 1.0)))
+      // same operator on a bounded frame == a plain groupBy (the twin)
+      val batch = StreamStats.windowedCounts(
+        Seq((ts(0), "a", 1.0), (ts(0), "a", 2.0), (ts(1), "b", 3.0))
+          .toDF("ts", "event_type", "value"), "1 hour", "1 hour")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(batch == Set(
+        ("2026-01-01 00:00:00", "a", 2L), ("2026-01-01 01:00:00", "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-source stats across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamStats.runningSourceStats(mem.toDS())
+      .toDF("source", "n_docs", "n_tokens")
+      .writeStream.format("memory").queryName("srcstats")
+      .outputMode("update").start()
+    try {
+      mem.addData(("s1", "alpha beta"), ("s1", "gamma"), ("s2", "delta epsilon zeta"))
+      q.processAllAvailable()
+      mem.addData(("s1", "eta theta"))
+      q.processAllAvailable()
+      val last = spark.table("srcstats")
+        .groupBy($"source")
+        .agg(org.apache.spark.sql.functions.max($"n_docs").as("d"),
+          org.apache.spark.sql.functions.max($"n_tokens").as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // state carried across batches: s1 = 3 docs / 5 tokens total
+      assert(last == Set(("s1", 3L, 5L), ("s2", 1L, 3L)))
+    } finally q.stop()
   }
 }
