@@ -319,6 +319,10 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "BOOL", "merge AND NOT slow", 20)),
     "ft_highlight" -> ((s, dir) =>
       DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
+    "ft_facets" -> ((s, dir) => {
+      val (_, searcher, _) = DocsIndex.get(s, dir)
+      searcher.facets("FREE", "fast merge", "lang").orderBy("lang")
+    }),
     "ft_fielded" -> ((s, dir) =>
       DocsIndex.fieldedRankedHits(s, dir, "lang:fr fast merge sort", 20)),
     "ft_fielded_combo" -> ((s, dir) =>
@@ -543,6 +547,12 @@ object SparkEntry {
       "(p_fast = 1 OR p_slow = 1) AND p_merge = 1", 20),
     "ft_bool_not" -> boolSql(Seq("merge", "slow"),
       "p_merge = 1 AND p_slow = 0", 20),
+    "ft_facets" ->
+      s"""$tokCtes
+         |SELECT d.lang, count(DISTINCT tf.doc_id)::BIGINT AS n_docs
+         |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+         |WHERE tf.term IN ('fast', 'merge')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ft_highlight" ->
       s"""$tokCtes, w2 AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -508,6 +508,48 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "term", "pos")
   }
 
+  /** Facet counts over ALL matching documents (not just top-k) — the
+    * code-search sidebar: how many hits per lang / per repo. Matching =
+    * the kind's own semantics (OR: any term; AND: all terms). The doc
+    * set comes straight from the postings (termId pushdown, per-bucket
+    * distinct-ish aggregation), then one hash aggregation against the
+    * docmap — no scoring, no decode of positions, no top-k walk. */
+  def facets(kind: String, text: String, facetCol: String): DataFrame = {
+    val terms = QueryParser.termsFor(kind, text)
+    val entries = kind match {
+      case "PREFIX" => dictLookupPrefix(terms.head)
+      case "REGEX" => dictLookupRegex(terms.head)
+      case _ => dictLookup(terms.distinct)
+    }
+    val needAll = kind == "AND"
+    if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
+      return spark.emptyDataFrame
+        .withColumn(facetCol, lit("")).withColumn("n_docs", lit(0L))
+    val tids = entries.map(_.termId)
+    val nTerms = entries.length
+    val positional = segment.params.positional
+    // matching docIds, decoded per posting list (docIds only — tf/position
+    // bytes are skipped by the cursor), distinct within the aggregation
+    val matching = segment.postings
+      .filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
+      .flatMap { pl =>
+        val c = new graft.codec.PostingCodec.Cursor(
+          pl.numDocs, pl.lastDocIds, pl.maxImpacts, pl.offsets, pl.bytes, positional)
+        val out = new Array[Long](pl.numDocs)
+        var i = 0
+        while (i < pl.numDocs) { out(i) = c.docId; c.next(); i += 1 }
+        out
+      }
+    val docSet =
+      if (needAll)
+        matching.groupByKey(identity).count()
+          .filter(_._2 == nTerms.toLong).map(_._1).toDF("docId")
+      else matching.distinct().toDF("docId")
+    docSet.join(segment.docs, "docId")
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Hits joined back to the doc map (SURVEY §2.4 Q9). The HITS side is
     * broadcast — it is ≤k rows by construction, while the docmap is
     * corpus-sized (10^12 rows at the design point): broadcasting the

@@ -59,6 +59,28 @@ class FieldedSpec extends SparkSpec {
     assert(got.forall(h => langDocs(h.docId)))
   }
 
+  test("facets: per-lang matching-doc counts for OR and AND semantics") {
+    import spark.implicits._
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val byDoc = graft.search.ExactScorer.decodedPostings(spark, seg)
+      .toDF("termId", "docId", "tf")
+      .join(seg.dict.select($"termId", $"term"), "termId")
+      .select($"docId", $"term").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    val langOf = seg.docs.select($"docId", $"lang").as[(Long, String)]
+      .collect().toMap
+    def brute(pred: Set[String] => Boolean): Map[String, Long] =
+      byDoc.collect { case (d, s) if pred(s) => langOf(d) }
+        .groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+
+    val orGot = searcher.facets("FREE", s"${terms(0)} ${terms(1)}", "lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(orGot == brute(s => s(terms(0)) || s(terms(1))))
+    val andGot = searcher.facets("AND", s"${terms(0)} AND ${terms(1)}", "lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(andGot == brute(s => s(terms(0)) && s(terms(1))))
+  }
+
   test("serving tier fielded hits are bit-identical to the relational path") {
     val lang = seg.docs.groupBy(col("lang")).count()
       .orderBy(desc("count")).limit(1).collect().head.getString(0)
