@@ -21,14 +21,24 @@ final case class BuildParams(
     numPartitions: Int = 32,
     bucketSize: Long = 1L << 20,
     /** Terms with df above this get the salted two-stage shuffle
-      * (SURVEY §2.3 I4). */
+      * (SURVEY §2.3 I4) — row-encode fallback path only; the map-side
+      * run path needs no salting (a term's per-partition runs are
+      * already the partial aggregation salting approximates). */
     saltThreshold: Long = 1L << 20,
     numSalts: Int = 16,
     segId: Long = 0L,
     /** Store per-posting term positions (codec v2) — enables phrase
       * queries at ~1.5-2x posting bytes; scoring walks skip position
       * bytes without decoding them. */
-    positional: Boolean = false)
+    positional: Boolean = false,
+    /** Pack sorted posting RUNS map-side and shuffle compressed bytes
+      * (~5 B/posting) instead of posting rows (~40 B/posting) — the
+      * classic local-index-then-merge build. Requires per-partition
+      * ascending docIds (true for fresh builds from numbered rows) and a
+      * driver-resident dictionary; falls back to the row shuffle
+      * otherwise. Off switches every encode to the row path (test
+      * cross-check). */
+    mapSideRuns: Boolean = true)
 
 /** The built index for one segment — all artifacts as typed Datasets.
   * `stats` is driver-side (tiny, broadcast at query time). */
@@ -70,10 +80,29 @@ final case class BuildReport(
   *   2. groupBy(term) — dictionary df/cf (I1) [tf itself needs NO shuffle:
   *      per-doc tf is computed inside the tokenize flatMap, since one
   *      document's tokens live in one row]
-  *   3. tf ⋈ dict on term — broadcast when dict is small, else sort-merge
-  *   4. repartition(bucket,termId[,salt]) + sortWithinPartitions — posting
-  *      runs (I3/I4); hot terms (df > saltThreshold) take the salted
-  *      two-stage path: partial runs per salt, k-way merged per term.
+  *   3. tf ⋈ dict on term — resolved DRIVER-SIDE (binary search against
+  *      the broadcast term array) on the run path, so the tf side never
+  *      shuffles on term; the row fallback broadcast-joins when the dict
+  *      is small, else sort-merge
+  *   4. posting encode — two plans:
+  *      a. RUN path (default, fresh builds): each input partition packs
+  *         its per-(bucket,term) postings into delta+VByte RUNS in one
+  *         narrow pass (docIds are ascending within a partition — ids
+  *         are sort ranks, so NO sort is needed anywhere), then ONLY the
+  *         packed bytes (~5 B/posting incl. doc length) shuffle,
+  *         grouped by (bucket,term), and concatenate + re-pack — the
+  *         classic local-index/merge build (e.g. Zobel & Moffat ACM
+  *         CS'06 §5). ~8x less shuffle volume than posting rows, and
+  *         hot terms need no salting: a term's ≤numPartitions runs ARE
+  *         its partial aggregation.
+  *      b. ROW fallback (merges, non-broadcastable dicts):
+  *         repartition(bucket,termId[,salt]) + sortWithinPartitions —
+  *         posting runs (I3/I4); hot terms (df > saltThreshold) take
+  *         the salted two-stage path: partial runs per salt, k-way
+  *         merged per term.
+  *      Both plans produce byte-identical artifacts (asserted in
+  *      IndexBuildSpec): the run path re-packs from the same full
+  *      arrays with impacts recomputed by the same IEEE expression.
   */
 /** One daemon thread for the build's concurrent side-track: enough to
   * overlap the docs/doclens jobs with the dict/postings jobs without
@@ -88,6 +117,11 @@ private object BuildPool {
 }
 
 object SegmentBuilder {
+
+  /** One map-side packed posting run: a partition's postings for one
+    * (bucket, term), delta+VByte bytes of (gap, tf, dl[, positions]).
+    * The ONLY thing the run path shuffles. */
+  final case class Run(bucket: Int, termId: Long, n: Int, bytes: Array[Byte])
 
   /** Build-time intermediate: one posting before encoding. */
   final case class PRow(bucket: Int, termId: Long, docId: Long, tf: Int, impact: Double)
@@ -213,8 +247,10 @@ object SegmentBuilder {
 
     // ── I3/I4/I5/I6: encode (shared with the log-structured merge) ────
     sc.setJobDescription("graft: posting encode + stats agg")
+    // partitionSorted: tf flows narrowly from the range-sorted numbered
+    // corpus, so docIds ascend within every partition — run path eligible.
     val postings = encodePostings(spark, tf.toDF(), dict, numDocs, avgdl, params,
-      numTermsHint = numTerms)
+      numTermsHint = numTerms, partitionSorted = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (numPostings, bytesCompressed) = postings
       .agg(coalesce(sum($"numDocs".cast("long")), lit(0L)),
@@ -249,13 +285,21 @@ object SegmentBuilder {
     * vocabulary exceeds this and falls back to sort-merge. */
   val DictBroadcastLimit: Long = 4L << 20
 
+  /** `partitionSorted`: caller guarantees docIds are ascending within
+    * every partition of `tfDf` (true for fresh builds — tf rows flow
+    * narrowly from the range-sorted numbered corpus) — enables the
+    * map-side run path. Merges/re-encodes pass false (their tf rows
+    * come through joins) and take the row shuffle. */
   def encodePostings(spark: SparkSession, tfDf: DataFrame,
                      dict: Dataset[DictEntry], numDocs: Long, avgdl: Double,
-                     params: BuildParams, numTermsHint: Long = -1L): Dataset[PostingList] = {
+                     params: BuildParams, numTermsHint: Long = -1L,
+                     partitionSorted: Boolean = false): Dataset[PostingList] = {
     import spark.implicits._
     val bucketSize = params.bucketSize
     val dictSlim = dict.select($"termId", $"term", $"df")
     val numTerms = if (numTermsHint >= 0) numTermsHint else dict.count()
+    if (partitionSorted && params.mapSideRuns && numTerms <= DictBroadcastLimit)
+      return encodePostingsRuns(spark, tfDf, dict, numDocs, avgdl, params)
     val dictSide =
       if (numTerms <= DictBroadcastLimit) broadcast(dictSlim) else dictSlim
     // impact computed as native Column arithmetic — stays inside
@@ -322,6 +366,142 @@ object SegmentBuilder {
             mergeRuns(key._1, key._2, runs))
 
     coldLists.union(hotLists)
+  }
+
+  /** Growable VByte stream for one map-side run. Appends must be in
+    * strictly ascending docId order (the partitionSorted contract). */
+  private final class RunBuilder {
+    private var prev = -1L
+    var n = 0
+    private var buf = new Array[Byte](48)
+    private var pos = 0
+    @inline private def ensure(extra: Int): Unit =
+      if (pos + extra > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length << 1, pos + extra))
+    def add(docId: Long, tf: Int, dl: Int, ps: Array[Int]): Unit = {
+      require(docId > prev,
+        s"run path requires ascending docIds per partition: $docId after $prev")
+      ensure((3 + (if (ps == null) 0 else ps.length)) * graft.codec.VByte.MaxBytes)
+      pos = graft.codec.VByte.encode(docId - prev, buf, pos)
+      pos = graft.codec.VByte.encode(tf.toLong, buf, pos)
+      pos = graft.codec.VByte.encode(dl.toLong, buf, pos)
+      if (ps != null) {
+        var pprev = -1L
+        var j = 0
+        while (j < ps.length) {
+          pos = graft.codec.VByte.encode(ps(j) - pprev, buf, pos)
+          pprev = ps(j)
+          j += 1
+        }
+      }
+      prev = docId
+      n += 1
+    }
+    def bytes(): Array[Byte] = java.util.Arrays.copyOf(buf, pos)
+  }
+
+  /** The run path: one narrow pass packs per-(bucket,term) runs, only
+    * packed bytes shuffle, the reduce concatenates runs (disjoint
+    * ascending docId ranges — partitions hold contiguous id ranges),
+    * recomputes impacts with the SAME IEEE expression as the row path's
+    * codegen column, and packs the final list. Term→(termId, df)
+    * resolves by binary search against the broadcast term array — dense
+    * termIds are assigned in term sort order (I1), so the termId IS the
+    * array index. */
+  private def encodePostingsRuns(spark: SparkSession, tfDf: DataFrame,
+                                 dict: Dataset[DictEntry], numDocs: Long,
+                                 avgdl: Double, params: BuildParams): Dataset[PostingList] = {
+    import spark.implicits._
+    val entries = dict.select($"termId", $"term", $"df")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    entries.indices.foreach { i =>
+      require(entries(i)._1 == i, s"dict termIds not dense at $i: ${entries(i)}")
+      require(i == 0 || entries(i - 1)._2 < entries(i)._2,
+        "dict terms not in sort order — run path requires I1 term-ordered ids")
+    }
+    val terms: Array[String] = entries.map(_._2)
+    val dfs: Array[Long] = entries.map(_._3)
+    val bcTerms = spark.sparkContext.broadcast(terms)
+    val bcDfs = spark.sparkContext.broadcast(dfs)
+    val bucketSize = params.bucketSize
+    val positional = params.positional
+
+    def runsOf(rows: Iterator[(Long, String, Int, Int, Array[Int])]): Iterator[Run] = {
+      val ts = bcTerms.value
+      val acc = new mutable.LongMap[RunBuilder]()
+      rows.foreach { case (docId, term, tf, dl, ps) =>
+        val tid = java.util.Arrays.binarySearch(
+          ts.asInstanceOf[Array[AnyRef]], term)
+        require(tid >= 0, s"term not in dictionary: '$term'")
+        val bucket = (docId / bucketSize).toInt
+        val key = (bucket.toLong << 41) | tid.toLong
+        acc.getOrElseUpdate(key, new RunBuilder)
+          .add(docId, tf, dl, if (positional) ps else null)
+      }
+      acc.iterator.map { case (key, b) =>
+        Run((key >>> 41).toInt, key & ((1L << 41) - 1), b.n, b.bytes())
+      }
+    }
+
+    val runs: Dataset[Run] =
+      if (positional)
+        tfDf.select($"docId", $"term", $"tf", $"dl", $"pos")
+          .as[(Long, String, Int, Int, Array[Int])]
+          .mapPartitions(runsOf)
+      else
+        tfDf.select($"docId", $"term", $"tf", $"dl")
+          .as[(Long, String, Int, Int)]
+          .mapPartitions(it => runsOf(it.map(r => (r._1, r._2, r._3, r._4, null))))
+
+    runs.groupByKey(r => (r.bucket, r.termId))
+      .mapGroups { (key: (Int, Long), it: Iterator[Run]) =>
+        mergeRunBytes(key._1, key._2, it, bcDfs.value(key._2.toInt),
+          numDocs, avgdl, positional)
+      }
+  }
+
+  /** Decode a (bucket,term)'s runs — sorted by first docId, ranges must
+    * be disjoint — into full arrays, recompute impacts, pack once. The
+    * output is byte-identical to the row path's pack of the same list. */
+  private def mergeRunBytes(bucket: Int, termId: Long, runsIt: Iterator[Run],
+                            df: Long, numDocs: Long, avgdl: Double,
+                            positional: Boolean): PostingList = {
+    import graft.codec.VByte
+    val runs = runsIt.toArray.sortBy(r => VByte.decode(r.bytes, 0) - 1)
+    val total = runs.map(_.n).sum
+    val ids = new Array[Long](total)
+    val tfs = new Array[Int](total)
+    val imps = new Array[Double](total)
+    val poss = if (positional) new Array[Array[Int]](total) else null
+    val idf = BM25.idf(numDocs, df)
+    var i = 0
+    var last = -1L
+    runs.foreach { run =>
+      val c = new VByte.Cursor(run.bytes, 0)
+      var prev = -1L
+      var j = 0
+      while (j < run.n) {
+        prev += c.read()
+        val tf = c.read().toInt
+        val dl = c.read().toInt
+        require(prev > last,
+          s"overlapping docId ranges across runs of (bucket=$bucket, termId=$termId)")
+        if (positional) {
+          val ps = new Array[Int](tf)
+          var p = -1L
+          var x = 0
+          while (x < tf) { p += c.read(); ps(x) = p.toInt; x += 1 }
+          poss(i) = ps
+        }
+        ids(i) = prev
+        tfs(i) = tf
+        imps(i) = BM25.impact(idf, tf, dl, avgdl)
+        last = prev
+        i += 1
+        j += 1
+      }
+    }
+    packList(bucket, termId, ids, tfs, imps, poss)
   }
 
   /** Per-bucket doc-length blocks. firstDocId = the segment's first docId

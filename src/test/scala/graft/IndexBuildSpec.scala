@@ -129,19 +129,39 @@ class IndexBuildSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("salted build (all terms hot) produces byte-identical postings") {
+  private def fingerprint(s: Segment): Seq[(Int, Long, Int, String, Seq[Float])] = {
+    import spark.implicits._
+    s.postings.map(pl => (pl.bucket, pl.termId, pl.numDocs,
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256").digest(pl.bytes)),
+      pl.maxImpacts.toSeq))
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+  }
+
+  test("salted row build (all terms hot) is byte-identical to the run build") {
     val corpus = Synthesizer.tiny(spark)
     val (segSalted, _) = SegmentBuilder.build(spark, DatasetCorpusSource(corpus),
-      params.copy(saltThreshold = 2, numSalts = 4))
-    def fingerprint(s: Segment): Seq[(Int, Long, Int, String)] = {
-      import spark.implicits._
-      s.postings.map(pl => (pl.bucket, pl.termId, pl.numDocs,
-        java.util.Base64.getEncoder.encodeToString(
-          java.security.MessageDigest.getInstance("SHA-256").digest(pl.bytes))))
-        .collect().sortBy(r => (r._1, r._2)).toSeq
-    }
+      params.copy(saltThreshold = 2, numSalts = 4, mapSideRuns = false))
     assert(fingerprint(segSalted) == fingerprint(seg))
     segSalted.unpersist()
+  }
+
+  test("cold row build is byte-identical to the run build (incl. block maxima)") {
+    val corpus = Synthesizer.tiny(spark)
+    val (segRow, _) = SegmentBuilder.build(spark, DatasetCorpusSource(corpus),
+      params.copy(mapSideRuns = false))
+    assert(fingerprint(segRow) == fingerprint(seg))
+    segRow.unpersist()
+  }
+
+  test("positional run build is byte-identical to the positional row build") {
+    val corpus = Synthesizer.tiny(spark)
+    val (segRuns, _) = SegmentBuilder.build(spark, DatasetCorpusSource(corpus),
+      params.copy(positional = true))
+    val (segRow, _) = SegmentBuilder.build(spark, DatasetCorpusSource(corpus),
+      params.copy(positional = true, mapSideRuns = false))
+    assert(fingerprint(segRuns) == fingerprint(segRow))
+    segRuns.unpersist(); segRow.unpersist()
   }
 
   test("duplicate corpus rows dedup inside the id-assignment sort (no extra shuffle)") {
