@@ -73,9 +73,15 @@ object SparkEntry {
 
   // ───────────────────────── shared SQL fragments ─────────────────────
   /** Tokenize + tf + dl + stats CTEs over `documents` (DuckDB dialect). */
-  private val tokCtes: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  /** Tokenize + tf + dl + stats CTEs over a documents source (DuckDB
+    * dialect). `docsSrc` defaults to the full table; the purged-index
+    * twin passes a filtered subquery so every statistic (N, avgdl, df)
+    * recomputes over the survivors, exactly as SegmentMerger.purge does. */
+  private def tokCtesOver(docsSrc: String): String =
+    s"""WITH docs_src AS (
+      |  SELECT * FROM $docsSrc
+      |), tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs_src
       |), tok2 AS (
       |  SELECT doc_id, term FROM tok WHERE length(term) >= 2
       |), tf AS (
@@ -84,18 +90,25 @@ object SparkEntry {
       |  SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY 1
       |), alldl AS (
       |  SELECT d.doc_id, coalesce(dl.dl, 0)::BIGINT AS dl
-      |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+      |  FROM docs_src d LEFT JOIN dl ON d.doc_id = dl.doc_id
       |), stats AS (
       |  SELECT count(*)::BIGINT AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM alldl
       |), df AS (
       |  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1
       |)""".stripMargin
 
-  /** BM25 top-k twin: free-text/OR = any term; AND requires all terms. */
-  private def bm25Sql(terms: Seq[String], conjunctive: Boolean, k: Int): String = {
+  private val tokCtes: String = tokCtesOver("documents")
+
+  /** BM25 top-k twin: free-text/OR = any term; AND requires all terms.
+    * `exclude` filters result docs WITHOUT touching the statistics CTEs
+    * (the live-delete twin); `docsSrc` narrows the corpus itself so the
+    * statistics recompute (the purge twin). */
+  private def bm25Sql(terms: Seq[String], conjunctive: Boolean, k: Int,
+                      docsSrc: String = "documents",
+                      exclude: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val having = if (conjunctive) s"HAVING count(*) = ${terms.length}" else ""
-    s"""$tokCtes, sc AS (
+    s"""${tokCtesOver(docsSrc)}, sc AS (
        |  SELECT tf.doc_id,
        |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
        |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
@@ -103,7 +116,7 @@ object SparkEntry {
        |  JOIN df USING (term)
        |  JOIN alldl USING (doc_id)
        |  CROSS JOIN stats
-       |  WHERE tf.term IN ($inList)
+       |  WHERE tf.term IN ($inList) $exclude
        |  GROUP BY tf.doc_id
        |  $having
        |)
@@ -350,6 +363,10 @@ object SparkEntry {
       DocsIndex.fieldedRankedHits(s, dir, "lang:fr fast merge sort", 20)),
     "ft_fielded_combo" -> ((s, dir) =>
       DocsIndex.fieldedRankedHits(s, dir, "repo:src3 lang:en fast merge sort", 10)),
+    "ft_deleted" -> ((s, dir) =>
+      DocsIndex.deletedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
+    "ft_purged" -> ((s, dir) =>
+      DocsIndex.purgedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -646,6 +663,16 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // live deletes: result docs filtered, statistics CTEs untouched —
+    // the filter-doesn't-rescale contract of Searcher.deletedHits
+    "ft_deleted" ->
+      bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false,
+        k = 20, exclude = "AND tf.doc_id % 7 <> 3"),
+    // compacted deletes: the corpus itself narrows, so N/avgdl/df (and
+    // with them every score) recompute — SegmentMerger.purge semantics
+    "ft_purged" ->
+      bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false,
+        k = 20, docsSrc = "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
     "ft_scoped" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

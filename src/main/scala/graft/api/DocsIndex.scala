@@ -25,7 +25,7 @@ object DocsIndex {
 
   /** Drop memoized segments (tests only: a suite-level clearCache()
     * uncaches the datasets a memoized segment still references). */
-  private[graft] def reset(): Unit = cache.clear()
+  private[graft] def reset(): Unit = { cache.clear(); purgedCache.clear() }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -167,9 +167,59 @@ object DocsIndex {
       .orderBy("doc_id", "term", "pos")
   }
 
+  /** Deterministic tombstone fixture shared with the DuckDB twins: the
+    * documents whose external `doc_id % 7 == 3` (≈14% of the corpus) are
+    * deleted. Returns INTERNAL docIds via the docmap. */
+  def deletedDocIds(spark: SparkSession, sfDir: String): Dataset[Long] = {
+    import spark.implicits._
+    val (seg, _, _) = get(spark, sfDir)
+    seg.docs.filter(col("path").cast("long") % 7 === 3)
+      .select(col("docId")).as[Long]
+  }
+
+  /** Top-k with the tombstone fixture excluded — LIVE deletes: scores
+    * keep the full-corpus statistics (filter-doesn't-rescale, the
+    * pre-compaction posture); excluded docs are skipped inside the walks
+    * via the per-bucket tombstone bitset. */
+  def deletedRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                        text: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir,
+      searcher.deletedHits(kind, text, k + 50, "mod7",
+        deletedDocIds(spark, sfDir)), k)
+  }
+
+  /** The same tombstones COMPACTED away: the purged segment carries
+    * recomputed statistics (N, avgdl, df — and re-baked impacts/block
+    * maxima), so scores differ from the live-delete path exactly as an
+    * LSM engine's do after a merge. Built once per sfDir. */
+  private val purgedCache = TrieMap.empty[String, (Segment, Searcher)]
+
+  def purgedRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                       text: String, k: Int): DataFrame = {
+    val (segP, searcherP) = purgedCache.getOrElseUpdate(sfDir, {
+      val (seg, _, _) = get(spark, sfDir)
+      val (p0, _) = graft.index.SegmentMerger.purge(spark, seg,
+        deletedDocIds(spark, sfDir), seg.params.copy(segId = seg.params.segId + 1))
+      val p = p0.copy(
+        docs = p0.docs.repartition(4).cache(),
+        dict = p0.dict.repartition(1).cache(),
+        postings = p0.postings.repartition(4).cache())
+      p.docs.count(); p.dict.count(); p.postings.count()
+      p0.docs.unpersist(); p0.dict.unpersist(); p0.postings.unpersist()
+      (p, new Searcher(spark, p))
+    })
+    rankSeg(spark, segP, searcherP.hits(kind, text, k + 50), k)
+  }
+
   private def rank(spark: SparkSession, sfDir: String,
                    hits: org.apache.spark.sql.Dataset[graft.model.Hit], k: Int): DataFrame = {
     val (seg, _, _) = get(spark, sfDir)
+    rankSeg(spark, seg, hits, k)
+  }
+
+  private def rankSeg(spark: SparkSession, seg: Segment,
+                      hits: org.apache.spark.sql.Dataset[graft.model.Hit], k: Int): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     hits.join(withDocId(seg), Seq("docId"))

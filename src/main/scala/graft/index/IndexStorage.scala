@@ -2,6 +2,8 @@ package graft.index
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -130,6 +132,52 @@ object IndexStorage {
         .parquet(d.resolve("meta").toString).as[SegmentMeta],
       params)
   }
+
+  /** Append-only tombstone log beside the segments:
+    * `indexDir/deletes/del-<n>/` parquet batches of deleted docIds.
+    * Each append is atomic (tmp + rename, like segments); readers union
+    * every committed batch. A merge/purge that consumed the log removes
+    * the consumed batches (caller's responsibility, after the purged
+    * segment commits — crash between the two leaves only harmless
+    * re-application of deletes already purged). */
+  def appendTombstones(spark: SparkSession, indexDir: String,
+                       docIds: org.apache.spark.sql.Dataset[Long]): Path = {
+    val delDir = Paths.get(indexDir, "deletes")
+    Files.createDirectories(delDir)
+    val n = listTombstoneBatches(delDir).map(p =>
+      p.getFileName.toString.stripPrefix("del-").toLong + 1).foldLeft(0L)(math.max)
+    val finalDir = delDir.resolve(f"del-$n%05d")
+    val tmp = Paths.get(finalDir.toString + ".tmp")
+    if (Files.exists(tmp)) deleteRec(tmp)
+    docIds.toDF("docId").coalesce(1).write.parquet(tmp.toString)
+    Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
+    finalDir
+  }
+
+  /** All live tombstones: the union of committed delete batches
+    * (distinct — a docId deleted twice is one tombstone). */
+  def readTombstones(spark: SparkSession, indexDir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    val batches = listTombstoneBatches(Paths.get(indexDir, "deletes"))
+    if (batches.isEmpty) spark.emptyDataset[Long]
+    else spark.read.parquet(batches.map(_.toString): _*)
+      .select(col("docId")).distinct().as[Long]
+  }
+
+  /** Drop tombstone batches a committed purge consumed. */
+  def clearTombstones(indexDir: String): Unit =
+    listTombstoneBatches(Paths.get(indexDir, "deletes")).foreach(deleteRec)
+
+  private def listTombstoneBatches(delDir: Path): Seq[Path] =
+    if (!Files.isDirectory(delDir)) Seq.empty
+    else {
+      val s = Files.list(delDir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("del-\\d+"))
+        .toSeq.sortBy(_.toString)
+      finally s.close()
+    }
 
   private def deleteRec(p: Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -106,4 +106,82 @@ object SegmentMerger {
       totalTokens, bytesCompressed, buildMillis)
     (Segment(docs, dict, postings, doclens, stats, meta, params), report)
   }
+
+  /** Compaction-time tombstone PURGE — the other half of LSM deletes
+    * (query-time filtering is Searcher.deletedHits). Rewrites one
+    * segment without the deleted documents: postings are decoded,
+    * inner-joined to the surviving docmap (which both filters deletes
+    * and supplies doc lengths), and re-encoded under RECOMPUTED global
+    * statistics (df/cf per term, N, avgdl — and with them every baked
+    * impact and block maximum); terms whose postings all died drop out
+    * of the dictionary and termIds re-densify in term order (I1
+    * invariant preserved). Surviving documents KEEP their docIds, so
+    * doclen blocks carry over unchanged — entries at deleted offsets are
+    * unreferenced (the Lucene posture: id re-densification happens only
+    * in a full rebuild, not per compaction).
+    *
+    * Scale shape: one anti-join of the docmap against the delete set
+    * (broadcast when small — the common case), one decode→join→encode
+    * pass over the postings; no driver collect of anything corpus-sized. */
+  def purge(spark: SparkSession, s: Segment, deleted: Dataset[Long],
+            params: BuildParams): (Segment, graft.build.BuildReport) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    require(s.params.bucketSize == params.bucketSize,
+      "purge requires the segment's bucketSize")
+    require(s.params.positional == params.positional,
+      "purge requires the segment's positional codec version")
+
+    val del = deleted.toDF("docId")
+    val docs = s.docs.join(del, Seq("docId"), "left_anti").as[Doc]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (numDocs, totalTokens) = docs
+      .agg(count(lit(1)), coalesce(sum($"docLen".cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+    val avgdl = if (numDocs == 0) 1.0 else totalTokens.toDouble / numDocs
+
+    // surviving (docId, term, tf, dl[, pos]) rows: the inner join with
+    // the surviving docmap IS the delete filter (and the dl source)
+    val decoded =
+      if (params.positional)
+        ExactScorer.decodedPostingsPos(spark, s).toDF("termId", "docId", "tf", "pos")
+      else ExactScorer.decodedPostings(spark, s).toDF("termId", "docId", "tf")
+    val posCols = if (params.positional) Seq($"pos") else Nil
+    val tfAll = decoded
+      .join(s.dict.select($"termId", $"term"), "termId")
+      .join(docs.select($"docId", $"docLen".as("dl")), "docId")
+      .select((Seq($"docId", $"term", $"tf", $"dl") ++ posCols): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // post-purge dictionary: df/cf recomputed from survivors, dead terms
+    // dropped, dense termIds reassigned in term sort order
+    val grouped = tfAll.groupBy($"term")
+      .agg(count(lit(1)).cast("long").as("df"), sum($"tf".cast("long")).as("cf"))
+      .as[(String, Long, Long)]
+    val sorted = grouped.repartitionByRange(params.numPartitions, $"term")
+      .sortWithinPartitions($"term")
+    val (dict0, _, free) = DocIds.denseIds(sorted) { (id, r) =>
+      DictEntry(id, r._1, r._2, r._3)
+    }
+    val dict = dict0.persist(StorageLevel.MEMORY_AND_DISK)
+    val numTerms = dict.count()
+    free()
+
+    val postings = SegmentBuilder
+      .encodePostings(spark, tfAll, dict, numDocs, avgdl, params,
+        numTermsHint = numTerms)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (numPostings, bytesCompressed) = postings
+      .agg(coalesce(sum($"numDocs".cast("long")), lit(0L)),
+        coalesce(sum(length($"bytes").cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+    tfAll.unpersist()
+
+    val buildMillis = (System.nanoTime() - t0) / 1000000
+    val meta = s.meta.withColumn("segId", lit(params.segId)).as[SegmentMeta]
+    val stats = CorpusStats(numDocs, avgdl, numTerms, numPostings)
+    val report = graft.build.BuildReport(numDocs, numTerms, numPostings,
+      totalTokens, bytesCompressed, buildMillis)
+    (Segment(docs, dict, postings, s.doclens, stats, meta, params), report)
+  }
 }

@@ -174,23 +174,44 @@ final class Searcher(spark: SparkSession, segment: Segment,
 
   private[search] def docFilter(field: String, value: String)
       : org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] =
-    filterCache.getOrElseUpdate((field, value), {
-      val bs = segment.params.bucketSize
-      val blocks = segment.docs
-        .filter(col(field) === value)
-        .select($"docId").as[Long]
-        .groupByKey(d => (d / bs).toInt)
-        .mapGroups { (bucket, it) =>
-          val bits = new Array[Long](((bs + 63) / 64).toInt)
-          it.foreach { d =>
-            val off = (d - bucket.toLong * bs).toInt
-            bits(off >> 6) |= 1L << (off & 63)
-          }
-          (bucket, bits)
+    filterCache.getOrElseUpdate((field, value),
+      bitsetBlocks(segment.docs.filter(col(field) === value).select($"docId").as[Long]))
+
+  /** Per-bucket bitset blocks over an arbitrary docId set — the shared
+    * mechanism behind field filters and tombstones. Bucket-local bitsets
+    * are computed executor-side; driver residency is ≤ numDocs/8 bytes
+    * (the resident-doclens regime; cogroup distribution of the blocks is
+    * the stated 100 TB path, like doclens). */
+  private def bitsetBlocks(ids: Dataset[Long])
+      : org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = {
+    val bs = segment.params.bucketSize
+    val blocks = ids
+      .groupByKey(d => (d / bs).toInt)
+      .mapGroups { (bucket, it) =>
+        val bits = new Array[Long](((bs + 63) / 64).toInt)
+        it.foreach { d =>
+          val off = (d - bucket.toLong * bs).toInt
+          bits(off >> 6) |= 1L << (off & 63)
         }
-        .collect().toMap
-      spark.sparkContext.broadcast(blocks)
-    })
+        (bucket, bits)
+      }
+      .collect().toMap
+    spark.sparkContext.broadcast(blocks)
+  }
+
+  /** Tombstone bitsets (LSM live deletes): built once per tag and probed
+    * inside every walk as a REJECT filter — a deleted doc is skipped
+    * before scoring/offering. Global statistics (idf, avgdl, N) keep the
+    * pre-delete values until a merge-time purge rewrites the segment
+    * (SegmentMerger.purge) — the standard live-delete posture: filters
+    * don't rescale, compaction does. */
+  private val tombstoneCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]]]
+
+  private[search] def tombstoneFilter(tag: String, deleted: => Dataset[Long])
+      : org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] =
+    tombstoneCache.getOrElseUpdate(tag, bitsetBlocks(deleted))
 
   /** Top-k hits for a query. kind ∈ {AND, OR, FREE, PHRASE, NEAR,
     * PREFIX}; OR/FREE rank by BM25 with block-max WAND pruning; AND
@@ -218,6 +239,24 @@ final class Searcher(spark: SparkSession, segment: Segment,
     hitsImpl(kind, text, k, qid, pruned = true, lo = lo, hi = hi,
       acceptB = docFilter(field, value))
 
+  /** Top-k with a tombstone set excluded — live deletes before the next
+    * purge. Scores keep the segment's (pre-delete) global statistics;
+    * the exclusion is a per-bucket bitset probe inside the walks, built
+    * once per `tag` and reused across queries (a serving tier holds the
+    * live-delete bitset resident exactly like this). */
+  def deletedHits(kind: String, text: String, k: Int, tag: String,
+                  deleted: => Dataset[Long], qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true,
+      rejectB = tombstoneFilter(tag, deleted))
+
+  /** Fielded query with tombstones excluded — filters compose. */
+  def fieldedDeletedHits(kind: String, text: String, k: Int, field: String,
+                         value: String, tag: String,
+                         deleted: => Dataset[Long], qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true,
+      acceptB = docFilter(field, value),
+      rejectB = tombstoneFilter(tag, deleted))
+
   /** Exhaustive (unpruned) evaluation — correctness oracle for WAND. */
   def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = false)
@@ -237,8 +276,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
                        pruned: Boolean, lo: Long = 0L,
                        hi: Long = Long.MaxValue,
-                       acceptB: AcceptB = null): Dataset[Hit] = {
-    if (kind == "BOOL") return boolHits(text, k, qid, lo, hi, acceptB)
+                       acceptB: AcceptB = null,
+                       rejectB: AcceptB = null): Dataset[Hit] = {
+    if (kind == "BOOL") return boolHits(text, k, qid, lo, hi, acceptB, rejectB)
     val terms = QueryParser.termsFor(kind, text)
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
@@ -255,17 +295,17 @@ final class Searcher(spark: SparkSession, segment: Segment,
         val byTerm = entries.map(e => e.term -> e).toMap
         val slots = terms.map(t => byTerm(t).termId)
         scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots,
-          lo = lo, hi = hi, acceptB = acceptB)
+          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB)
       case "NEAR" =>
         require(segment.params.positional,
           "proximity queries need a positional index (BuildParams.positional)")
         scored(entries, conjunctive = true, k, qid, pruned,
           phraseSlots = entries.map(_.termId),
           nearWindow = QueryParser.nearWindow(text), lo = lo, hi = hi,
-          acceptB = acceptB)
+          acceptB = acceptB, rejectB = rejectB)
       case _ =>
         scored(entries, conjunctive = kind == "AND", k, qid, pruned,
-          lo = lo, hi = hi, acceptB = acceptB)
+          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB)
     }
   }
 
@@ -274,12 +314,13 @@ final class Searcher(spark: SparkSession, segment: Segment,
                      phraseSlots: Array[Long] = null,
                      nearWindow: Int = 0, lo: Long = 0L,
                      hi: Long = Long.MaxValue,
-                     acceptB: AcceptB = null): Dataset[Hit] = {
+                     acceptB: AcceptB = null,
+                     rejectB: AcceptB = null): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi,
-      acceptB = acceptB)
+      acceptB = acceptB, rejectB = rejectB)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -290,7 +331,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * term with no OR escape) short-circuit to ∅ without a job. */
   private def boolHits(text: String, k: Int, qid: Long,
                        lo: Long, hi: Long,
-                       acceptB: AcceptB = null): Dataset[Hit] = {
+                       acceptB: AcceptB = null,
+                       rejectB: AcceptB = null): Dataset[Hit] = {
     val ast = BoolQuery.parse(text)
     val terms = BoolQuery.terms(ast)
     val entries = dictLookup(terms) // ascending termId
@@ -306,7 +348,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive = false, k, pruned = false, entries.length,
-      boolEval = eval, lo = lo, hi = hi, acceptB = acceptB)
+      boolEval = eval, lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -333,7 +375,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 nearWindow: Int = 0, lo: Long = 0L,
                                 hi: Long = Long.MaxValue,
                                 boolEval: Array[Boolean] => Boolean = null,
-                                acceptB: AcceptB = null)
+                                acceptB: AcceptB = null,
+                                rejectB: AcceptB = null)
       : Dataset[(Long, Double)] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val pls0 = segment.postings.filter($"termId".isin(tids.toSeq: _*))
@@ -354,7 +397,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
              lens: Array[Int]): Iterator[(Long, Double)] = {
       // fielded filter: resolve this bucket's bitset once; a bucket with
       // no matching docs skips its walk (and decode) entirely
-      val accept: Long => Boolean =
+      val acceptPos: Long => Boolean =
         if (acceptB == null) null
         else acceptB.value.get(bucket) match {
           case None => return Iterator.empty
@@ -362,6 +405,21 @@ final class Searcher(spark: SparkSession, segment: Segment,
             val base = bucket.toLong * bs
             d => { val off = (d - base).toInt; (bits(off >> 6) & (1L << (off & 63))) != 0L }
         }
+      // tombstones: a bucket with no deletions probes nothing
+      val reject: Long => Boolean =
+        if (rejectB == null) null
+        else rejectB.value.get(bucket) match {
+          case None => null
+          case Some(bits) =>
+            val base = bucket.toLong * bs
+            d => { val off = (d - base).toInt; (bits(off >> 6) & (1L << (off & 63))) != 0L }
+        }
+      val accept: Long => Boolean = (acceptPos, reject) match {
+        case (null, null) => null
+        case (a, null) => a
+        case (null, r) => d => !r(d)
+        case (a, r) => d => a(d) && !r(d)
+      }
       val plArr = plIt.toArray
       def cursors = plArr.map { pl =>
         new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional, lo, hi)
