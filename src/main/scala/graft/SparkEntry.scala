@@ -71,6 +71,14 @@ object SparkEntry {
     ivfIndex(s, dir)
   }
 
+  /** Force the one-time tombstone-purge compaction NOW — same reasoning
+    * as [[prebuildAnnIndexes]]: Bench bills it as `purge_build`, so
+    * `ft_purged` times the query, not the compaction. */
+  def prebuildPurged(s: SparkSession, dir: String): Unit = {
+    DocsIndex.purgedRankedHits(s, dir, "FREE", "fast", 1).count()
+    ()
+  }
+
   // ───────────────────────── shared SQL fragments ─────────────────────
   /** Tokenize + tf + dl + stats CTEs over `documents` (DuckDB dialect). */
   /** Tokenize + tf + dl + stats CTEs over a documents source (DuckDB

@@ -95,9 +95,27 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     filterCache.getOrElseUpdate((field, value),
       sc.broadcast(ServingSearcher.bucketBitsets(segment, field, value)))
 
+  /** Live-delete top-k — same tombstone semantics as
+    * Searcher.deletedHits (scores keep pre-delete global statistics),
+    * at serving latency: the tombstone bitset builds once per `tag` and
+    * stays broadcast, exactly like the field filters it composes with. */
+  def deletedHits(kind: String, text: String, k: Int, tag: String,
+                  deleted: => org.apache.spark.sql.Dataset[Long],
+                  qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, 0L, Long.MaxValue,
+      rejectB = tombstoneB(tag, deleted))
+
+  private val tombstoneCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]]]
+  private def tombstoneB(tag: String,
+                         deleted: => org.apache.spark.sql.Dataset[Long]) =
+    tombstoneCache.getOrElseUpdate(tag,
+      sc.broadcast(ServingSearcher.idBitsets(segment, deleted)))
+
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
                        lo: Long, hi: Long,
-                       acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
+                       acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
+                       rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
       : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     val entries = entriesFor(kind, terms)
@@ -106,7 +124,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       return Array.empty
     val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     val all = rawScored(kind, text, terms, entries, idfByTid, stats.avgDocLen,
-      k, lo, hi, pruned = true, acceptB = acceptB)
+      k, lo, hi, pruned = true, acceptB = acceptB, rejectB = rejectB)
     ServingSearcher.rankMerge(all, k, qid)
   }
 
@@ -137,7 +155,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 idfByTid: Map[Long, Double], avgdl: Double,
                                 k: Int, lo: Long = 0L, hi: Long = Long.MaxValue,
                                 pruned: Boolean = true,
-                                acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
+                                acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
+                                rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits)
@@ -176,12 +195,14 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val bs = segment.params.bucketSize
     val pr = pruned
     val ab = acceptB
+    val rb = rejectB
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
-          boolEval, pr, if (ab == null) null else ab.value))
+          boolEval, pr, if (ab == null) null else ab.value,
+          if (rb == null) null else rb.value))
     perPart.flatten
   }
 }
@@ -264,9 +285,18 @@ object ServingSearcher {
     val spark = segment.docs.sparkSession
     import org.apache.spark.sql.functions.col
     import spark.implicits._
+    idBitsets(segment, segment.docs.filter(col(field) === value)
+      .select(col("docId")).as[Long])
+  }
+
+  /** The same per-bucket bitsets over an arbitrary docId set — the
+    * tombstone variant. */
+  private[search] def idBitsets(segment: Segment,
+                                ids: org.apache.spark.sql.Dataset[Long]): Map[Int, Array[Long]] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
     val bs = segment.params.bucketSize
-    segment.docs.filter(col(field) === value)
-      .select(col("docId")).as[Long]
+    ids
       .groupByKey(d => (d / bs).toInt)
       .mapGroups { (bucket, it) =>
         val bits = new Array[Long](((bs + 63) / 64).toInt)
@@ -299,7 +329,8 @@ object ServingSearcher {
       bucketSize: Long = Long.MaxValue,
       boolEval: Array[Boolean] => Boolean = null,
       pruned: Boolean = true,
-      acceptBits: Map[Int, Array[Long]] = null): Array[Wand.Scored] = {
+      acceptBits: Map[Int, Array[Long]] = null,
+      rejectBits: Map[Int, Array[Long]] = null): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -311,7 +342,7 @@ object ServingSearcher {
     if (lists.isEmpty) return Array.empty
     lists.groupBy(_.bucket).iterator.flatMap { case (bucket, plArr) =>
       // fielded filter: a bucket with no matching docs walks nothing
-      val accept: Long => Boolean =
+      val acceptPos: Long => Boolean =
         if (acceptBits == null) null
         else acceptBits.get(bucket) match {
           case None => ServingSearcher.RejectAll
@@ -319,6 +350,22 @@ object ServingSearcher {
             val base = bucket.toLong * bucketSize
             d => { val off = (d - base).toInt; (bits(off >> 6) & (1L << (off & 63))) != 0L }
         }
+      // tombstones: a bucket with no deletions probes nothing
+      val reject: Long => Boolean =
+        if (rejectBits == null) null
+        else rejectBits.get(bucket) match {
+          case None => null
+          case Some(bits) =>
+            val base = bucket.toLong * bucketSize
+            d => { val off = (d - base).toInt; (bits(off >> 6) & (1L << (off & 63))) != 0L }
+        }
+      val accept: Long => Boolean = (acceptPos, reject) match {
+        case (null, null) => null
+        case (a, null) => a
+        case (null, r) => d => !r(d)
+        case (a, r) => if (a eq ServingSearcher.RejectAll) a
+          else d => a(d) && !r(d)
+      }
       if (accept eq ServingSearcher.RejectAll) Iterator.empty
       else doclens.get(bucket) match {
         case None => Iterator.empty

@@ -128,6 +128,20 @@ class DeleteSpec extends SparkSpec {
     purged.unpersist()
   }
 
+  test("serving tier deleted hits are bit-identical to the relational path") {
+    val serving = new graft.search.ServingSearcher(spark, seg)
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    for ((kind, q) <- Seq(("FREE", s"${terms(0)} ${terms(1)}"),
+        ("AND", s"${terms(0)} AND ${terms(1)}"))) {
+      val got = serving.deletedHits(kind, q, 10, "t5", deletedDs)
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      val want = searcher.deletedHits(kind, q, 10, "t5-rel", deletedDs).collect()
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      assert(got.nonEmpty && got == want, s"kind=$kind")
+    }
+    serving.close()
+  }
+
   test("tombstone log: append, read-union-distinct, clear") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
