@@ -41,7 +41,6 @@ object IndexStorage {
     val finalDir = segDir(indexDir, segment.params.segId)
     val tmp = Paths.get(finalDir.toString + ".tmp")
     if (Files.exists(tmp)) deleteRec(tmp)
-    if (Files.exists(finalDir)) deleteRec(finalDir)
     Files.createDirectories(tmp)
 
     segment.docs.write.parquet(tmp.resolve("docs").toString)
@@ -71,6 +70,12 @@ object IndexStorage {
         s""""numPartitions":${p.numPartitions},"saltThreshold":${p.saltThreshold},""" +
         s""""numSalts":${p.numSalts},"docIdHwm":$hwm,""" +
         s""""positional":${if (p.positional) 1 else 0}}""")
+    // the old directory (if replacing — compaction) is removed only now,
+    // AFTER every dataset materialized into tmp: the replacement segment
+    // may lazily READ from the directory it replaces, and the complete
+    // tmp bounds the non-atomic delete+move window (a crash between the
+    // two leaves tmp intact for the caller to re-move)
+    if (Files.exists(finalDir)) deleteRec(finalDir)
     Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
     finalDir
   }

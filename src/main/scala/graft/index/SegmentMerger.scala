@@ -184,4 +184,22 @@ object SegmentMerger {
       totalTokens, bytesCompressed, buildMillis)
     (Segment(docs, dict, postings, s.doclens, stats, meta, params), report)
   }
+
+  /** Apply the index's persisted tombstone log to one committed segment
+    * — the background-compaction step of the LSM lifecycle: read the
+    * delete log, purge, atomically replace the segment directory, clear
+    * the consumed batches. Returns false (no work) when the log is
+    * empty. Crash ordering: the purged segment commits BEFORE the log
+    * clears — a crash between the two re-applies already-purged deletes
+    * on the next compact, which is a no-op, never a loss. */
+  def compact(spark: SparkSession, indexDir: String, segId: Long): Boolean = {
+    val deleted = IndexStorage.readTombstones(spark, indexDir)
+    if (deleted.isEmpty) return false
+    val seg = IndexStorage.read(spark, IndexStorage.segDir(indexDir, segId).toString)
+    val (purged, _) = purge(spark, seg, deleted, seg.params)
+    IndexStorage.write(purged, indexDir)
+    purged.unpersist()
+    IndexStorage.clearTombstones(indexDir)
+    true
+  }
 }

@@ -142,6 +142,34 @@ class DeleteSpec extends SparkSpec {
     serving.close()
   }
 
+  test("compact applies the delete log to a stored segment and clears it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    IndexStorage.write(seg, dir)
+    assert(!SegmentMerger.compact(spark, dir, seg.params.segId),
+      "empty delete log must be a no-op")
+    val dels = deletedSet
+    IndexStorage.appendTombstones(spark, dir, deletedDs)
+    assert(SegmentMerger.compact(spark, dir, seg.params.segId))
+    // consumed batches cleared; replacement committed
+    assert(IndexStorage.readTombstones(spark, dir).count() == 0L)
+    val re = IndexStorage.read(spark,
+      IndexStorage.segDir(dir, seg.params.segId).toString)
+    assert(re.stats.numDocs == seg.stats.numDocs - dels.size)
+    val ids = re.docs.select(col("docId")).collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(dels).isEmpty)
+    // queries over the re-read compacted segment == in-memory purge
+    val (purged, _) = SegmentMerger.purge(spark, seg, deletedDs, seg.params)
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val q = s"${terms(0)} ${terms(1)}"
+    val got = new Searcher(spark, re).hits("FREE", q, 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    val want = new Searcher(spark, purged).hits("FREE", q, 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(got.nonEmpty && got == want)
+    purged.unpersist()
+  }
+
   test("tombstone log: append, read-union-distinct, clear") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
