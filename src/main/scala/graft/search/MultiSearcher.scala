@@ -38,7 +38,20 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     (n, if (n == 0) 1.0 else tok.toDouble / n)
   }
 
-  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
+  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
+    hitsInternal(kind, text, k, qid, None)
+
+  /** Merge-on-read with a tombstone set excluded — live deletes over an
+    * un-compacted multi-segment index. DocId ranges are disjoint across
+    * segments, so every segment probes the SAME global tombstone bitset
+    * (built once per tag per segment, buckets outside a segment's range
+    * are simply never probed). Scores keep the pre-delete global stats. */
+  def deletedHits(kind: String, text: String, k: Int, tag: String,
+                  deleted: => Dataset[Long], qid: Long = 0L): Dataset[Hit] =
+    hitsInternal(kind, text, k, qid, Some((tag, () => deleted)))
+
+  private def hitsInternal(kind: String, text: String, k: Int, qid: Long,
+                           tomb: Option[(String, () => Dataset[Long])]): Dataset[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     // positional requirements surface HERE, not as a deep executor
@@ -79,7 +92,9 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         }
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = kind == "AND", k, pruned = false, entries.length,
-          phraseSlots, nearWindow = nearWin)
+          phraseSlots, nearWindow = nearWin,
+          rejectB = tomb.map { case (tag, d) =>
+            searcher.tombstoneFilter(tag, d()) }.orNull)
     }
     if (scored.isEmpty) return spark.emptyDataset[Hit]
     val all = scored.reduce(_ union _)

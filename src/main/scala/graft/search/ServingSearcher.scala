@@ -107,8 +107,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
 
   private val tombstoneCache = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]]]
-  private def tombstoneB(tag: String,
-                         deleted: => org.apache.spark.sql.Dataset[Long]) =
+  private[search] def tombstoneB(tag: String,
+                                 deleted: => org.apache.spark.sql.Dataset[Long]) =
     tombstoneCache.getOrElseUpdate(tag,
       sc.broadcast(ServingSearcher.idBitsets(segment, deleted)))
 
@@ -238,7 +238,22 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
 
   def close(): Unit = servers.foreach(_.close())
 
-  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] = {
+  def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, None)
+
+  /** Live deletes over the un-compacted multi-segment index at serving
+    * latency — same semantics as MultiSearcher.deletedHits (scores keep
+    * the pre-delete global statistics). Each segment's server builds and
+    * caches its own broadcast bitset from the SAME global tombstone set;
+    * disjoint docId ranges mean foreign buckets are never probed. */
+  def deletedHits(kind: String, text: String, k: Int, tag: String,
+                  deleted: => org.apache.spark.sql.Dataset[Long],
+                  qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, Some((tag, () => deleted)))
+
+  private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
+                       tomb: Option[(String, () => org.apache.spark.sql.Dataset[Long])])
+      : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return Array.empty
     if (kind == "PHRASE" || kind == "NEAR")
@@ -259,7 +274,8 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
         val idfByTid = entries
           .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
         srv.rawScored(kind, text, terms, entries, idfByTid, avgdl, k,
-          pruned = false)
+          pruned = false,
+          rejectB = tomb.map { case (tag, d) => srv.tombstoneB(tag, d()) }.orNull)
       }
     }.toArray
     ServingSearcher.rankMerge(all, k, qid)

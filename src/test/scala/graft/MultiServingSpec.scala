@@ -50,4 +50,44 @@ class MultiServingSpec extends SparkSpec {
     serving.close()
     assert(nonEmpty >= 4, "fixture queries must mostly hit")
   }
+
+  test("multi-segment deletedHits: oracle + serving parity") {
+    import spark.implicits._
+    val segs = Seq(segA, segB)
+    val multi = new MultiSearcher(spark, segs)
+    val serving = new MultiServingSearcher(spark, segs)
+    // tombstones straddle both segments' docId ranges
+    val total = segs.map(_.stats.numDocs).sum
+    val dels = segs.flatMap(_.docs.filter(col("docId") % 3 === 1)
+      .select(col("docId")).collect().map(_.getLong(0))).toSet
+    assert(dels.nonEmpty)
+    val delDs = spark.createDataset(dels.toSeq.sorted)
+    val terms = segA.dict.orderBy(desc("cf")).limit(3).collect().map(_.term)
+    val queries = Seq(
+      ("FREE", terms.mkString(" ")),
+      ("AND", terms.take(2).mkString(" AND ")),
+      ("PHRASE", "\"" + terms.take(2).mkString(" ") + "\""))
+    var nonEmpty = 0
+    queries.foreach { case (kind, text) =>
+      // oracle: the exhaustive pre-delete global ranking (k = corpus size)
+      // minus tombstones — scores must keep the pre-delete statistics
+      val want = multi.hits(kind, text, total.toInt).collect()
+        .filter(h => !dels(h.docId))
+        .sortBy(h => (-h.score, h.docId)).take(10)
+        .map(h => (h.docId, h.score)).toSeq
+      val got = multi.deletedHits(kind, text, 10, "m3", delDs).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"$kind '$text'")
+      assert(got.forall(h => !dels(h._1)))
+      // serving tier bit-identical (ranks included)
+      val srv = serving.deletedHits(kind, text, 10, "m3", delDs)
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      val rel = multi.deletedHits(kind, text, 10, "m3b", delDs).collect()
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      assert(srv == rel, s"$kind '$text' serving mismatch")
+      if (got.nonEmpty) nonEmpty += 1
+    }
+    serving.close()
+    assert(nonEmpty >= 2)
+  }
 }
