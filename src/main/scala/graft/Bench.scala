@@ -121,6 +121,13 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     }
 
+    // ── one-time chunk-index + size-tiered compaction (LSM lifecycle) ──
+    val compactBuildSec = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.prebuildCompacted(spark, sfDir); secs(t0) }
+      catch { case _: Throwable => -1.0 }
+    }
+
     // ── per-query timings (driver contract) ───────────────────────────
     val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -132,6 +139,7 @@ object Bench {
       s""""errors":$errJson,"sf":"$sfDir","cpus":$cpus,""" +
       s""""build":${buildReport.json},"synth_build":${synthReport.json},""" +
       s""""ann_build":$annBuildSec,"purge_build":$purgeBuildSec,""" +
+      s""""compact_build":$compactBuildSec,""" +
       s""""query_p50_ms":$p50,"query_p95_ms":$p95,""" +
       s""""plan_p50_ms":$plan50,"plan_p95_ms":$plan95}""")
     spark.stop()

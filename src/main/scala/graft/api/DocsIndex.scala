@@ -25,7 +25,9 @@ object DocsIndex {
 
   /** Drop memoized segments (tests only: a suite-level clearCache()
     * uncaches the datasets a memoized segment still references). */
-  private[graft] def reset(): Unit = { cache.clear(); purgedCache.clear() }
+  private[graft] def reset(): Unit = {
+    cache.clear(); purgedCache.clear(); compactedCache.clear()
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -210,6 +212,46 @@ object DocsIndex {
       (p, new Searcher(spark, p))
     })
     rankSeg(spark, segP, searcherP.hits(kind, text, k + 50), k)
+  }
+
+  /** The same ranking served through a SIZE-TIERED-COMPACTED index: the
+    * corpus is chunk-indexed into on-disk segments (the LSM write path),
+    * Compaction.run merges them down to one under a force-merge policy,
+    * and queries go through the compacted segment's WAND-pruned path.
+    * Ranking is bit-identical to the monolithic index (CompactionSpec's
+    * byte-identity proof), so the DuckDB twin is the standard BM25 SQL
+    * over the full corpus. Built once per sfDir; Bench bills the
+    * chunk-build + merge rounds as `compact_build`. */
+  private val compactedCache = TrieMap.empty[String, (Segment, Searcher)]
+
+  def compactedRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                          text: String, k: Int): DataFrame = {
+    val (segC, searcherC) = compactedCache.getOrElseUpdate(sfDir, {
+      import graft.index.{ChunkedIndexer, Compaction, IndexStorage}
+      val params = BuildParams(
+        numPartitions = spark.sparkContext.defaultParallelism,
+        bucketSize = 1L << 12,
+        positional = true)
+      val dir = java.nio.file.Files.createTempDirectory("graft-compacted").toString
+      new ChunkedIndexer(dir, chunkDocs = 1L << 12, params)
+        .build(spark, DatasetCorpusSource(corpus(spark, sfDir)))
+      // force-merge posture: tier everything together until one remains
+      val policy = Compaction.Policy(tierFactor = 1e9, minMerge = 2, maxMerge = 16)
+      while (Compaction.run(spark, dir, policy).nonEmpty) ()
+      val live = Compaction.listLive(dir)
+      require(live.size == 1,
+        s"compaction must converge to one segment, got ${live.map(_.segId)}")
+      val c0 = IndexStorage.read(spark,
+        IndexStorage.segDir(dir, live.head.segId).toString)
+      val c = c0.copy(
+        docs = c0.docs.repartition(4).cache(),
+        dict = c0.dict.repartition(1).cache(),
+        postings = c0.postings.repartition(4).cache(),
+        doclens = c0.doclens.repartition(2).cache())
+      c.docs.count(); c.dict.count(); c.postings.count(); c.doclens.count()
+      (c, new Searcher(spark, c))
+    })
+    rankSeg(spark, segC, searcherC.hits(kind, text, k + 50), k)
   }
 
   private def rank(spark: SparkSession, sfDir: String,
