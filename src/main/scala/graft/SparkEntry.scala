@@ -385,6 +385,8 @@ object SparkEntry {
       DocsIndex.purgedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
     "ft_compacted" -> ((s, dir) =>
       DocsIndex.compactedRankedHits(s, dir, "AND", "key AND value AND hash", 20)),
+    "ft_page2" -> ((s, dir) =>
+      DocsIndex.pagedRankedHits(s, dir, "FREE", "fast merge sort table", 20, 20)),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -696,6 +698,12 @@ object SparkEntry {
     // twin is the plain conjunctive BM25 over the full corpus
     "ft_compacted" ->
       bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
+    // page 2 of the ft_bm25_topk ranking: rank window re-based — DuckDB
+    // allows a WITH-CTE query as a derived table
+    "ft_page2" ->
+      s"""SELECT doc_id, score, rank - 20 AS rank FROM (
+         |${bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 40)}
+         |) WHERE rank > 20""".stripMargin,
     "ft_scoped" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

@@ -214,6 +214,22 @@ object DocsIndex {
     rankSeg(spark, segP, searcherP.hits(kind, text, k + 50), k)
   }
 
+  /** Page `skip/k .. skip/k + 1` of the rounded ranking — the SQL-parity
+    * pagination surface (rank window over one fetch of skip+k+slack,
+    * re-based rank). The ENGINE's deep-paging path is
+    * Searcher.hitsAfter / ServingSearcher.hitsAfter: an exact-space
+    * (score, docId) cursor filtered inside the walks at O(k) memory per
+    * page (PageSpec proves page-concatenation ≡ deep fetch); this
+    * surface stays in ROUNDED space because the DuckDB twin can only
+    * reproduce the rounded order. */
+  def pagedRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                      text: String, k: Int, skip: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.hits(kind, text, skip + k + 50), skip + k)
+      .filter(col("rank") > skip)
+      .select(col("doc_id"), col("score"), (col("rank") - skip).as("rank"))
+  }
+
   /** The same ranking served through a SIZE-TIERED-COMPACTED index: the
     * corpus is chunk-indexed into on-disk segments (the LSM write path),
     * Compaction.run merges them down to one under a force-merge policy,

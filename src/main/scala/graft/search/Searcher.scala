@@ -222,6 +222,25 @@ final class Searcher(spark: SparkSession, segment: Segment,
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = true)
 
+  /** search_after pagination: the next k hits STRICTLY after the cursor
+    * `(afterScore, afterDocId)` in (score desc, docId asc) order — page
+    * N+1 given page N's last hit. O(k) heap memory per page at any
+    * depth (the predecessors are filtered at offer inside the walks,
+    * never buffered), the posture deep paging needs at corpus scale
+    * where `hits(offset + k)` would buffer the whole prefix. */
+  def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,
+                afterDocId: Long, qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true,
+      after = Wand.Scored(afterDocId, afterScore))
+
+  /** Fielded query + search_after cursor — filters and paging compose. */
+  def fieldedHitsAfter(kind: String, text: String, k: Int, field: String,
+                       value: String, afterScore: Double, afterDocId: Long,
+                       qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true,
+      acceptB = docFilter(field, value),
+      after = Wand.Scored(afterDocId, afterScore))
+
   /** Top-k restricted to docs whose docmap `field` equals `value` —
     * fielded queries (`lang:x terms…`). Scores keep GLOBAL corpus
     * statistics (standard filter-doesn't-rescale semantics); the filter
@@ -277,8 +296,10 @@ final class Searcher(spark: SparkSession, segment: Segment,
                        pruned: Boolean, lo: Long = 0L,
                        hi: Long = Long.MaxValue,
                        acceptB: AcceptB = null,
-                       rejectB: AcceptB = null): Dataset[Hit] = {
-    if (kind == "BOOL") return boolHits(text, k, qid, lo, hi, acceptB, rejectB)
+                       rejectB: AcceptB = null,
+                       after: Wand.Scored = null): Dataset[Hit] = {
+    if (kind == "BOOL")
+      return boolHits(text, k, qid, lo, hi, acceptB, rejectB, after)
     val terms = QueryParser.termsFor(kind, text)
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
@@ -295,17 +316,17 @@ final class Searcher(spark: SparkSession, segment: Segment,
         val byTerm = entries.map(e => e.term -> e).toMap
         val slots = terms.map(t => byTerm(t).termId)
         scored(entries, conjunctive = true, k, qid, pruned, phraseSlots = slots,
-          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB)
+          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB, after = after)
       case "NEAR" =>
         require(segment.params.positional,
           "proximity queries need a positional index (BuildParams.positional)")
         scored(entries, conjunctive = true, k, qid, pruned,
           phraseSlots = entries.map(_.termId),
           nearWindow = QueryParser.nearWindow(text), lo = lo, hi = hi,
-          acceptB = acceptB, rejectB = rejectB)
+          acceptB = acceptB, rejectB = rejectB, after = after)
       case _ =>
         scored(entries, conjunctive = kind == "AND", k, qid, pruned,
-          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB)
+          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB, after = after)
     }
   }
 
@@ -315,12 +336,13 @@ final class Searcher(spark: SparkSession, segment: Segment,
                      nearWindow: Int = 0, lo: Long = 0L,
                      hi: Long = Long.MaxValue,
                      acceptB: AcceptB = null,
-                     rejectB: AcceptB = null): Dataset[Hit] = {
+                     rejectB: AcceptB = null,
+                     after: Wand.Scored = null): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi,
-      acceptB = acceptB, rejectB = rejectB)
+      acceptB = acceptB, rejectB = rejectB, after = after)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -332,7 +354,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
   private def boolHits(text: String, k: Int, qid: Long,
                        lo: Long, hi: Long,
                        acceptB: AcceptB = null,
-                       rejectB: AcceptB = null): Dataset[Hit] = {
+                       rejectB: AcceptB = null,
+                       after: Wand.Scored = null): Dataset[Hit] = {
     val ast = BoolQuery.parse(text)
     val terms = BoolQuery.terms(ast)
     val entries = dictLookup(terms) // ascending termId
@@ -348,7 +371,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive = false, k, pruned = false, entries.length,
-      boolEval = eval, lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB)
+      boolEval = eval, lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB,
+      after = after)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -376,7 +400,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 hi: Long = Long.MaxValue,
                                 boolEval: Array[Boolean] => Boolean = null,
                                 acceptB: AcceptB = null,
-                                rejectB: AcceptB = null)
+                                rejectB: AcceptB = null,
+                                after: Wand.Scored = null)
       : Dataset[(Long, Double)] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val pls0 = segment.postings.filter($"termId".isin(tids.toSeq: _*))
@@ -432,7 +457,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
           val slots = tids.map(tid => plByTid.get(tid)
             .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
             .orNull)
-          Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept)
+          Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept, after)
         } else if (phraseSlots != null) {
           // one independent cursor per phrase/near slot (duplicates included)
           val plByTid = plArr.map(pl => pl.termId -> pl).toMap
@@ -441,15 +466,15 @@ final class Searcher(spark: SparkSession, segment: Segment,
             val slots = phraseSlots.map(tid =>
               new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
             if (nearWindow > 0)
-              Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept)
-            else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept)
+              Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
+            else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept, after)
           }
         } else if (conjunctive) {
           // a bucket missing any query term cannot intersect
           if (plArr.length < nTerms) Array.empty[Wand.Scored]
-          else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k, accept)
-        } else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k, accept)
-        else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k, accept)
+          else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k, accept, after)
+        } else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k, accept, after)
+        else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k, accept, after)
       res.iterator.map(s => (s.docId, s.score))
     }
 

@@ -76,6 +76,13 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] =
     hitsImpl(kind, text, k, qid, 0L, Long.MaxValue)
 
+  /** search_after pagination at serving latency — same cursor contract
+    * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
+  def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,
+                afterDocId: Long, qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, 0L, Long.MaxValue,
+      after = Wand.Scored(afterDocId, afterScore))
+
   /** Scoped (docId-range) top-k — same range-view semantics as
     * Searcher.scopedHits, same global statistics. */
   def scopedHits(kind: String, text: String, k: Int, lo: Long, hi: Long,
@@ -115,7 +122,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
                        lo: Long, hi: Long,
                        acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
-                       rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
+                       rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
+                       after: Wand.Scored = null)
       : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     val entries = entriesFor(kind, terms)
@@ -124,7 +132,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       return Array.empty
     val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     val all = rawScored(kind, text, terms, entries, idfByTid, stats.avgDocLen,
-      k, lo, hi, pruned = true, acceptB = acceptB, rejectB = rejectB)
+      k, lo, hi, pruned = true, acceptB = acceptB, rejectB = rejectB,
+      after = after)
     ServingSearcher.rankMerge(all, k, qid)
   }
 
@@ -156,7 +165,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 k: Int, lo: Long = 0L, hi: Long = Long.MaxValue,
                                 pruned: Boolean = true,
                                 acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
-                                rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null)
+                                rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
+                                after: Wand.Scored = null)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits)
@@ -196,13 +206,14 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val pr = pruned
     val ab = acceptB
     val rb = rejectB
+    val aft = after
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
-          if (rb == null) null else rb.value))
+          if (rb == null) null else rb.value, aft))
     perPart.flatten
   }
 }
@@ -346,7 +357,8 @@ object ServingSearcher {
       boolEval: Array[Boolean] => Boolean = null,
       pruned: Boolean = true,
       acceptBits: Map[Int, Array[Long]] = null,
-      rejectBits: Map[Int, Array[Long]] = null): Array[Wand.Scored] = {
+      rejectBits: Map[Int, Array[Long]] = null,
+      after: Wand.Scored = null): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -392,7 +404,7 @@ object ServingSearcher {
               val slots = tids.map(tid => plByTid.get(tid)
                 .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
                 .orNull)
-              Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept)
+              Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept, after)
             } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]
@@ -400,18 +412,18 @@ object ServingSearcher {
                 val slots = phraseSlots.map(tid =>
                   new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
                 if (nearWindow > 0)
-                  Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept)
-                else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept)
+                  Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
+                else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept, after)
               }
             } else if (conjunctive) {
               if (plArr.length < nTerms) Array.empty[Wand.Scored]
-              else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept)
+              else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept, after)
             } else if (pruned)
-              Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept)
+              Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept, after)
             else
               // multi-segment global stats: stored block maxima are not
               // valid bounds — exhaustive walk, same as MultiSearcher
-              Wand.topKOrExhaustive(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept)
+              Wand.topKOrExhaustive(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept, after)
           res.iterator
       }
     }.toArray

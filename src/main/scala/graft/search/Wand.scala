@@ -71,8 +71,15 @@ object Wand {
 
   /** Fixed-size top-k min-heap on score. Ascending-docId insertion order
     * makes (score asc) eviction implement the (score desc, docId asc)
-    * total order: equal-score later docIds are rejected at insert. */
-  final class TopK(k: Int) {
+    * total order: equal-score later docIds are rejected at insert.
+    *
+    * `after` is an optional search_after cursor: only candidates
+    * STRICTLY after it in (score desc, docId asc) order are accepted —
+    * deep pagination at O(k) heap memory per page, any depth (the
+    * page's predecessors are filtered at offer, never buffered). Sound
+    * under WAND pruning: pruning skips only sub-theta candidates, and
+    * theta comes from already-accepted post-cursor entries. */
+  final class TopK(k: Int, after: Scored = null) {
     private implicit val ord: Ordering[Scored] =
       Ordering.by[Scored, (Double, Long)](s => (-s.score, s.docId))
     private val heap = mutable.PriorityQueue.empty[Scored] // head = worst
@@ -84,6 +91,9 @@ object Wand {
       else heap.head.score
     def offer(docId: Long, score: Double): Unit = {
       if (k <= 0) return
+      if (after != null &&
+          !(score < after.score || (score == after.score && docId > after.docId)))
+        return
       if (heap.size < k) heap.enqueue(Scored(docId, score))
       else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Scored(docId, score)) }
     }
@@ -96,8 +106,9 @@ object Wand {
     * is the doc length. Emits up to k (docId, score), ordered. */
   def topK(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
            avgdl: Double, k: Int,
-           accept: Long => Boolean = null): Array[Scored] = {
-    val topk = new TopK(k)
+           accept: Long => Boolean = null,
+           after: Scored = null): Array[Scored] = {
+    val topk = new TopK(k, after)
     // live cursors ordered by current docId (insertion-sorted per advance)
     var live = terms.filter(!_.exhausted).sortBy(_.docId)
     while (live.nonEmpty) {
@@ -169,9 +180,10 @@ object Wand {
     * scoring of every intersecting doc — SURVEY §2.4 Q4. */
   def topKAnd(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
               avgdl: Double, k: Int,
-              accept: Long => Boolean = null): Array[Scored] = {
+              accept: Long => Boolean = null,
+              after: Scored = null): Array[Scored] = {
     if (terms.isEmpty || terms.exists(_.exhausted)) return Array.empty
-    val topk = new TopK(k)
+    val topk = new TopK(k, after)
     val byTermId = terms.sortBy(_.termId)
     var target = terms.map(_.docId).max
     var done = false
@@ -211,9 +223,10 @@ object Wand {
     * SQL twin can score relationally. */
   def topKPhrase(slots: Array[TermCursor], lens: Array[Int], firstDocId: Long,
                  avgdl: Double, k: Int,
-                 accept: Long => Boolean = null): Array[Scored] = {
+                 accept: Long => Boolean = null,
+                 after: Scored = null): Array[Scored] = {
     if (slots.isEmpty || slots.exists(_.exhausted)) return Array.empty
-    val topk = new TopK(k)
+    val topk = new TopK(k, after)
     // distinct-term cursors in ascending termId order — deterministic sum
     val distinctSlots: Array[TermCursor] = {
       val seen = mutable.Set.empty[Long]
@@ -253,9 +266,10 @@ object Wand {
     * as AND; matches score standard BM25 over the distinct terms. */
   def topKNear(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
                avgdl: Double, k: Int, window: Int,
-               accept: Long => Boolean = null): Array[Scored] = {
+               accept: Long => Boolean = null,
+               after: Scored = null): Array[Scored] = {
     if (terms.isEmpty || terms.exists(_.exhausted)) return Array.empty
-    val topk = new TopK(k)
+    val topk = new TopK(k, after)
     val byTermId = terms.sortBy(_.termId)
     var target = terms.map(_.docId).max
     var done = false
@@ -341,8 +355,9 @@ object Wand {
   def topKBool(slots: Array[TermCursor], lens: Array[Int], firstDocId: Long,
                avgdl: Double, k: Int,
                eval: Array[Boolean] => Boolean,
-               accept: Long => Boolean = null): Array[Scored] = {
-    val topk = new TopK(k)
+               accept: Long => Boolean = null,
+               after: Scored = null): Array[Scored] = {
+    val topk = new TopK(k, after)
     val n = slots.length
     val present = new Array[Boolean](n)
     var anyLive = slots.exists(c => c != null && !c.exhausted)
@@ -382,8 +397,9 @@ object Wand {
     * (SURVEY §2.3 I7 note); also the in-bucket oracle for WAND tests. */
   def topKOrExhaustive(terms: Array[TermCursor], lens: Array[Int],
                        firstDocId: Long, avgdl: Double, k: Int,
-                       accept: Long => Boolean = null): Array[Scored] = {
-    val topk = new TopK(k)
+                       accept: Long => Boolean = null,
+                       after: Scored = null): Array[Scored] = {
+    val topk = new TopK(k, after)
     val byTermId = terms.sortBy(_.termId)
     var live = byTermId.filter(!_.exhausted)
     while (live.nonEmpty) {
