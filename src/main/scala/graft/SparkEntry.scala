@@ -387,6 +387,14 @@ object SparkEntry {
       DocsIndex.compactedRankedHits(s, dir, "AND", "key AND value AND hash", 20)),
     "ft_page2" -> ((s, dir) =>
       DocsIndex.pagedRankedHits(s, dir, "FREE", "fast merge sort table", 20, 20)),
+    "ft_count" -> ((s, dir) => {
+      val (_, searcher, _) = DocsIndex.get(s, dir)
+      val and = searcher.matchCount("AND", "key AND value AND hash")
+      val free = searcher.matchCount("FREE", "fast merge sort")
+      val none = searcher.matchCount("FREE", "zzznotaterm")
+      s.createDataFrame(Seq(("and_kvh", and), ("free_fms", free),
+        ("zero", none))).toDF("q", "n_docs").orderBy("q")
+    }),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -704,6 +712,21 @@ object SparkEntry {
       s"""SELECT doc_id, score, rank - 20 AS rank FROM (
          |${bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 40)}
          |) WHERE rank > 20""".stripMargin,
+    // total-match counts ("about N results"): presence semantics only —
+    // AND = all terms present, FREE = any, absent term = 0
+    "ft_count" ->
+      s"""$tokCtes
+         |SELECT 'and_kvh' AS q,
+         |       (SELECT count(*) FROM (
+         |          SELECT doc_id FROM tf WHERE term IN ('key','value','hash')
+         |          GROUP BY doc_id HAVING count(*) = 3))::BIGINT AS n_docs
+         |UNION ALL
+         |SELECT 'free_fms',
+         |       (SELECT count(DISTINCT doc_id) FROM tf
+         |        WHERE term IN ('fast','merge','sort'))::BIGINT
+         |UNION ALL
+         |SELECT 'zero', 0::BIGINT
+         |ORDER BY q""".stripMargin,
     "ft_scoped" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

@@ -597,7 +597,12 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * set comes straight from the postings (termId pushdown, per-bucket
     * distinct-ish aggregation), then one hash aggregation against the
     * docmap — no scoring, no decode of positions, no top-k walk. */
-  def facets(kind: String, text: String, facetCol: String): DataFrame = {
+  /** The query's full matching docId set (presence semantics: FREE/OR
+    * match any term, AND all terms; PREFIX/REGEX expand first) — decoded
+    * per posting list with docIds only (tf/position bytes skipped by the
+    * cursor). None = provably empty without a job. Shared by facets and
+    * matchCount; no scoring walk runs. */
+  private def matchSet(kind: String, text: String): Option[DataFrame] = {
     val terms = QueryParser.termsFor(kind, text)
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
@@ -606,13 +611,10 @@ final class Searcher(spark: SparkSession, segment: Segment,
     }
     val needAll = kind == "AND"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
-      return spark.emptyDataFrame
-        .withColumn(facetCol, lit("")).withColumn("n_docs", lit(0L))
+      return None
     val tids = entries.map(_.termId)
     val nTerms = entries.length
     val positional = segment.params.positional
-    // matching docIds, decoded per posting list (docIds only — tf/position
-    // bytes are skipped by the cursor), distinct within the aggregation
     val matching = segment.postings
       .filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
       .flatMap { pl =>
@@ -623,15 +625,29 @@ final class Searcher(spark: SparkSession, segment: Segment,
         while (i < pl.numDocs) { out(i) = c.docId; c.next(); i += 1 }
         out
       }
-    val docSet =
+    Some(
       if (needAll)
         matching.groupByKey(identity).count()
           .filter(_._2 == nTerms.toLong).map(_._1).toDF("docId")
-      else matching.distinct().toDF("docId")
-    docSet.join(segment.docs, "docId")
-      .groupBy(col(facetCol))
-      .agg(count(lit(1)).as("n_docs"))
+      else matching.distinct().toDF("docId"))
   }
+
+  def facets(kind: String, text: String, facetCol: String): DataFrame =
+    matchSet(kind, text) match {
+      case None =>
+        spark.emptyDataFrame
+          .withColumn(facetCol, lit("")).withColumn("n_docs", lit(0L))
+      case Some(docSet) =>
+        docSet.join(segment.docs, "docId")
+          .groupBy(col(facetCol))
+          .agg(count(lit(1)).as("n_docs"))
+    }
+
+  /** Total matching documents — the "about N results" surface every
+    * search UI shows. One distinct-count over the pushdown-filtered
+    * decoded docIds; no scoring walk, no docmap join. */
+  def matchCount(kind: String, text: String): Long =
+    matchSet(kind, text).map(_.count()).getOrElse(0L)
 
   /** Hits joined back to the doc map (SURVEY §2.4 Q9). The HITS side is
     * broadcast — it is ≤k rows by construction, while the docmap is

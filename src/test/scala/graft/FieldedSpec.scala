@@ -79,6 +79,15 @@ class FieldedSpec extends SparkSpec {
     val andGot = searcher.facets("AND", s"${terms(0)} AND ${terms(1)}", "lang")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(andGot == brute(s => s(terms(0)) && s(terms(1))))
+
+    // matchCount = the facet totals (same match set, no facet grouping)
+    assert(searcher.matchCount("FREE", s"${terms(0)} ${terms(1)}") ==
+      orGot.values.sum)
+    assert(searcher.matchCount("AND", s"${terms(0)} AND ${terms(1)}") ==
+      andGot.values.sum)
+    assert(searcher.matchCount("FREE", "zzznotaterm") == 0L)
+    assert(searcher.matchCount("PREFIX", terms(0).take(2) + "*") >=
+      searcher.matchCount("FREE", terms(0)))
   }
 
   test("serving tier fielded hits are bit-identical to the relational path") {
