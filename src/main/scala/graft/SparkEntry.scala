@@ -369,6 +369,8 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "BOOL", "(fast OR slow) AND merge", 20)),
     "ft_bool_not" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "merge AND NOT slow", 20)),
+    "ft_bool_phrase" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "BOOL", "(\"fast merge\" OR slow) AND table", 20)),
     "ft_highlight" -> ((s, dir) =>
       DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
     "ft_facets" -> ((s, dir) => {
@@ -627,6 +629,41 @@ object SparkEntry {
       "(p_fast = 1 OR p_slow = 1) AND p_merge = 1", 20),
     "ft_bool_not" -> boolSql(Seq("merge", "slow"),
       "p_merge = 1 AND p_slow = 0", 20),
+    // phrase atom inside the boolean grammar: the "fast merge" leaf is
+    // the PHRASE predicate (consecutive positions); scoring unchanged —
+    // BM25 over the expression's present distinct terms
+    "ft_bool_phrase" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), phr AS (
+         |  SELECT DISTINCT a0.doc_id FROM tokp a0
+         |  JOIN tokp a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos + 1
+         |  WHERE a0.term = 'fast' AND a1.term = 'merge'
+         |), boolmatch AS (
+         |  SELECT doc_id FROM alldl
+         |  WHERE (doc_id IN (SELECT doc_id FROM phr)
+         |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |    AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'slow', 'table')
+         |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ft_facets" ->
       s"""$tokCtes
          |SELECT d.lang, count(DISTINCT tf.doc_id)::BIGINT AS n_docs

@@ -31,23 +31,31 @@ object BoolQuery {
 
   sealed trait Expr extends Serializable
   final case class Term(t: String) extends Expr
+  /** Quoted phrase atom (`"fast merge"`): present iff the document
+    * contains the terms at consecutive positions (the PHRASE-kind
+    * predicate), usable anywhere a term is. ≥2 tokens by construction —
+    * a 1-token quote collapses to Term. Needs a positional segment. */
+  final case class Phrase(ts: List[String]) extends Expr
   final case class And(cs: List[Expr]) extends Expr
   final case class Or(cs: List[Expr]) extends Expr
   final case class Not(c: Expr) extends Expr
 
   /** True when the text needs the nested grammar: parentheses, a NOT,
-    * or both flat connectives mixed in one query. */
+    * both flat connectives mixed in one query, or a quoted phrase
+    * combined with anything else (a text that IS one quoted phrase never
+    * reaches this check — QueryParser's PHRASE branch consumes it). */
   def isNested(text: String): Boolean =
-    text.contains("(") || text.contains(")") ||
+    text.contains("(") || text.contains(")") || text.contains("\"") ||
       text.split("\\s+").contains("NOT") ||
       (text.split("\\s+AND\\s+").length > 1 && text.contains(" OR "))
 
   /** All distinct terms of the expression (including under NOT — their
-    * presence must still be tested), sorted. */
+    * presence must still be tested — and inside phrases), sorted. */
   def terms(e: Expr): Array[String] = {
     val out = scala.collection.mutable.SortedSet.empty[String]
     def walk(x: Expr): Unit = x match {
       case Term(t) => out += t
+      case Phrase(ts) => out ++= ts
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
@@ -56,22 +64,46 @@ object BoolQuery {
     out.toArray
   }
 
-  /** Compile to a predicate over a presence vector indexed by `slot`
-    * (term → index). Terms absent from `slot` (not in the dictionary)
-    * are constant-false: they can never be present. */
-  def compile(e: Expr, slot: Map[String, Int]): Array[Boolean] => Boolean = e match {
+  /** The distinct phrase leaves of the expression, in first-appearance
+    * order — the phrase-slot layout the walk's extended presence vector
+    * uses (slot i of the phrase block = phrases(e)(i)). */
+  def phrases(e: Expr): Array[List[String]] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[List[String]]
+    def walk(x: Expr): Unit = x match {
+      case Phrase(ts) => out += ts
+      case And(cs) => cs.foreach(walk)
+      case Or(cs) => cs.foreach(walk)
+      case Not(c) => walk(c)
+      case Term(_) =>
+    }
+    walk(e)
+    out.toArray
+  }
+
+  /** Compile to a predicate over a presence vector: indices [0, |terms|)
+    * are term slots (`slot`), indices [phraseBase, phraseBase+|phrases|)
+    * are phrase-match slots (`phraseSlot`, laid out per [[phrases]]).
+    * Atoms absent from their map (out-of-dictionary terms, phrases with
+    * an out-of-dictionary member) are constant-false. */
+  def compile(e: Expr, slot: Map[String, Int],
+              phraseSlot: Map[List[String], Int] = Map.empty,
+              phraseBase: Int = 0): Array[Boolean] => Boolean = e match {
     case Term(t) => slot.get(t) match {
       case Some(i) => p => p(i)
       case None => _ => false
     }
+    case Phrase(ts) => phraseSlot.get(ts) match {
+      case Some(j) => val i = phraseBase + j; p => p(i)
+      case None => _ => false
+    }
     case And(cs) =>
-      val fs = cs.map(compile(_, slot))
+      val fs = cs.map(compile(_, slot, phraseSlot, phraseBase))
       p => fs.forall(_(p))
     case Or(cs) =>
-      val fs = cs.map(compile(_, slot))
+      val fs = cs.map(compile(_, slot, phraseSlot, phraseBase))
       p => fs.exists(_(p))
     case Not(c) =>
-      val f = compile(c, slot)
+      val f = compile(c, slot, phraseSlot, phraseBase)
       p => !f(p)
   }
 
@@ -79,14 +111,19 @@ object BoolQuery {
     * document containing NONE of its terms — a corpus-sized complement
     * no index walk can (or should) enumerate. Callers reject these
     * (`NOT x` alone); `a AND NOT x` is fine: its matches all contain a. */
-  def matchesEmpty(e: Expr, slot: Map[String, Int], nSlots: Int): Boolean =
-    compile(e, slot)(new Array[Boolean](nSlots))
+  def matchesEmpty(e: Expr, slot: Map[String, Int], nSlots: Int,
+                   phraseSlot: Map[List[String], Int] = Map.empty,
+                   phraseBase: Int = 0): Boolean =
+    compile(e, slot, phraseSlot, phraseBase)(
+      new Array[Boolean](math.max(nSlots, phraseBase + phraseSlot.size)))
 
   /** Can the expression be satisfied at all, given that only terms in
     * `known` can ever be present? (An AND containing an unknown term is
-    * unsatisfiable; an OR survives if any branch does.) */
+    * unsatisfiable; an OR survives if any branch does; a phrase needs
+    * every member known.) */
   def satisfiable(e: Expr, known: Set[String]): Boolean = e match {
     case Term(t) => known.contains(t)
+    case Phrase(ts) => ts.forall(known.contains)
     case And(cs) => cs.forall(satisfiable(_, known))
     case Or(cs) => cs.exists(satisfiable(_, known))
     case Not(_) => true // a negation can always hold (conservative)
@@ -107,13 +144,19 @@ object BoolQuery {
   private def lex(text: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
+    var inQuote = false
     def flush(): Unit = { if (sb.nonEmpty) { out += sb.toString; sb.clear() } }
     text.foreach {
-      case '(' => flush(); out += "("
-      case ')' => flush(); out += ")"
-      case c if c.isWhitespace => flush()
+      case '"' =>
+        if (inQuote) { out += "\"" + sb.toString + "\""; sb.clear() }
+        else flush()
+        inQuote = !inQuote
+      case '(' if !inQuote => flush(); out += "("
+      case ')' if !inQuote => flush(); out += ")"
+      case c if c.isWhitespace && !inQuote => flush()
       case c => sb += c
     }
+    require(!inQuote, "unbalanced '\"' in boolean query")
     flush()
     out.toArray
   }
@@ -168,6 +211,13 @@ object BoolQuery {
           e
         case "AND" | "OR" | ")" =>
           throw new IllegalArgumentException(s"unexpected '$peek' at position $at")
+        case q if q.startsWith("\"") =>
+          at += 1
+          Tokenizer.tokenize(q.substring(1, q.length - 1)).toList match {
+            case Nil => And(Nil) // an empty quote drops out, like a dropped word
+            case t :: Nil => Term(t) // 1-token phrase ≡ the term
+            case ts => Phrase(ts)
+          }
         case w =>
           at += 1
           Tokenizer.tokenize(w).toList match {

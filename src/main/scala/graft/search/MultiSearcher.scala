@@ -52,6 +52,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
 
   private def hitsInternal(kind: String, text: String, k: Int, qid: Long,
                            tomb: Option[(String, () => Dataset[Long])]): Dataset[Hit] = {
+    if (kind == "BOOL") return boolHitsInternal(text, k, qid, tomb)
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     // positional requirements surface HERE, not as a deep executor
@@ -93,6 +94,59 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = kind == "AND", k, pruned = false, entries.length,
           phraseSlots, nearWindow = nearWin,
+          rejectB = tomb.map { case (tag, d) =>
+            searcher.tombstoneFilter(tag, d()) }.orNull)
+    }
+    if (scored.isEmpty) return spark.emptyDataset[Hit]
+    val all = scored.reduce(_ union _)
+    searchers.head.rankTopK(all.toDF("docId", "score"), k, qid)
+  }
+
+  /** Nested boolean queries across segments. Before this branch existed
+    * a BOOL query silently degraded to disjunctive BM25 here. Each
+    * segment compiles the predicate over ITS OWN slot layout (termId
+    * spaces differ); a term or phrase member missing from a segment's
+    * dictionary is constant-false there — correct, since the term truly
+    * does not occur in that segment's docs. The pure-negative guard is
+    * GLOBAL (all query terms known), so every match contains at least
+    * one positive query term and lives in some segment's walked union.
+    * Scores use global statistics like every other kind here. */
+  private def boolHitsInternal(text: String, k: Int, qid: Long,
+                               tomb: Option[(String, () => Dataset[Long])]): Dataset[Hit] = {
+    val ast = BoolQuery.parse(text)
+    val termArr = BoolQuery.terms(ast)
+    if (termArr.isEmpty) return spark.emptyDataset[Hit]
+    val phrases = BoolQuery.phrases(ast)
+    if (phrases.nonEmpty)
+      require(segments.forall(_.params.positional),
+        "phrase atoms in a boolean query need positional segments (BuildParams.positional)")
+    val perSeg = searchers.map(_.dictLookup(termArr))
+    val dfByTerm: Map[String, Long] = perSeg.flatten
+      .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
+    if (dfByTerm.isEmpty ||
+        !BoolQuery.satisfiable(ast, dfByTerm.keySet))
+      return spark.emptyDataset[Hit]
+    val globalSlots = termArr.zipWithIndex.toMap
+    val phraseSlotG = phrases.zipWithIndex.toMap
+    require(!BoolQuery.matchesEmpty(ast, globalSlots, termArr.length,
+        phraseSlotG, termArr.length),
+      s"pure-negative boolean query '$text' matches a corpus-sized " +
+        "complement; add a positive requirement (a AND NOT x)")
+    val n = numDocs
+    val scored = searchers.zip(perSeg).collect {
+      case (searcher, entries) if entries.nonEmpty &&
+          BoolQuery.satisfiable(ast, entries.map(_.term).toSet) =>
+        val idfByTid = entries
+          .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
+        val slotByTerm = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
+        val phraseSlot = phrases.zipWithIndex.toMap
+        val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot, entries.length)
+        val defs: Array[Array[Int]] =
+          if (phrases.isEmpty) null
+          else phrases.map(ts => ts.map(t => slotByTerm.getOrElse(t, -1)).toArray)
+        searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
+          conjunctive = false, k, pruned = false, entries.length,
+          boolEval = eval, boolPhrases = defs,
           rejectB = tomb.map { case (tag, d) =>
             searcher.tombstoneFilter(tag, d()) }.orNull)
     }

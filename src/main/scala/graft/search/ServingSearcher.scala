@@ -169,18 +169,29 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 after: Wand.Scored = null)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
-    // ascending-termId slot order (same contract as Searcher.boolHits)
+    // ascending-termId slot order (same contract as Searcher.boolHits);
+    // phrase atoms extend the vector with consecutive-position slots
+    var boolPhrases: Array[Array[Int]] = null
     val boolEval: Array[Boolean] => Boolean =
       if (kind != "BOOL") null
       else {
         val ast = BoolQuery.parse(text)
         if (!BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
           return Array.empty
+        val phrasesArr = BoolQuery.phrases(ast)
+        if (phrasesArr.nonEmpty)
+          require(positional,
+            "phrase atoms in a boolean query need a positional index")
         val slot = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
-        require(!BoolQuery.matchesEmpty(ast, slot, entries.length),
+        val phraseSlot = phrasesArr.zipWithIndex.toMap
+        require(!BoolQuery.matchesEmpty(ast, slot, entries.length,
+            phraseSlot, entries.length),
           s"pure-negative boolean query '$text' matches a corpus-sized " +
             "complement; add a positive requirement (a AND NOT x)")
-        BoolQuery.compile(ast, slot)
+        if (phrasesArr.nonEmpty)
+          boolPhrases = phrasesArr.map(ts =>
+            ts.map(t => slot.getOrElse(t, -1)).toArray)
+        BoolQuery.compile(ast, slot, phraseSlot, entries.length)
       }
     val phraseSlots: Array[Long] = kind match {
       case "PHRASE" =>
@@ -207,13 +218,14 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val ab = acceptB
     val rb = rejectB
     val aft = after
+    val bp = boolPhrases
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
-          if (rb == null) null else rb.value, aft))
+          if (rb == null) null else rb.value, aft, bp))
     perPart.flatten
   }
 }
@@ -358,7 +370,8 @@ object ServingSearcher {
       pruned: Boolean = true,
       acceptBits: Map[Int, Array[Long]] = null,
       rejectBits: Map[Int, Array[Long]] = null,
-      after: Wand.Scored = null): Array[Wand.Scored] = {
+      after: Wand.Scored = null,
+      boolPhrases: Array[Array[Int]] = null): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -404,7 +417,8 @@ object ServingSearcher {
               val slots = tids.map(tid => plByTid.get(tid)
                 .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
                 .orNull)
-              Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept, after)
+              Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
+                after, boolPhrases)
             } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]

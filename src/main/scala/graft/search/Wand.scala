@@ -356,10 +356,15 @@ object Wand {
                avgdl: Double, k: Int,
                eval: Array[Boolean] => Boolean,
                accept: Long => Boolean = null,
-               after: Scored = null): Array[Scored] = {
+               after: Scored = null,
+               phraseDefs: Array[Array[Int]] = null): Array[Scored] = {
     val topk = new TopK(k, after)
     val n = slots.length
-    val present = new Array[Boolean](n)
+    val nPhrases = if (phraseDefs == null) 0 else phraseDefs.length
+    val present = new Array[Boolean](n + nPhrases)
+    // phrase atoms: slot position arrays captured BEFORE cursors advance
+    // (positional cursors only — callers require a positional segment)
+    val posArrs = if (nPhrases == 0) null else new Array[Array[Int]](n)
     var anyLive = slots.exists(c => c != null && !c.exhausted)
     while (anyLive) {
       var d = Long.MaxValue
@@ -379,6 +384,7 @@ object Wand {
         if (c != null && !c.exhausted) {
           if (c.docId == d) {
             present(i) = true
+            if (posArrs != null) posArrs(i) = c.positions()
             // slots are ascending-termId: deterministic Double sum order
             score += BM25.impact(c.idf, c.tf, dl, avgdl)
             c.next()
@@ -387,9 +393,42 @@ object Wand {
         }
         i += 1
       }
+      // phrase slots extend the presence vector: consecutive-position
+      // staircase over the captured arrays (same intersection as
+      // topKPhrase); a def with a missing (-1) slot can never match
+      var j = 0
+      while (j < nPhrases) {
+        val defn = phraseDefs(j)
+        var ok = defn.length > 0
+        var x = 0
+        while (ok && x < defn.length) { ok = defn(x) >= 0 && present(defn(x)); x += 1 }
+        present(n + j) = ok && stairMatch(posArrs, defn)
+        j += 1
+      }
       if ((accept == null || accept(d)) && eval(present)) topk.offer(d, score)
     }
     topk.result()
+  }
+
+  /** ∃ p: p+i ∈ posArrs(defn(i)) for all i — [[phraseMatches]] over
+    * pre-captured position arrays addressed by slot index. */
+  private def stairMatch(posArrs: Array[Array[Int]], defn: Array[Int]): Boolean = {
+    var cand = posArrs(defn(0))
+    var i = 1
+    while (i < defn.length && cand.nonEmpty) {
+      val ps = posArrs(defn(i))
+      val out = mutable.ArrayBuilder.make[Int]
+      var a = 0; var b = 0
+      while (a < cand.length && b < ps.length) {
+        val want = cand(a) + i
+        if (ps(b) == want) { out += cand(a); a += 1; b += 1 }
+        else if (ps(b) < want) b += 1
+        else a += 1
+      }
+      cand = out.result()
+      i += 1
+    }
+    cand.nonEmpty
   }
 
   /** Exhaustive disjunctive evaluation (no pruning) — the safe path for
