@@ -505,8 +505,11 @@ object SegmentBuilder {
   }
 
   /** Per-bucket doc-length blocks. firstDocId = the segment's first docId
-    * in the bucket (chunk slices may start mid-bucket); rows within a
-    * segment's bucket slice must be dense. */
+    * in the bucket (chunk slices may start mid-bucket). Holes are
+    * allowed — a merge over PURGED segments sees gaps where deleted
+    * docIds used to be — and fill with 0, which no walk ever reads (the
+    * ids are gone from every posting list); the array stays bounded by
+    * bucketSize regardless of hole count. */
   def doclenBlocks(docs: Dataset[Doc], bucketSize: Long): Dataset[DocLenBlock] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -517,12 +520,10 @@ object SegmentBuilder {
       .mapGroups { (bucket, it) =>
         val rows = it.toArray.sortBy(_._1)
         val first = rows.head._1
-        val lens = new Array[Int](rows.length)
+        val lens = new Array[Int]((rows.last._1 - first + 1).toInt)
         var i = 0
         while (i < rows.length) {
-          val idx = (rows(i)._1 - first).toInt
-          require(idx == i, s"docIds not dense in bucket $bucket at ${rows(i)._1}")
-          lens(i) = rows(i)._2
+          lens((rows(i)._1 - first).toInt) = rows(i)._2
           i += 1
         }
         DocLenBlock(bucket, first, lens)
