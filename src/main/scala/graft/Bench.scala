@@ -107,6 +107,29 @@ object Bench {
     })
     val (plan50, plan95) = pcts(planLats)
 
+    // concurrent serving throughput: 8 client threads replaying the
+    // committed mix against the resident index (Spark schedules the
+    // per-query jobs concurrently; FIFO pool) — queries/second
+    val servingQps = {
+      val threads = 8
+      val perThread = 2
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val t0 = System.nanoTime()
+        val tasks = (1 to threads).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = {
+              (1 to perThread).foreach(_ =>
+                qset.foreach(q => serving.hits(q.kind, q.text, q.k)))
+              perThread * qset.size
+            }
+          })
+        }
+        val total = tasks.map(_.get()).sum
+        total / secs(t0)
+      } finally pool.shutdown()
+    }
+
     // ── one-time ANN index builds, timed separately (not query cost) ──
     val annBuildSec = {
       val t0 = System.nanoTime()
@@ -141,6 +164,7 @@ object Bench {
       s""""ann_build":$annBuildSec,"purge_build":$purgeBuildSec,""" +
       s""""compact_build":$compactBuildSec,""" +
       s""""query_p50_ms":$p50,"query_p95_ms":$p95,""" +
+      s""""serving_qps":$servingQps,""" +
       s""""plan_p50_ms":$plan50,"plan_p95_ms":$plan95}""")
     spark.stop()
   }
