@@ -389,6 +389,11 @@ object SparkEntry {
       DocsIndex.compactedRankedHits(s, dir, "AND", "key AND value AND hash", 20)),
     "ft_page2" -> ((s, dir) =>
       DocsIndex.pagedRankedHits(s, dir, "FREE", "fast merge sort table", 20, 20)),
+    "ft_suggest" -> ((s, dir) => {
+      val (_, searcher, _) = DocsIndex.get(s, dir)
+      val rows = searcher.suggest("mrege", 5, maxDist = 2)
+      s.createDataFrame(rows.toSeq).toDF("term", "df")
+    }),
     "ft_count" -> ((s, dir) => {
       val (_, searcher, _) = DocsIndex.get(s, dir)
       val and = searcher.matchCount("AND", "key AND value AND hash")
@@ -749,6 +754,14 @@ object SparkEntry {
       s"""SELECT doc_id, score, rank - 20 AS rank FROM (
          |${bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 40)}
          |) WHERE rank > 20""".stripMargin,
+    // "did you mean": vocabulary within Levenshtein distance 2 of the
+    // typo, ranked by document frequency — DuckDB's levenshtein() is the
+    // same unit-cost metric as the engine's banded DP
+    "ft_suggest" ->
+      s"""$tokCtes
+         |SELECT term, df FROM df
+         |WHERE levenshtein(term, 'mrege') <= 2
+         |ORDER BY df DESC, term LIMIT 5""".stripMargin,
     // total-match counts ("about N results"): presence semantics only —
     // AND = all terms present, FREE = any, absent term = 0
     "ft_count" ->

@@ -161,6 +161,24 @@ final class Searcher(spark: SparkSession, segment: Segment,
     }).sortBy(_.termId).take(maxExpansion)
   }
 
+  /** "Did you mean": vocabulary terms within `maxDist` Levenshtein edit
+    * distance of `word`, ranked (df desc, term asc) — the zero-hit
+    * recovery surface. A dictionary-sized scan like regex expansion
+    * (the vocabulary is the small artifact by design); a length band
+    * prunes before any distance is computed, and the DP itself
+    * early-exits when a row's minimum exceeds the bound. */
+  def suggest(word: String, k: Int, maxDist: Int = 1): Array[(String, Long)] = {
+    val w = word.trim.toLowerCase
+    if (w.isEmpty) return Array.empty
+    val band = (e: DictEntry) => math.abs(e.term.length - w.length) <= maxDist
+    val cands = (dictCache match {
+      case Some(m) => m.valuesIterator.filter(band).toArray
+      case None => segment.dict
+        .filter(abs(length($"term") - lit(w.length)) <= maxDist).collect()
+    }).filter(e => Searcher.editDistance(e.term, w, maxDist) <= maxDist)
+    cands.sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
+  }
+
   /** Per-bucket docId bitsets for a docmap field predicate — the
     * fielded-query filter (`lang:scala`). Built once per (field, value)
     * and broadcast; bucket-local bitsets are computed executor-side in a
@@ -670,6 +688,35 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .join(segment.docs, Seq("docId"))
       .orderBy($"rank")
       .select($"rank", $"docId", $"score", $"repo", $"path", $"commit", $"lang")
+}
+
+object Searcher {
+  /** Plain Levenshtein distance (unit insert/delete/substitute — the
+    * same metric as DuckDB's `levenshtein`, keeping the suggest oracle
+    * exact), with an early exit once every cell of a row exceeds
+    * `bound` (banded DP: O(|a|·|b|) worst case, O(bound·|a|) typical). */
+  def editDistance(a: String, b: String, bound: Int): Int = {
+    if (a == b) return 0
+    if (math.abs(a.length - b.length) > bound) return bound + 1
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > bound) return bound + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
 }
 
 /** Exact relational BM25 scorer — SURVEY §2.4 Q6: the no-pruning oracle

@@ -76,6 +76,18 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] =
     hitsImpl(kind, text, k, qid, 0L, Long.MaxValue)
 
+  /** "Did you mean" at serving latency — same ranking contract as
+    * Searcher.suggest over the resident dictionary. */
+  def suggest(word: String, k: Int, maxDist: Int = 1): Array[(String, Long)] = {
+    val w = word.trim.toLowerCase
+    if (w.isEmpty) return Array.empty
+    dictCache.valuesIterator
+      .filter(e => math.abs(e.term.length - w.length) <= maxDist &&
+        Searcher.editDistance(e.term, w, maxDist) <= maxDist)
+      .toArray
+      .sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
+  }
+
   /** search_after pagination at serving latency — same cursor contract
     * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
   def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.build.{BuildParams, SegmentBuilder}
+import graft.corpus.{DatasetCorpusSource, Synthesizer}
+import graft.search.{Searcher, ServingSearcher}
+
+/** "Did you mean" suggestions: banded Levenshtein over the vocabulary,
+  * ranked by document frequency. */
+class SuggestSpec extends SparkSpec {
+
+  lazy val seg = SegmentBuilder.build(spark,
+    DatasetCorpusSource(Synthesizer.tiny(spark)),
+    BuildParams(numPartitions = 4, bucketSize = 64))._1
+  lazy val searcher = new Searcher(spark, seg)
+
+  // reference implementation: unbounded classic DP
+  private def lev(a: String, b: String): Int = {
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) d(i)(0) = i
+    for (j <- 0 to b.length) d(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("banded editDistance agrees with the classic DP (within the bound)") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    def word() = Array.fill(rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length))).mkString
+    (1 to 500).foreach { _ =>
+      val (a, b) = (word(), word())
+      val bound = rnd.nextInt(3)
+      val exact = lev(a, b)
+      val banded = Searcher.editDistance(a, b, bound)
+      if (exact <= bound) assert(banded == exact, s"'$a' '$b' bound=$bound")
+      else assert(banded > bound, s"'$a' '$b' bound=$bound exact=$exact")
+    }
+  }
+
+  test("suggest returns distance-bounded vocabulary ranked by df") {
+    val vocab = seg.dict.collect()
+    val top = vocab.maxBy(_.df)
+    val typo = top.term.drop(1) // deletion of the first char: distance 1
+    val got = searcher.suggest(typo, 10, maxDist = 1)
+    val want = vocab
+      .filter(e => lev(e.term, typo) <= 1)
+      .sortBy(e => (-e.df, e.term)).take(10).map(e => e.term -> e.df)
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._1).contains(top.term))
+    // exact vocabulary word suggests itself first at any df ranking tie
+    assert(searcher.suggest(top.term, 1, 0).head._1 == top.term)
+    // nothing within distance 0 of garbage
+    assert(searcher.suggest("zzzzzqq", 5, 1).isEmpty)
+  }
+
+  test("serving tier suggests identically") {
+    val serving = new ServingSearcher(spark, seg)
+    val vocab = seg.dict.collect()
+    val typo = vocab.maxBy(_.df).term.drop(1)
+    assert(serving.suggest(typo, 10, 2).toSeq ==
+      searcher.suggest(typo, 10, 2).toSeq)
+    serving.close()
+  }
+}
