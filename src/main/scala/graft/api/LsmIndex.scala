@@ -65,6 +65,17 @@ final class LsmIndex(spark: SparkSession, val indexDir: String,
     else multi.deletedHits(kind, text, k, s"$indexDir#$epoch", tomb, qid)
   }
 
+  /** Fielded (`lang:x`-style) tombstone-aware top-k — the per-segment
+    * bitset filters and the live-delete bitsets compose. */
+  def fieldedHits(kind: String, text: String, k: Int, field: String,
+                  value: String, qid: Long = 0L): Dataset[Hit] = {
+    val (_, multi) = reader()
+    val tomb = IndexStorage.readTombstones(spark, indexDir)
+    if (tomb.isEmpty) multi.fieldedHits(kind, text, k, field, value, qid)
+    else multi.fieldedDeletedHits(kind, text, k, field, value,
+      s"$indexDir#$epoch", tomb, qid)
+  }
+
   /** Append a batch of documents as a new segment; returns its segId
     * (-1 for an empty batch). Ids start at the bucket-aligned committed
     * high-watermark — collision-free with every prior segment,

@@ -41,6 +41,21 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsInternal(kind, text, k, qid, None)
 
+  /** Fielded (`lang:x`-style) queries across segments: each segment
+    * builds and caches its own per-bucket bitset from ITS docmap (the
+    * Searcher.docFilter mechanism); global statistics, same
+    * filter-doesn't-rescale contract as the single-segment path. */
+  def fieldedHits(kind: String, text: String, k: Int, field: String,
+                  value: String, qid: Long = 0L): Dataset[Hit] =
+    hitsInternal(kind, text, k, qid, None, Some((field, value)))
+
+  /** Fielded + live tombstones — both per-segment bitsets compose. */
+  def fieldedDeletedHits(kind: String, text: String, k: Int, field: String,
+                         value: String, tag: String,
+                         deleted: => Dataset[Long], qid: Long = 0L): Dataset[Hit] =
+    hitsInternal(kind, text, k, qid, Some((tag, () => deleted)),
+      Some((field, value)))
+
   /** Merge-on-read with a tombstone set excluded — live deletes over an
     * un-compacted multi-segment index. DocId ranges are disjoint across
     * segments, so every segment probes the SAME global tombstone bitset
@@ -51,8 +66,9 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     hitsInternal(kind, text, k, qid, Some((tag, () => deleted)))
 
   private def hitsInternal(kind: String, text: String, k: Int, qid: Long,
-                           tomb: Option[(String, () => Dataset[Long])]): Dataset[Hit] = {
-    if (kind == "BOOL") return boolHitsInternal(text, k, qid, tomb)
+                           tomb: Option[(String, () => Dataset[Long])],
+                           fielded: Option[(String, String)] = None): Dataset[Hit] = {
+    if (kind == "BOOL") return boolHitsInternal(text, k, qid, tomb, fielded)
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     // positional requirements surface HERE, not as a deep executor
@@ -94,6 +110,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = kind == "AND", k, pruned = false, entries.length,
           phraseSlots, nearWindow = nearWin,
+          acceptB = fielded.map { case (f, v) => searcher.docFilter(f, v) }.orNull,
           rejectB = tomb.map { case (tag, d) =>
             searcher.tombstoneFilter(tag, d()) }.orNull)
     }
@@ -112,7 +129,8 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     * one positive query term and lives in some segment's walked union.
     * Scores use global statistics like every other kind here. */
   private def boolHitsInternal(text: String, k: Int, qid: Long,
-                               tomb: Option[(String, () => Dataset[Long])]): Dataset[Hit] = {
+                               tomb: Option[(String, () => Dataset[Long])],
+                               fielded: Option[(String, String)] = None): Dataset[Hit] = {
     val ast = BoolQuery.parse(text)
     val termArr = BoolQuery.terms(ast)
     if (termArr.isEmpty) return spark.emptyDataset[Hit]
@@ -147,6 +165,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = false, k, pruned = false, entries.length,
           boolEval = eval, boolPhrases = defs,
+          acceptB = fielded.map { case (f, v) => searcher.docFilter(f, v) }.orNull,
           rejectB = tomb.map { case (tag, d) =>
             searcher.tombstoneFilter(tag, d()) }.orNull)
     }

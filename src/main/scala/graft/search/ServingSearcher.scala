@@ -110,7 +110,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
 
   private val filterCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]]]
-  private def docFilterB(field: String, value: String) =
+  private[search] def docFilterB(field: String, value: String) =
     filterCache.getOrElseUpdate((field, value),
       sc.broadcast(ServingSearcher.bucketBitsets(segment, field, value)))
 
@@ -276,6 +276,13 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Array[Hit] =
     hitsImpl(kind, text, k, qid, None)
 
+  /** Fielded queries across segments at serving latency — each server's
+    * per-bucket bitset builds once from its own docmap and stays
+    * broadcast; same semantics as MultiSearcher.fieldedHits. */
+  def fieldedHits(kind: String, text: String, k: Int, field: String,
+                  value: String, qid: Long = 0L): Array[Hit] =
+    hitsImpl(kind, text, k, qid, None, Some((field, value)))
+
   /** Live deletes over the un-compacted multi-segment index at serving
     * latency — same semantics as MultiSearcher.deletedHits (scores keep
     * the pre-delete global statistics). Each segment's server builds and
@@ -287,7 +294,8 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
     hitsImpl(kind, text, k, qid, Some((tag, () => deleted)))
 
   private def hitsImpl(kind: String, text: String, k: Int, qid: Long,
-                       tomb: Option[(String, () => org.apache.spark.sql.Dataset[Long])])
+                       tomb: Option[(String, () => org.apache.spark.sql.Dataset[Long])],
+                       fielded: Option[(String, String)] = None)
       : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return Array.empty
@@ -310,6 +318,7 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
           .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
         srv.rawScored(kind, text, terms, entries, idfByTid, avgdl, k,
           pruned = false,
+          acceptB = fielded.map { case (f, v) => srv.docFilterB(f, v) }.orNull,
           rejectB = tomb.map { case (tag, d) => srv.tombstoneB(tag, d()) }.orNull)
       }
     }.toArray

@@ -77,6 +77,18 @@ class LsmIndexSpec extends SparkSpec {
     val idx2 = new LsmIndex(spark, dir, params)
     val again = idx2.hits("FREE", q, 200).collect().map(h => (h.docId, h.score)).toSeq
     assert(again == after)
+
+    // fielded + tombstones compose: the lang-filtered post-delete ranking
+    // == the unfiltered post-delete ranking restricted to that lang
+    val lang = idx.liveSegments().flatMap(
+      _.docs.select($"lang").as[String].collect())
+      .groupBy(identity).maxBy(_._2.size)._1
+    val langDocs = idx.liveSegments().flatMap(
+      _.docs.filter($"lang" === lang).select($"docId")
+        .collect().map(_.getLong(0))).toSet
+    val fielded = idx.fieldedHits("FREE", q, 200, "lang", lang).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(fielded == after.filter(h => langDocs(h._1)) && fielded.nonEmpty)
   }
 
   test("upsert replaces by natural key; maintain purges and converges") {

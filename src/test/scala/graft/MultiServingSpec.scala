@@ -51,6 +51,41 @@ class MultiServingSpec extends SparkSpec {
     assert(nonEmpty >= 4, "fixture queries must mostly hit")
   }
 
+  test("multi-segment fieldedHits: filtered-global oracle + serving parity") {
+    import spark.implicits._
+    val segs = Seq(segA, segB)
+    val multi = new MultiSearcher(spark, segs)
+    val serving = new MultiServingSearcher(spark, segs)
+    val total = segs.map(_.stats.numDocs).sum.toInt
+    val lang = segs.flatMap(_.docs.select(col("lang")).as[String].collect())
+      .groupBy(identity).maxBy(_._2.size)._1
+    val langDocs = segs.flatMap(_.docs.filter(col("lang") === lang)
+      .select(col("docId")).collect().map(_.getLong(0))).toSet
+    val terms = segA.dict.orderBy(desc("cf")).limit(3).collect().map(_.term)
+    var nonEmpty = 0
+    for ((kind, text) <- Seq(("FREE", terms.mkString(" ")),
+        ("AND", terms.take(2).mkString(" AND ")),
+        ("BOOL", s"(${terms(0)} OR ${terms(1)}) AND ${terms(2)}"))) {
+      // oracle: the unfiltered global ranking restricted to the lang —
+      // scores unchanged (filter-doesn't-rescale)
+      val want = multi.hits(kind, text, total).collect()
+        .filter(h => langDocs(h.docId))
+        .sortBy(h => (-h.score, h.docId)).take(10)
+        .map(h => (h.docId, h.score)).toSeq
+      val got = multi.fieldedHits(kind, text, 10, "lang", lang).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"$kind '$text'")
+      val srv = serving.fieldedHits(kind, text, 10, "lang", lang)
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      val rel = multi.fieldedHits(kind, text, 10, "lang", lang).collect()
+        .map(h => (h.rank, h.docId, h.score)).toSeq
+      assert(srv == rel, s"$kind '$text' serving mismatch")
+      if (got.nonEmpty) nonEmpty += 1
+    }
+    serving.close()
+    assert(nonEmpty >= 2)
+  }
+
   test("multi-segment deletedHits: oracle + serving parity") {
     import spark.implicits._
     val segs = Seq(segA, segB)
