@@ -128,4 +128,42 @@ class BoolQuerySpec extends SparkSpec {
     serving.close()
     assert(rel.nonEmpty && srv == rel)
   }
+
+  test("print → parse round-trips 500 random ASTs") {
+    import BoolQuery._
+    val rnd = new scala.util.Random(42)
+    val words = Array("alpha", "beta", "gamma", "delta", "omega")
+    def leaf(): Expr =
+      if (rnd.nextInt(4) == 0)
+        Phrase(List.fill(2 + rnd.nextInt(2))(words(rnd.nextInt(words.length))))
+      else Term(words(rnd.nextInt(words.length)))
+    def gen(depth: Int): Expr =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => And(List.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
+        case 1 => Or(List.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
+        case 2 => Not(gen(depth - 1)) match {
+          // printable negations only: the printer wraps NOT's operand
+          case n => n
+        }
+        case _ => leaf()
+      }
+    // print with full parenthesization — unambiguous regardless of the
+    // precedence rules, so parse(print(e)) must reproduce e exactly
+    def print(e: Expr): String = e match {
+      case Term(t) => t
+      case Phrase(ts) => "\"" + ts.mkString(" ") + "\""
+      case And(cs) => cs.map(print).mkString("(", " AND ", ")")
+      case Or(cs) => cs.map(print).mkString("(", " OR ", ")")
+      case Not(c) => "NOT " + print(c)
+    }
+    // normalize: the parser collapses 1-element And/Or and 1-token
+    // quotes — generate only shapes it preserves (done above: ≥2
+    // children, ≥2 phrase tokens), so equality is exact
+    (1 to 500).foreach { _ =>
+      val e = gen(1 + rnd.nextInt(3))
+      val printed = print(e)
+      assert(BoolQuery.parse(printed) == e, printed)
+    }
+  }
 }
