@@ -36,6 +36,11 @@ object BoolQuery {
     * predicate), usable anywhere a term is. ≥2 tokens by construction —
     * a 1-token quote collapses to Term. Needs a positional segment. */
   final case class Phrase(ts: List[String]) extends Expr
+  /** Proximity atom (`"merge sort"~3`): present iff one occurrence of
+    * every DISTINCT term fits in a w-token window (the NEAR-kind
+    * minimal-span predicate). Terms deduplicated at construction — a
+    * repeated term would trivially satisfy any window against itself. */
+  final case class Near(ts: List[String], w: Int) extends Expr
   final case class And(cs: List[Expr]) extends Expr
   final case class Or(cs: List[Expr]) extends Expr
   final case class Not(c: Expr) extends Expr
@@ -56,6 +61,7 @@ object BoolQuery {
     def walk(x: Expr): Unit = x match {
       case Term(t) => out += t
       case Phrase(ts) => out ++= ts
+      case Near(ts, _) => out ++= ts
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
@@ -64,13 +70,15 @@ object BoolQuery {
     out.toArray
   }
 
-  /** The distinct phrase leaves of the expression, in first-appearance
-    * order — the phrase-slot layout the walk's extended presence vector
-    * uses (slot i of the phrase block = phrases(e)(i)). */
-  def phrases(e: Expr): Array[List[String]] = {
-    val out = scala.collection.mutable.LinkedHashSet.empty[List[String]]
+  /** The distinct positional leaves of the expression in first-
+    * appearance order — the slot layout of the walk's extended presence
+    * vector. A Phrase is (terms-in-phrase-order, 0); a Near is
+    * (distinct terms, w ≥ 1). */
+  def posAtoms(e: Expr): Array[(List[String], Int)] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[(List[String], Int)]
     def walk(x: Expr): Unit = x match {
-      case Phrase(ts) => out += ts
+      case Phrase(ts) => out += ((ts, 0))
+      case Near(ts, w) => out += ((ts, w))
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
@@ -86,13 +94,17 @@ object BoolQuery {
     * Atoms absent from their map (out-of-dictionary terms, phrases with
     * an out-of-dictionary member) are constant-false. */
   def compile(e: Expr, slot: Map[String, Int],
-              phraseSlot: Map[List[String], Int] = Map.empty,
+              phraseSlot: Map[(List[String], Int), Int] = Map.empty,
               phraseBase: Int = 0): Array[Boolean] => Boolean = e match {
     case Term(t) => slot.get(t) match {
       case Some(i) => p => p(i)
       case None => _ => false
     }
-    case Phrase(ts) => phraseSlot.get(ts) match {
+    case Phrase(ts) => phraseSlot.get((ts, 0)) match {
+      case Some(j) => val i = phraseBase + j; p => p(i)
+      case None => _ => false
+    }
+    case Near(ts, w) => phraseSlot.get((ts, w)) match {
       case Some(j) => val i = phraseBase + j; p => p(i)
       case None => _ => false
     }
@@ -112,7 +124,7 @@ object BoolQuery {
     * no index walk can (or should) enumerate. Callers reject these
     * (`NOT x` alone); `a AND NOT x` is fine: its matches all contain a. */
   def matchesEmpty(e: Expr, slot: Map[String, Int], nSlots: Int,
-                   phraseSlot: Map[List[String], Int] = Map.empty,
+                   phraseSlot: Map[(List[String], Int), Int] = Map.empty,
                    phraseBase: Int = 0): Boolean =
     compile(e, slot, phraseSlot, phraseBase)(
       new Array[Boolean](math.max(nSlots, phraseBase + phraseSlot.size)))
@@ -124,6 +136,7 @@ object BoolQuery {
   def satisfiable(e: Expr, known: Set[String]): Boolean = e match {
     case Term(t) => known.contains(t)
     case Phrase(ts) => ts.forall(known.contains)
+    case Near(ts, _) => ts.forall(known.contains)
     case And(cs) => cs.forall(satisfiable(_, known))
     case Or(cs) => cs.exists(satisfiable(_, known))
     case Not(_) => true // a negation can always hold (conservative)
@@ -213,9 +226,20 @@ object BoolQuery {
           throw new IllegalArgumentException(s"unexpected '$peek' at position $at")
         case q if q.startsWith("\"") =>
           at += 1
+          // optional proximity suffix: `"a b"~3` lexes as two tokens
+          val win: Int =
+            if (!eof && peek.matches("~\\d+")) {
+              val w = peek.drop(1).toInt
+              at += 1
+              math.max(1, w)
+            } else 0
           Tokenizer.tokenize(q.substring(1, q.length - 1)).toList match {
             case Nil => And(Nil) // an empty quote drops out, like a dropped word
-            case t :: Nil => Term(t) // 1-token phrase ≡ the term
+            case t :: Nil => Term(t) // 1-token phrase/near ≡ the term
+            case ts if win > 0 => ts.distinct match {
+              case d :: Nil => Term(d) // one distinct term: window is vacuous
+              case ds => Near(ds, win)
+            }
             case ts => Phrase(ts)
           }
         case w =>

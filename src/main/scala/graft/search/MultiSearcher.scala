@@ -134,10 +134,10 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     val ast = BoolQuery.parse(text)
     val termArr = BoolQuery.terms(ast)
     if (termArr.isEmpty) return spark.emptyDataset[Hit]
-    val phrases = BoolQuery.phrases(ast)
-    if (phrases.nonEmpty)
+    val atoms = BoolQuery.posAtoms(ast)
+    if (atoms.nonEmpty)
       require(segments.forall(_.params.positional),
-        "phrase atoms in a boolean query need positional segments (BuildParams.positional)")
+        "phrase/NEAR atoms in a boolean query need positional segments (BuildParams.positional)")
     val perSeg = searchers.map(_.dictLookup(termArr))
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
@@ -145,7 +145,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         !BoolQuery.satisfiable(ast, dfByTerm.keySet))
       return spark.emptyDataset[Hit]
     val globalSlots = termArr.zipWithIndex.toMap
-    val phraseSlotG = phrases.zipWithIndex.toMap
+    val phraseSlotG = atoms.zipWithIndex.toMap
     require(!BoolQuery.matchesEmpty(ast, globalSlots, termArr.length,
         phraseSlotG, termArr.length),
       s"pure-negative boolean query '$text' matches a corpus-sized " +
@@ -157,14 +157,16 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         val idfByTid = entries
           .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
         val slotByTerm = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
-        val phraseSlot = phrases.zipWithIndex.toMap
+        val phraseSlot = atoms.zipWithIndex.toMap
         val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot, entries.length)
         val defs: Array[Array[Int]] =
-          if (phrases.isEmpty) null
-          else phrases.map(ts => ts.map(t => slotByTerm.getOrElse(t, -1)).toArray)
+          if (atoms.isEmpty) null
+          else atoms.map { case (ts, _) =>
+            ts.map(t => slotByTerm.getOrElse(t, -1)).toArray }
+        val wins: Array[Int] = if (atoms.isEmpty) null else atoms.map(_._2)
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = false, k, pruned = false, entries.length,
-          boolEval = eval, boolPhrases = defs,
+          boolEval = eval, boolPhrases = defs, boolWins = wins,
           acceptB = fielded.map { case (f, v) => searcher.docFilter(f, v) }.orNull,
           rejectB = tomb.map { case (tag, d) =>
             searcher.tombstoneFilter(tag, d()) }.orNull)

@@ -380,25 +380,26 @@ final class Searcher(spark: SparkSession, segment: Segment,
     if (terms.isEmpty || entries.isEmpty ||
         !BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
       return spark.emptyDataset[Hit]
-    val phrases = BoolQuery.phrases(ast)
-    if (phrases.nonEmpty)
+    val atoms = BoolQuery.posAtoms(ast)
+    if (atoms.nonEmpty)
       require(segment.params.positional,
-        "phrase atoms in a boolean query need a positional index (BuildParams.positional)")
+        "phrase/NEAR atoms in a boolean query need a positional index (BuildParams.positional)")
     val slotByTerm = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
-    val phraseSlot = phrases.zipWithIndex.toMap
+    val phraseSlot = atoms.zipWithIndex.toMap
     require(!BoolQuery.matchesEmpty(ast, slotByTerm, entries.length,
         phraseSlot, entries.length),
       s"pure-negative boolean query '$text' matches a corpus-sized " +
         "complement; add a positive requirement (a AND NOT x)")
     val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot, entries.length)
     val phraseDefs: Array[Array[Int]] =
-      if (phrases.isEmpty) null
-      else phrases.map(ts => ts.map(t => slotByTerm.getOrElse(t, -1)).toArray)
+      if (atoms.isEmpty) null
+      else atoms.map { case (ts, _) => ts.map(t => slotByTerm.getOrElse(t, -1)).toArray }
+    val phraseWins: Array[Int] = if (atoms.isEmpty) null else atoms.map(_._2)
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive = false, k, pruned = false, entries.length,
-      boolEval = eval, boolPhrases = phraseDefs,
+      boolEval = eval, boolPhrases = phraseDefs, boolWins = phraseWins,
       lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB,
       after = after)
       .toDF("docId", "score"), k, qid)
@@ -428,6 +429,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 hi: Long = Long.MaxValue,
                                 boolEval: Array[Boolean] => Boolean = null,
                                 boolPhrases: Array[Array[Int]] = null,
+                                boolWins: Array[Int] = null,
                                 acceptB: AcceptB = null,
                                 rejectB: AcceptB = null,
                                 after: Wand.Scored = null)
@@ -487,7 +489,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
             .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
             .orNull)
           Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
-            after, boolPhrases)
+            after, boolPhrases, boolWins)
         } else if (phraseSlots != null) {
           // one independent cursor per phrase/near slot (duplicates included)
           val plByTid = plArr.map(pl => pl.termId -> pl).toMap

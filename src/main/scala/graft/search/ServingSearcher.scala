@@ -182,27 +182,30 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits);
-    // phrase atoms extend the vector with consecutive-position slots
+    // phrase/NEAR atoms extend the vector with positional slots
     var boolPhrases: Array[Array[Int]] = null
+    var boolWins: Array[Int] = null
     val boolEval: Array[Boolean] => Boolean =
       if (kind != "BOOL") null
       else {
         val ast = BoolQuery.parse(text)
         if (!BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
           return Array.empty
-        val phrasesArr = BoolQuery.phrases(ast)
-        if (phrasesArr.nonEmpty)
+        val atoms = BoolQuery.posAtoms(ast)
+        if (atoms.nonEmpty)
           require(positional,
-            "phrase atoms in a boolean query need a positional index")
+            "phrase/NEAR atoms in a boolean query need a positional index")
         val slot = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
-        val phraseSlot = phrasesArr.zipWithIndex.toMap
+        val phraseSlot = atoms.zipWithIndex.toMap
         require(!BoolQuery.matchesEmpty(ast, slot, entries.length,
             phraseSlot, entries.length),
           s"pure-negative boolean query '$text' matches a corpus-sized " +
             "complement; add a positive requirement (a AND NOT x)")
-        if (phrasesArr.nonEmpty)
-          boolPhrases = phrasesArr.map(ts =>
-            ts.map(t => slot.getOrElse(t, -1)).toArray)
+        if (atoms.nonEmpty) {
+          boolPhrases = atoms.map { case (ts, _) =>
+            ts.map(t => slot.getOrElse(t, -1)).toArray }
+          boolWins = atoms.map(_._2)
+        }
         BoolQuery.compile(ast, slot, phraseSlot, entries.length)
       }
     val phraseSlots: Array[Long] = kind match {
@@ -231,13 +234,14 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val rb = rejectB
     val aft = after
     val bp = boolPhrases
+    val bw = boolWins
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
-          if (rb == null) null else rb.value, aft, bp))
+          if (rb == null) null else rb.value, aft, bp, bw))
     perPart.flatten
   }
 }
@@ -392,7 +396,8 @@ object ServingSearcher {
       acceptBits: Map[Int, Array[Long]] = null,
       rejectBits: Map[Int, Array[Long]] = null,
       after: Wand.Scored = null,
-      boolPhrases: Array[Array[Int]] = null): Array[Wand.Scored] = {
+      boolPhrases: Array[Array[Int]] = null,
+      boolWins: Array[Int] = null): Array[Wand.Scored] = {
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -439,7 +444,7 @@ object ServingSearcher {
                 .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
                 .orNull)
               Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
-                after, boolPhrases)
+                after, boolPhrases, boolWins)
             } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]

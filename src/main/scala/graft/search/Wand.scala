@@ -357,7 +357,8 @@ object Wand {
                eval: Array[Boolean] => Boolean,
                accept: Long => Boolean = null,
                after: Scored = null,
-               phraseDefs: Array[Array[Int]] = null): Array[Scored] = {
+               phraseDefs: Array[Array[Int]] = null,
+               phraseWins: Array[Int] = null): Array[Scored] = {
     val topk = new TopK(k, after)
     val n = slots.length
     val nPhrases = if (phraseDefs == null) 0 else phraseDefs.length
@@ -393,16 +394,20 @@ object Wand {
         }
         i += 1
       }
-      // phrase slots extend the presence vector: consecutive-position
-      // staircase over the captured arrays (same intersection as
-      // topKPhrase); a def with a missing (-1) slot can never match
+      // positional slots extend the presence vector: window 0 = the
+      // consecutive-position staircase (phrase), window w ≥ 1 = the
+      // minimal-span sweep over distinct-term positions (NEAR); a def
+      // with a missing (-1) slot can never match
       var j = 0
       while (j < nPhrases) {
         val defn = phraseDefs(j)
+        val win = if (phraseWins == null) 0 else phraseWins(j)
         var ok = defn.length > 0
         var x = 0
         while (ok && x < defn.length) { ok = defn(x) >= 0 && present(defn(x)); x += 1 }
-        present(n + j) = ok && stairMatch(posArrs, defn)
+        present(n + j) = ok && (
+          if (win == 0) stairMatch(posArrs, defn)
+          else minSpan(defn.map(posArrs)) <= win)
         j += 1
       }
       if ((accept == null || accept(d)) && eval(present)) topk.offer(d, score)

@@ -159,6 +159,46 @@ class BoolPhraseSpec extends SparkSpec {
     mono.unpersist()
   }
 
+  test("NEAR atoms: window semantics match the NEAR kind and brute force") {
+    val Array(a, b, c, _*) = topTerms
+    // parser: suffix window; duplicate terms deduplicate; 1-distinct = Term
+    assert(BoolQuery.parse(s""""$a $b"~3 OR $c""") ==
+      BoolQuery.Or(List(BoolQuery.Near(List(a, b), 3), BoolQuery.Term(c))))
+    assert(BoolQuery.parse(s""""$a $a"~3 AND $c""") ==
+      BoolQuery.And(List(BoolQuery.Term(a), BoolQuery.Term(c))))
+
+    def minSpan(toks: Array[String], ts: Seq[String]): Int = {
+      val occ = ts.map(t => toks.indices.filter(i => toks(i) == t))
+      if (occ.exists(_.isEmpty)) Int.MaxValue
+      else occ.map(_.map(p => p)).foldLeft(Seq(Seq.empty[Int]))((acc, ps) =>
+        for (pre <- acc; p <- ps) yield pre :+ p)
+        .map(pick => pick.max - pick.min).min
+    }
+    val w = 4
+    val got = searcher.hits("BOOL", s""""$a $b"~$w""", 30).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    val want = bruteBool(
+      toks => minSpan(toks, Seq(a, b)) <= w, Set(a, b), 30)
+    assert(got == want && got.nonEmpty)
+    // a pure NEAR-atom query matches the NEAR kind's doc set and scores
+    val viaNear = searcher.hits("NEAR", s"$a NEAR/$w $b", 30).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(got == viaNear)
+    // the window discriminates somewhere (w vs consecutive)
+    val phraseDocs = searcher.hits("BOOL", s"""("$a $b")""", 200).collect()
+      .map(_.docId).toSet
+    assert(got.exists(h => !phraseDocs(h._1)) || phraseDocs.isEmpty,
+      "fixture must contain a within-window, non-consecutive pair")
+    // serving parity for a mixed NEAR-atom expression
+    val serving = new ServingSearcher(spark, seg)
+    val q = s"""("$a $b"~$w OR $c) AND $a"""
+    val rel = searcher.hits("BOOL", q, 20).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val srv = serving.hits("BOOL", q, 20).map(h => (h.rank, h.docId, h.score)).toSeq
+    serving.close()
+    assert(rel.nonEmpty && srv == rel)
+  }
+
   test("phrase atoms page with search_after like everything else") {
     val Array(a, b, c, _*) = topTerms
     val q = s""""$a $b" OR $c"""
