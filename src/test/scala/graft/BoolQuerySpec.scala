@@ -133,10 +133,14 @@ class BoolQuerySpec extends SparkSpec {
     import BoolQuery._
     val rnd = new scala.util.Random(42)
     val words = Array("alpha", "beta", "gamma", "delta", "omega")
-    def leaf(): Expr =
-      if (rnd.nextInt(4) == 0)
+    def leaf(): Expr = rnd.nextInt(6) match {
+      case 0 =>
         Phrase(List.fill(2 + rnd.nextInt(2))(words(rnd.nextInt(words.length))))
-      else Term(words(rnd.nextInt(words.length)))
+      case 1 => // distinct terms: the parser deduplicates NEAR members
+        val ts = rnd.shuffle(words.toList).take(2 + rnd.nextInt(2))
+        BoolQuery.Near(ts, 1 + rnd.nextInt(9))
+      case _ => Term(words(rnd.nextInt(words.length)))
+    }
     def gen(depth: Int): Expr =
       if (depth == 0) leaf()
       else rnd.nextInt(4) match {
@@ -153,6 +157,7 @@ class BoolQuerySpec extends SparkSpec {
     def print(e: Expr): String = e match {
       case Term(t) => t
       case Phrase(ts) => "\"" + ts.mkString(" ") + "\""
+      case BoolQuery.Near(ts, w) => "\"" + ts.mkString(" ") + "\"~" + w
       case And(cs) => cs.map(print).mkString("(", " AND ", ")")
       case Or(cs) => cs.map(print).mkString("(", " OR ", ")")
       case Not(c) => "NOT " + print(c)
