@@ -373,6 +373,8 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "BOOL", "(\"fast merge\" OR slow) AND table", 20)),
     "ft_bool_near" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "(\"merge sort\"~3 OR slow) AND table", 20)),
+    "ft_bool_prefix" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "BOOL", "(s* OR slow) AND table", 20)),
     "ft_highlight" -> ((s, dir) =>
       DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
     "ft_facets" -> ((s, dir) => {
@@ -785,6 +787,30 @@ object SparkEntry {
          |  JOIN alldl USING (doc_id)
          |  CROSS JOIN stats
          |  WHERE tf.term IN ('merge', 'sort', 'slow', 'table')
+         |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // prefix atom inside the boolean grammar: the s* leaf is present iff
+    // ANY vocabulary term starting with 's' is present; scoring over the
+    // expanded ∪ fixed candidate terms present in each matching doc
+    "ft_bool_prefix" ->
+      s"""$tokCtes, boolmatch AS (
+         |  SELECT doc_id FROM alldl
+         |  WHERE (doc_id IN (SELECT doc_id FROM tf WHERE term LIKE 's%')
+         |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |    AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE (tf.term LIKE 's%' OR tf.term IN ('slow', 'table'))
          |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
          |  GROUP BY tf.doc_id
          |)

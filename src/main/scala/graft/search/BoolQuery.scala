@@ -41,6 +41,12 @@ object BoolQuery {
     * minimal-span predicate). Terms deduplicated at construction — a
     * repeated term would trivially satisfy any window against itself. */
   final case class Near(ts: List[String], w: Int) extends Expr
+  /** Dictionary-expansion atom: a trailing-wildcard prefix (`s*`) or an
+    * anchored regex (`re:pat`). Present iff ANY vocabulary term matching
+    * the pattern is present — the PREFIX/REGEX-kind predicate as a leaf.
+    * Expansion happens per segment against its own dictionary at query
+    * time (same deterministic cap as the standalone kinds). */
+  final case class Pattern(raw: String, isRegex: Boolean) extends Expr
   final case class And(cs: List[Expr]) extends Expr
   final case class Or(cs: List[Expr]) extends Expr
   final case class Not(c: Expr) extends Expr
@@ -62,9 +68,24 @@ object BoolQuery {
       case Term(t) => out += t
       case Phrase(ts) => out ++= ts
       case Near(ts, _) => out ++= ts
+      case Pattern(_, _) => // expands per segment, contributes no fixed term
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
+    }
+    walk(e)
+    out.toArray
+  }
+
+  /** The distinct Pattern leaves in first-appearance order. */
+  def patterns(e: Expr): Array[Pattern] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Pattern]
+    def walk(x: Expr): Unit = x match {
+      case p: Pattern => out += p
+      case And(cs) => cs.foreach(walk)
+      case Or(cs) => cs.foreach(walk)
+      case Not(c) => walk(c)
+      case _ =>
     }
     walk(e)
     out.toArray
@@ -82,7 +103,7 @@ object BoolQuery {
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
-      case Term(_) =>
+      case _ => // Term / Pattern: no positional slot
     }
     walk(e)
     out.toArray
@@ -95,10 +116,18 @@ object BoolQuery {
     * an out-of-dictionary member) are constant-false. */
   def compile(e: Expr, slot: Map[String, Int],
               phraseSlot: Map[(List[String], Int), Int] = Map.empty,
-              phraseBase: Int = 0): Array[Boolean] => Boolean = e match {
+              phraseBase: Int = 0,
+              patternSlots: Map[Pattern, Array[Int]] = Map.empty)
+      : Array[Boolean] => Boolean = e match {
     case Term(t) => slot.get(t) match {
       case Some(i) => p => p(i)
       case None => _ => false
+    }
+    case pat: Pattern => patternSlots.get(pat) match {
+      // present iff ANY expanded vocabulary term is present; an empty
+      // (or absent) expansion is constant-false
+      case Some(ss) if ss.nonEmpty => p => ss.exists(p(_))
+      case _ => _ => false
     }
     case Phrase(ts) => phraseSlot.get((ts, 0)) match {
       case Some(j) => val i = phraseBase + j; p => p(i)
@@ -109,13 +138,13 @@ object BoolQuery {
       case None => _ => false
     }
     case And(cs) =>
-      val fs = cs.map(compile(_, slot, phraseSlot, phraseBase))
+      val fs = cs.map(compile(_, slot, phraseSlot, phraseBase, patternSlots))
       p => fs.forall(_(p))
     case Or(cs) =>
-      val fs = cs.map(compile(_, slot, phraseSlot, phraseBase))
+      val fs = cs.map(compile(_, slot, phraseSlot, phraseBase, patternSlots))
       p => fs.exists(_(p))
     case Not(c) =>
-      val f = compile(c, slot, phraseSlot, phraseBase)
+      val f = compile(c, slot, phraseSlot, phraseBase, patternSlots)
       p => !f(p)
   }
 
@@ -125,8 +154,9 @@ object BoolQuery {
     * (`NOT x` alone); `a AND NOT x` is fine: its matches all contain a. */
   def matchesEmpty(e: Expr, slot: Map[String, Int], nSlots: Int,
                    phraseSlot: Map[(List[String], Int), Int] = Map.empty,
-                   phraseBase: Int = 0): Boolean =
-    compile(e, slot, phraseSlot, phraseBase)(
+                   phraseBase: Int = 0,
+                   patternSlots: Map[Pattern, Array[Int]] = Map.empty): Boolean =
+    compile(e, slot, phraseSlot, phraseBase, patternSlots)(
       new Array[Boolean](math.max(nSlots, phraseBase + phraseSlot.size)))
 
   /** Can the expression be satisfied at all, given that only terms in
@@ -137,6 +167,7 @@ object BoolQuery {
     case Term(t) => known.contains(t)
     case Phrase(ts) => ts.forall(known.contains)
     case Near(ts, _) => ts.forall(known.contains)
+    case Pattern(_, _) => true // expansion decided per segment (conservative)
     case And(cs) => cs.forall(satisfiable(_, known))
     case Or(cs) => cs.exists(satisfiable(_, known))
     case Not(_) => true // a negation can always hold (conservative)
@@ -158,14 +189,32 @@ object BoolQuery {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inQuote = false
-    def flush(): Unit = { if (sb.nonEmpty) { out += sb.toString; sb.clear() } }
+    // a `re:` atom owns its parens up to whitespace — but trailing ')'
+    // beyond the pattern's own '(' count are grammar, given back (so
+    // `(a AND re:x)` closes the group while `re:(a|b)` keeps its parens)
+    def flush(): Unit = if (sb.nonEmpty) {
+      var tok = sb.toString
+      sb.clear()
+      if (tok.startsWith("re:")) {
+        var opens = tok.count(_ == '(')
+        var closes = tok.count(_ == ')')
+        var giveBack = 0
+        while (closes > opens && tok.endsWith(")")) {
+          tok = tok.dropRight(1); closes -= 1; giveBack += 1
+        }
+        out += tok
+        (1 to giveBack).foreach(_ => out += ")")
+      } else out += tok
+    }
+    def inRegex: Boolean =
+      sb.length >= 3 && sb.charAt(0) == 'r' && sb.charAt(1) == 'e' && sb.charAt(2) == ':'
     text.foreach {
-      case '"' =>
+      case '"' if !inRegex =>
         if (inQuote) { out += "\"" + sb.toString + "\""; sb.clear() }
         else flush()
         inQuote = !inQuote
-      case '(' if !inQuote => flush(); out += "("
-      case ')' if !inQuote => flush(); out += ")"
+      case '(' if !inQuote && !inRegex => flush(); out += "("
+      case ')' if !inQuote && !inRegex => flush(); out += ")"
       case c if c.isWhitespace && !inQuote => flush()
       case c => sb += c
     }
@@ -242,6 +291,15 @@ object BoolQuery {
             }
             case ts => Phrase(ts)
           }
+        case r if r.startsWith("re:") =>
+          at += 1
+          Pattern(r.stripPrefix("re:"), isRegex = true)
+        case w if w.length > 1 && w.endsWith("*") && !w.dropRight(1).contains("*") =>
+          at += 1
+          // same operand normalization as the PREFIX kind: the LAST
+          // unfiltered tokenizer piece is the live prefix
+          val pieces = Tokenizer.tokenizeUnfiltered(w.stripSuffix("*"))
+          if (pieces.isEmpty) And(Nil) else Pattern(pieces.last, isRegex = false)
         case w =>
           at += 1
           Tokenizer.tokenize(w).toList match {

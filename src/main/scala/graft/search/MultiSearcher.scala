@@ -133,12 +133,23 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
                                fielded: Option[(String, String)] = None): Dataset[Hit] = {
     val ast = BoolQuery.parse(text)
     val termArr = BoolQuery.terms(ast)
-    if (termArr.isEmpty) return spark.emptyDataset[Hit]
+    if (termArr.isEmpty && BoolQuery.patterns(ast).isEmpty)
+      return spark.emptyDataset[Hit]
     val atoms = BoolQuery.posAtoms(ast)
     if (atoms.nonEmpty)
       require(segments.forall(_.params.positional),
         "phrase/NEAR atoms in a boolean query need positional segments (BuildParams.positional)")
-    val perSeg = searchers.map(_.dictLookup(termArr))
+    val pats = BoolQuery.patterns(ast)
+    // each segment's entries: fixed terms ∪ ITS OWN pattern expansions
+    // (a term matching the pattern in any segment is found by every
+    // segment that has it — expansion is deterministic by vocabulary,
+    // so the global df sums stay exact)
+    val perSeg = searchers.map { s =>
+      (s.dictLookup(termArr) ++ pats.flatMap(p =>
+        if (p.isRegex) s.dictLookupRegex(p.raw)
+        else s.dictLookupPrefix(p.raw)))
+        .distinctBy(_.termId).sortBy(_.termId)
+    }
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
     if (dfByTerm.isEmpty ||
@@ -158,7 +169,13 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
           .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
         val slotByTerm = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
         val phraseSlot = atoms.zipWithIndex.toMap
-        val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot, entries.length)
+        val patternSlots = pats.map { p =>
+          val es = if (p.isRegex) searcher.dictLookupRegex(p.raw)
+                   else searcher.dictLookupPrefix(p.raw)
+          p -> es.flatMap(e => slotByTerm.get(e.term))
+        }.toMap
+        val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot,
+          entries.length, patternSlots)
         val defs: Array[Array[Int]] =
           if (atoms.isEmpty) null
           else atoms.map { case (ts, _) =>

@@ -376,8 +376,15 @@ final class Searcher(spark: SparkSession, segment: Segment,
                        after: Wand.Scored = null): Dataset[Hit] = {
     val ast = BoolQuery.parse(text)
     val terms = BoolQuery.terms(ast)
-    val entries = dictLookup(terms) // ascending termId
-    if (terms.isEmpty || entries.isEmpty ||
+    val pats = BoolQuery.patterns(ast)
+    // fixed-term lookups ∪ per-pattern dictionary expansions (the
+    // PREFIX/REGEX-kind machinery as leaves), deduped, ascending termId
+    val patEntries: Map[BoolQuery.Pattern, Array[DictEntry]] = pats.map(p =>
+      p -> (if (p.isRegex) dictLookupRegex(p.raw)
+            else dictLookupPrefix(p.raw))).toMap
+    val entries = (dictLookup(terms) ++ patEntries.valuesIterator.flatten)
+      .distinctBy(_.termId).sortBy(_.termId)
+    if (entries.isEmpty ||
         !BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
       return spark.emptyDataset[Hit]
     val atoms = BoolQuery.posAtoms(ast)
@@ -386,11 +393,14 @@ final class Searcher(spark: SparkSession, segment: Segment,
         "phrase/NEAR atoms in a boolean query need a positional index (BuildParams.positional)")
     val slotByTerm = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
     val phraseSlot = atoms.zipWithIndex.toMap
+    val patternSlots = patEntries.map { case (p, es) =>
+      p -> es.map(e => slotByTerm(e.term)) }
     require(!BoolQuery.matchesEmpty(ast, slotByTerm, entries.length,
-        phraseSlot, entries.length),
+        phraseSlot, entries.length, patternSlots),
       s"pure-negative boolean query '$text' matches a corpus-sized " +
         "complement; add a positive requirement (a AND NOT x)")
-    val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot, entries.length)
+    val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot, entries.length,
+      patternSlots)
     val phraseDefs: Array[Array[Int]] =
       if (atoms.isEmpty) null
       else atoms.map { case (ts, _) => ts.map(t => slotByTerm.getOrElse(t, -1)).toArray }

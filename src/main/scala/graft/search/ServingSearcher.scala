@@ -138,7 +138,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                        after: Wand.Scored = null)
       : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
-    val entries = entriesFor(kind, terms)
+    val entries =
+      if (kind == "BOOL") boolEntries(text) else entriesFor(kind, terms)
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return Array.empty
@@ -147,6 +148,19 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       k, lo, hi, pruned = true, acceptB = acceptB, rejectB = rejectB,
       after = after)
     ServingSearcher.rankMerge(all, k, qid)
+  }
+
+  /** Boolean-query entries: fixed-term lookups ∪ per-pattern dictionary
+    * expansions (prefix/regex leaves), deduped, ascending termId —
+    * mirrors Searcher.boolHits' entry derivation over the resident
+    * dictionary. */
+  private[search] def boolEntries(text: String): Array[DictEntry] = {
+    val ast = BoolQuery.parse(text)
+    val fixed = BoolQuery.terms(ast).flatMap(dictCache.get)
+    val expanded = BoolQuery.patterns(ast).flatMap(p =>
+      if (p.isRegex) entriesFor("REGEX", Array(p.raw))
+      else entriesFor("PREFIX", Array(p.raw)))
+    (fixed ++ expanded).distinctBy(_.termId).sortBy(_.termId)
   }
 
   /** Dictionary resolution for a query's terms under this segment's own
@@ -197,8 +211,15 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
             "phrase/NEAR atoms in a boolean query need a positional index")
         val slot = entries.zipWithIndex.map { case (e, i) => e.term -> i }.toMap
         val phraseSlot = atoms.zipWithIndex.toMap
+        // pattern expansions resolve against the resident dictionary —
+        // deterministic, so slots re-derive identically to boolEntries
+        val patternSlots = BoolQuery.patterns(ast).map { p =>
+          val es = if (p.isRegex) entriesFor("REGEX", Array(p.raw))
+                   else entriesFor("PREFIX", Array(p.raw))
+          p -> es.flatMap(e => slot.get(e.term))
+        }.toMap
         require(!BoolQuery.matchesEmpty(ast, slot, entries.length,
-            phraseSlot, entries.length),
+            phraseSlot, entries.length, patternSlots),
           s"pure-negative boolean query '$text' matches a corpus-sized " +
             "complement; add a positive requirement (a AND NOT x)")
         if (atoms.nonEmpty) {
@@ -206,7 +227,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
             ts.map(t => slot.getOrElse(t, -1)).toArray }
           boolWins = atoms.map(_._2)
         }
-        BoolQuery.compile(ast, slot, phraseSlot, entries.length)
+        BoolQuery.compile(ast, slot, phraseSlot, entries.length, patternSlots)
       }
     val phraseSlots: Array[Long] = kind match {
       case "PHRASE" =>
@@ -307,7 +328,9 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
       require(segments.forall(_.params.positional),
         s"$kind queries need positional segments (BuildParams.positional)")
     val distinctTerms = terms.distinct
-    val perSeg = servers.map(_.entriesFor(kind, terms))
+    val perSeg =
+      if (kind == "BOOL") servers.map(_.boolEntries(text))
+      else servers.map(_.entriesFor(kind, terms))
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"

@@ -199,6 +199,50 @@ class BoolPhraseSpec extends SparkSpec {
     assert(rel.nonEmpty && srv == rel)
   }
 
+  test("pattern atoms: prefix and regex leaves expand against the dictionary") {
+    val vocab = seg.dict.collect().map(_.term).toSet
+    val Array(a, b, c, _*) = topTerms
+    val pre = a.take(2)
+    val expand = vocab.filter(_.startsWith(pre))
+    assert(expand.size >= 1)
+    // parser shapes
+    assert(BoolQuery.parse(s"($pre* OR $b)") ==
+      BoolQuery.Or(List(BoolQuery.Pattern(pre, isRegex = false), BoolQuery.Term(b))))
+    assert(BoolQuery.parse(s"re:($a|$b) AND $c") ==
+      BoolQuery.And(List(BoolQuery.Pattern(s"($a|$b)", isRegex = true),
+        BoolQuery.Term(c))))
+
+    val q = s"($pre* OR $b) AND NOT $c"
+    val got = searcher.hits("BOOL", q, 30).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    val want = bruteBool(
+      toks => (toks.exists(expand) || toks.contains(b)) && !toks.contains(c),
+      expand ++ Set(b, c), 30)
+    assert(got == want && got.nonEmpty)
+
+    val q2 = s"re:($a|$b) AND $c"
+    val got2 = searcher.hits("BOOL", q2, 30).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    val want2 = bruteBool(
+      toks => (toks.contains(a) || toks.contains(b)) && toks.contains(c),
+      Set(a, b, c), 30)
+    assert(got2 == want2 && got2.nonEmpty)
+
+    // serving + multi parity for the prefix-leaf expression
+    val serving = new ServingSearcher(spark, seg)
+    val rel = searcher.hits("BOOL", q, 20).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    val srv = serving.hits("BOOL", q, 20).map(h => (h.rank, h.docId, h.score)).toSeq
+    serving.close()
+    assert(srv == rel)
+    val multi = new graft.search.MultiSearcher(spark, Seq(seg))
+    assert(multi.hits("BOOL", q, 20).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq == rel)
+    // pure-negative with a pattern is still rejected
+    intercept[IllegalArgumentException](
+      searcher.hits("BOOL", s"NOT $pre*", 5).collect())
+  }
+
   test("phrase atoms page with search_after like everything else") {
     val Array(a, b, c, _*) = topTerms
     val q = s""""$a $b" OR $c"""

@@ -133,12 +133,19 @@ class BoolQuerySpec extends SparkSpec {
     import BoolQuery._
     val rnd = new scala.util.Random(42)
     val words = Array("alpha", "beta", "gamma", "delta", "omega")
-    def leaf(): Expr = rnd.nextInt(6) match {
+    def leaf(): Expr = rnd.nextInt(8) match {
       case 0 =>
         Phrase(List.fill(2 + rnd.nextInt(2))(words(rnd.nextInt(words.length))))
       case 1 => // distinct terms: the parser deduplicates NEAR members
         val ts = rnd.shuffle(words.toList).take(2 + rnd.nextInt(2))
         BoolQuery.Near(ts, 1 + rnd.nextInt(9))
+      case 2 => // prefix atom: lowercase-alpha operand round-trips the tokenizer
+        Pattern(words(rnd.nextInt(words.length)).take(2 + rnd.nextInt(3)),
+          isRegex = false)
+      case 3 => // regex atom: parens inside the pattern are owned by it
+        val (a, b) = (words(rnd.nextInt(words.length)), words(rnd.nextInt(words.length)))
+        Pattern(if (rnd.nextBoolean()) s"($a|$b)" else a.take(2) + ".*",
+          isRegex = true)
       case _ => Term(words(rnd.nextInt(words.length)))
     }
     def gen(depth: Int): Expr =
@@ -158,6 +165,7 @@ class BoolQuerySpec extends SparkSpec {
       case Term(t) => t
       case Phrase(ts) => "\"" + ts.mkString(" ") + "\""
       case BoolQuery.Near(ts, w) => "\"" + ts.mkString(" ") + "\"~" + w
+      case Pattern(raw, isRegex) => if (isRegex) "re:" + raw else raw + "*"
       case And(cs) => cs.map(print).mkString("(", " AND ", ")")
       case Or(cs) => cs.map(print).mkString("(", " OR ", ")")
       case Not(c) => "NOT " + print(c)
