@@ -375,6 +375,8 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "BOOL", "(\"merge sort\"~3 OR slow) AND table", 20)),
     "ft_bool_prefix" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "(s* OR slow) AND table", 20)),
+    "ft_bool_regex" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "BOOL", "(re:(fast|slow) OR batch) AND NOT table", 20)),
     "ft_highlight" -> ((s, dir) =>
       DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
     "ft_facets" -> ((s, dir) => {
@@ -811,6 +813,33 @@ object SparkEntry {
          |  JOIN alldl USING (doc_id)
          |  CROSS JOIN stats
          |  WHERE (tf.term LIKE 's%' OR tf.term IN ('slow', 'table'))
+         |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // regex atom inside the boolean grammar: the re:(fast|slow) leaf is
+    // present iff ANY vocabulary term fully matching the pattern is
+    // present (same anchored semantics as the REGEX kind); 'table' is in
+    // the scored set but never present in a NOT-table match
+    "ft_bool_regex" ->
+      s"""$tokCtes, boolmatch AS (
+         |  SELECT doc_id FROM alldl
+         |  WHERE (doc_id IN (SELECT doc_id FROM tf
+         |                    WHERE regexp_full_match(term, '(fast|slow)'))
+         |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch'))
+         |    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'table')
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE (regexp_full_match(tf.term, '(fast|slow)')
+         |         OR tf.term IN ('batch', 'table'))
          |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
          |  GROUP BY tf.doc_id
          |)
