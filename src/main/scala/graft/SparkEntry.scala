@@ -377,6 +377,10 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "BOOL", "(s* OR slow) AND table", 20)),
     "ft_bool_regex" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "(re:(fast|slow) OR batch) AND NOT table", 20)),
+    "ft_boosted" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "FREE", "fast^2 merge sort^0.5", 20)),
+    "ft_bool_boost" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "BOOL", "(\"fast merge\"^2 OR slow) AND table", 20)),
     "ft_highlight" -> ((s, dir) =>
       DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
     "ft_facets" -> ((s, dir) => {
@@ -840,6 +844,62 @@ object SparkEntry {
          |  CROSS JOIN stats
          |  WHERE (regexp_full_match(tf.term, '(fast|slow)')
          |         OR tf.term IN ('batch', 'table'))
+         |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // query-time boosts: each term's BM25 contribution computed with its
+    // weight multiplied INTO the idf (the engine's FP association:
+    // TermCursor.idf = idf * boost); ranks compare on the 6-dp rounding
+    "ft_boosted" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum((CASE tf.term WHEN 'fast' THEN 2.0 WHEN 'sort' THEN 0.5
+         |              ELSE 1.0 END)
+         |             * ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort')
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // boosted phrase leaf inside the boolean grammar: presence identical
+    // to ft_bool_phrase; both phrase members score at weight 2
+    "ft_bool_boost" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), phr AS (
+         |  SELECT DISTINCT a0.doc_id FROM tokp a0
+         |  JOIN tokp a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos + 1
+         |  WHERE a0.term = 'fast' AND a1.term = 'merge'
+         |), boolmatch AS (
+         |  SELECT doc_id FROM alldl
+         |  WHERE (doc_id IN (SELECT doc_id FROM phr)
+         |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |    AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum((CASE WHEN tf.term IN ('fast', 'merge') THEN 2.0
+         |              ELSE 1.0 END)
+         |             * ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'slow', 'table')
          |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
          |  GROUP BY tf.doc_id
          |)

@@ -8,7 +8,7 @@ import graft.tokenize.Tokenizer
   *
   *   expr := and (OR and)*          -- OR binds loosest
   *   and  := atom ((AND)? atom)*    -- adjacent atoms are implicit AND
-  *   atom := NOT atom | '(' expr ')' | WORD
+  *   atom := NOT atom | ('(' expr ')' | WORD) ('^' NUMBER)?
   *
   * Pure-negative queries (satisfied by a document containing none of the
   * terms, e.g. `NOT x`) are rejected by the evaluators — their match set
@@ -47,6 +47,13 @@ object BoolQuery {
     * Expansion happens per segment against its own dictionary at query
     * time (same deterministic cap as the standalone kinds). */
   final case class Pattern(raw: String, isRegex: Boolean) extends Expr
+  /** Query-time weight (`merge^2`, `"fast merge"^1.5`, `(a OR b)^2`):
+    * matching is unchanged; the wrapped subtree's terms score with their
+    * BM25 contribution multiplied by `w` (nested boosts multiply; a term
+    * reached through several leaves takes the MAX weight across mentions,
+    * an unboosted mention counting 1.0). Regex atoms are unboostable —
+    * `^` is regex syntax inside a `re:` token. */
+  final case class Boost(c: Expr, w: Double) extends Expr
   final case class And(cs: List[Expr]) extends Expr
   final case class Or(cs: List[Expr]) extends Expr
   final case class Not(c: Expr) extends Expr
@@ -69,6 +76,7 @@ object BoolQuery {
       case Phrase(ts) => out ++= ts
       case Near(ts, _) => out ++= ts
       case Pattern(_, _) => // expands per segment, contributes no fixed term
+      case Boost(c, _) => walk(c)
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
@@ -82,6 +90,7 @@ object BoolQuery {
     val out = scala.collection.mutable.LinkedHashSet.empty[Pattern]
     def walk(x: Expr): Unit = x match {
       case p: Pattern => out += p
+      case Boost(c, _) => walk(c)
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
@@ -100,6 +109,7 @@ object BoolQuery {
     def walk(x: Expr): Unit = x match {
       case Phrase(ts) => out += ((ts, 0))
       case Near(ts, w) => out += ((ts, w))
+      case Boost(c, _) => walk(c)
       case And(cs) => cs.foreach(walk)
       case Or(cs) => cs.foreach(walk)
       case Not(c) => walk(c)
@@ -146,6 +156,8 @@ object BoolQuery {
     case Not(c) =>
       val f = compile(c, slot, phraseSlot, phraseBase, patternSlots)
       p => !f(p)
+    case Boost(c, _) => // weights affect scoring only, never matching
+      compile(c, slot, phraseSlot, phraseBase, patternSlots)
   }
 
   /** A query satisfiable by the all-absent presence vector matches every
@@ -171,6 +183,30 @@ object BoolQuery {
     case And(cs) => cs.forall(satisfiable(_, known))
     case Or(cs) => cs.exists(satisfiable(_, known))
     case Not(_) => true // a negation can always hold (conservative)
+    case Boost(c, _) => satisfiable(c, known)
+  }
+
+  /** Effective query-time weights: per fixed term and per Pattern leaf,
+    * the MAX over all mentions of (product of Boost factors on the path
+    * to that mention), an unboosted mention counting 1.0. Pattern
+    * weights apply to every term of that pattern's per-segment expansion
+    * (max-combined with the term's own fixed-mention weight by the
+    * caller). Entries at exactly 1.0 are pruned — absent means neutral. */
+  def boostMaps(e: Expr): (Map[String, Double], Map[Pattern, Double]) = {
+    val tm = scala.collection.mutable.Map.empty[String, Double]
+    val pm = scala.collection.mutable.Map.empty[Pattern, Double]
+    def rec(x: Expr, w: Double): Unit = x match {
+      case Boost(c, b) => rec(c, w * b)
+      case Term(t) => tm(t) = math.max(tm.getOrElse(t, 0.0), w)
+      case Phrase(ts) => ts.foreach(t => tm(t) = math.max(tm.getOrElse(t, 0.0), w))
+      case Near(ts, _) => ts.foreach(t => tm(t) = math.max(tm.getOrElse(t, 0.0), w))
+      case p: Pattern => pm(p) = math.max(pm.getOrElse(p, 0.0), w)
+      case And(cs) => cs.foreach(rec(_, w))
+      case Or(cs) => cs.foreach(rec(_, w))
+      case Not(c) => rec(c, w)
+    }
+    rec(e, 1.0)
+    (tm.filter(_._2 != 1.0).toMap, pm.filter(_._2 != 1.0).toMap)
   }
 
   // ───────────────────────────── parser ───────────────────────────────
@@ -196,14 +232,24 @@ object BoolQuery {
       var tok = sb.toString
       sb.clear()
       if (tok.startsWith("re:")) {
-        var opens = tok.count(_ == '(')
-        var closes = tok.count(_ == ')')
-        var giveBack = 0
-        while (closes > opens && tok.endsWith(")")) {
-          tok = tok.dropRight(1); closes -= 1; giveBack += 1
+        // WHILE the token's ')' exceed its '(' the tail is grammar glued
+        // onto the regex: give back closing parens AND group boosts
+        // (`(a OR re:(x|y))^2)^1.5` → re:(x|y) › ) › ^2 › ) › ^1.5). A
+        // balanced `re:ab^2` keeps its '^' — regex atoms are unboostable.
+        val tail = scala.collection.mutable.ArrayBuffer.empty[String]
+        var t = tok
+        var done = false
+        while (!done && t.count(_ == ')') > t.count(_ == '(')) {
+          if (t.endsWith(")")) { t = t.dropRight(1); tail += ")" }
+          else {
+            val c = t.lastIndexOf('^')
+            if (c > 0 && t.substring(c + 1).matches("\\d+(?:\\.\\d+)?")) {
+              tail += t.substring(c); t = t.substring(0, c)
+            } else done = true
+          }
         }
-        out += tok
-        (1 to giveBack).foreach(_ => out += ")")
+        out += t
+        tail.reverseIterator.foreach(out += _)
       } else out += tok
     }
     def inRegex: Boolean =
@@ -222,6 +268,12 @@ object BoolQuery {
     flush()
     out.toArray
   }
+
+  // `~3`, `~3^2`, `^2` suffix tokens after a closing quote; `body^2`
+  // word-glued boosts; standalone `^2` after a group
+  private val SufRe = "(?:~(\\d+))?(?:\\^(\\d+(?:\\.\\d+)?))?".r
+  private val BoostRe = "(.*)\\^(\\d+(?:\\.\\d+)?)".r
+  private val BoostTokRe = "\\^(?:\\d+(?:\\.\\d+)?)".r
 
   private final class P(toks: Array[String]) {
     var at = 0
@@ -270,19 +322,24 @@ object BoolQuery {
           val e = expr()
           require(!eof && peek == ")", "unbalanced '('")
           at += 1
-          e
+          boosted(e) // group boost: (a OR b)^2 distributes onto the leaves
         case "AND" | "OR" | ")" =>
           throw new IllegalArgumentException(s"unexpected '$peek' at position $at")
         case q if q.startsWith("\"") =>
           at += 1
-          // optional proximity suffix: `"a b"~3` lexes as two tokens
-          val win: Int =
-            if (!eof && peek.matches("~\\d+")) {
-              val w = peek.drop(1).toInt
+          // optional suffixes: `"a b"~3` / `"a b"~3^2` / `"a b"^2` — the
+          // window and boost ride in ONE whitespace-glued token after the
+          // closing quote
+          var win = 0
+          var w = 1.0
+          if (!eof) peek match {
+            case SufRe(winS, bS) =>
               at += 1
-              math.max(1, w)
-            } else 0
-          Tokenizer.tokenize(q.substring(1, q.length - 1)).toList match {
+              if (winS != null) win = math.max(1, winS.toInt)
+              if (bS != null) w = bS.toDouble
+            case _ =>
+          }
+          val leaf = Tokenizer.tokenize(q.substring(1, q.length - 1)).toList match {
             case Nil => And(Nil) // an empty quote drops out, like a dropped word
             case t :: Nil => Term(t) // 1-token phrase/near ≡ the term
             case ts if win > 0 => ts.distinct match {
@@ -291,23 +348,48 @@ object BoolQuery {
             }
             case ts => Phrase(ts)
           }
+          if (w == 1.0) leaf else mkBoost(leaf, w)
         case r if r.startsWith("re:") =>
           at += 1
+          // unboostable: '^' is regex syntax inside a re: token
           Pattern(r.stripPrefix("re:"), isRegex = true)
-        case w if w.length > 1 && w.endsWith("*") && !w.dropRight(1).contains("*") =>
+        case w0 =>
           at += 1
-          // same operand normalization as the PREFIX kind: the LAST
-          // unfiltered tokenizer piece is the live prefix
-          val pieces = Tokenizer.tokenizeUnfiltered(w.stripSuffix("*"))
-          if (pieces.isEmpty) And(Nil) else Pattern(pieces.last, isRegex = false)
-        case w =>
-          at += 1
-          Tokenizer.tokenize(w).toList match {
-            case Nil => And(Nil) // drops out of the enclosing AND
-            case t :: Nil => Term(t)
-            case ts => And(ts.map(Term(_)))
+          // peel a numeric boost suffix (`merge^2`, `s*^0.5`) off the
+          // token BEFORE classifying it as prefix atom or word
+          val (w, b) = w0 match {
+            case BoostRe(body, bS) if body.nonEmpty => (body, bS.toDouble)
+            case _ => (w0, 1.0)
           }
+          val leaf =
+            if (w.length > 1 && w.endsWith("*") && !w.dropRight(1).contains("*")) {
+              // same operand normalization as the PREFIX kind: the LAST
+              // unfiltered tokenizer piece is the live prefix
+              val pieces = Tokenizer.tokenizeUnfiltered(w.stripSuffix("*"))
+              if (pieces.isEmpty) And(Nil) else Pattern(pieces.last, isRegex = false)
+            } else Tokenizer.tokenize(w).toList match {
+              case Nil => And(Nil) // drops out of the enclosing AND
+              case t :: Nil => Term(t)
+              case ts => And(ts.map(Term(_)))
+            }
+          if (b == 1.0) leaf else mkBoost(leaf, b)
       }
+    }
+
+    /** Optional standalone `^b` token after a group/quote — consume and
+      * wrap. A dropped leaf (And(Nil)) never takes a boost. */
+    private def boosted(e: Expr): Expr =
+      if (!eof && BoostTokRe.matches(peek)) {
+        val w = peek.drop(1).toDouble
+        at += 1
+        mkBoost(e, w)
+      } else e
+
+    private def mkBoost(e: Expr, w: Double): Expr = e match {
+      case And(Nil) => e // nothing to weight
+      case _ =>
+        require(w >= 0.0, s"negative boost $w")
+        Boost(e, w)
     }
   }
 }

@@ -112,7 +112,8 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
           phraseSlots, nearWindow = nearWin,
           acceptB = fielded.map { case (f, v) => searcher.docFilter(f, v) }.orNull,
           rejectB = tomb.map { case (tag, d) =>
-            searcher.tombstoneFilter(tag, d()) }.orNull)
+            searcher.tombstoneFilter(tag, d()) }.orNull,
+          boostByTid = Searcher.toTidBoosts(entries, QueryParser.boosts(kind, text)))
     }
     if (scored.isEmpty) return spark.emptyDataset[Hit]
     val all = scored.reduce(_ union _)
@@ -181,12 +182,20 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
           else atoms.map { case (ts, _) =>
             ts.map(t => slotByTerm.getOrElse(t, -1)).toArray }
         val wins: Array[Int] = if (atoms.isEmpty) null else atoms.map(_._2)
+        // pattern-leaf boosts apply to THIS segment's own expansion —
+        // same per-segment derivation as the slot layout above
+        val boostByTid = Searcher.toTidBoosts(entries,
+          Searcher.boolTermBoosts(ast, pats.map { p =>
+            p -> (if (p.isRegex) searcher.dictLookupRegex(p.raw)
+                  else searcher.dictLookupPrefix(p.raw))
+          }.toMap))
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = false, k, pruned = false, entries.length,
           boolEval = eval, boolPhrases = defs, boolWins = wins,
           acceptB = fielded.map { case (f, v) => searcher.docFilter(f, v) }.orNull,
           rejectB = tomb.map { case (tag, d) =>
-            searcher.tombstoneFilter(tag, d()) }.orNull)
+            searcher.tombstoneFilter(tag, d()) }.orNull,
+          boostByTid = boostByTid)
     }
     if (scored.isEmpty) return spark.emptyDataset[Hit]
     val all = scored.reduce(_ union _)

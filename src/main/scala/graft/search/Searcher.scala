@@ -80,6 +80,42 @@ object QueryParser {
     * one (an AND query would otherwise short-circuit to ∅ on the
     * out-of-vocabulary token "and"). PHRASE terms keep document order
     * and duplicates — they are position slots, not a bag. */
+  private val BoostSufRe = "(.*)\\^(\\d+(?:\\.\\d+)?)".r
+
+  /** Peel a numeric `^b` boost suffix off one query word (`merge^2` →
+    * ("merge", 2.0)); words without one weigh 1.0. The tokenizer already
+    * DROPS the suffix from term extraction (`^` is a separator and the
+    * number a filtered piece), so only weight extraction lives here. */
+  def splitBoost(w: String): (String, Double) = w match {
+    case BoostSufRe(body, b) if body.nonEmpty && !body.startsWith("re:") =>
+      (body, b.toDouble)
+    case _ => (w, 1.0)
+  }
+
+  /** Query-time term weights (`merge^2 sort^0.5`) for the kinds that
+    * support them: FREE/AND/OR peel per-word suffixes (every tokenizer
+    * piece of a boosted word inherits its weight); BOOL delegates to the
+    * grammar's [[BoolQuery.boostMaps]] fixed-term map (pattern-leaf
+    * weights need per-segment expansion — callers combine those
+    * separately). A term mentioned several times takes the MAX weight,
+    * an unboosted mention counting 1.0; entries at exactly 1.0 are
+    * pruned, so an empty map means "no boosts". */
+  def boosts(kind: String, text: String): Map[String, Double] = kind match {
+    case "FREE" | "AND" | "OR" =>
+      // per-WORD suffixes (boost binds to the preceding word, not to a
+      // whole multi-word operand); the uppercase connectives are grammar
+      val words = text.trim.split("\\s+").filter(w => w != "AND" && w != "OR")
+      val m = scala.collection.mutable.Map.empty[String, Double]
+      words.foreach { w0 =>
+        val (body, b) = splitBoost(w0.trim)
+        Tokenizer.tokenize(body).foreach(t =>
+          m(t) = math.max(m.getOrElse(t, 0.0), b))
+      }
+      m.filter(_._2 != 1.0).toMap
+    case "BOOL" => BoolQuery.boostMaps(BoolQuery.parse(text))._1
+    case _ => Map.empty
+  }
+
   def termsFor(kind: String, text: String): Array[String] = kind match {
     case "AND" | "OR" => operandTerms(text)
     case "PHRASE" => Tokenizer.tokenize(text.trim.stripPrefix("\"").stripSuffix("\""))
@@ -327,6 +363,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return spark.emptyDataset[Hit] // AND/PHRASE/NEAR with an unknown term ⇒ ∅
+    val boostByTid = Searcher.toTidBoosts(entries, QueryParser.boosts(kind, text))
     kind match {
       case "PHRASE" =>
         require(segment.params.positional,
@@ -344,7 +381,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
           acceptB = acceptB, rejectB = rejectB, after = after)
       case _ =>
         scored(entries, conjunctive = kind == "AND", k, qid, pruned,
-          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB, after = after)
+          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB, after = after,
+          boostByTid = boostByTid)
     }
   }
 
@@ -355,12 +393,14 @@ final class Searcher(spark: SparkSession, segment: Segment,
                      hi: Long = Long.MaxValue,
                      acceptB: AcceptB = null,
                      rejectB: AcceptB = null,
-                     after: Wand.Scored = null): Dataset[Hit] = {
+                     after: Wand.Scored = null,
+                     boostByTid: Map[Long, Double] = null): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi,
-      acceptB = acceptB, rejectB = rejectB, after = after)
+      acceptB = acceptB, rejectB = rejectB, after = after,
+      boostByTid = boostByTid)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -407,11 +447,13 @@ final class Searcher(spark: SparkSession, segment: Segment,
     val phraseWins: Array[Int] = if (atoms.isEmpty) null else atoms.map(_._2)
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val boostByTid = Searcher.toTidBoosts(entries,
+      Searcher.boolTermBoosts(ast, patEntries))
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive = false, k, pruned = false, entries.length,
       boolEval = eval, boolPhrases = phraseDefs, boolWins = phraseWins,
       lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB,
-      after = after)
+      after = after, boostByTid = boostByTid)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -442,8 +484,14 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 boolWins: Array[Int] = null,
                                 acceptB: AcceptB = null,
                                 rejectB: AcceptB = null,
-                                after: Wand.Scored = null)
+                                after: Wand.Scored = null,
+                                boostByTid: Map[Long, Double] = null)
       : Dataset[(Long, Double)] = {
+    // query-time term weights: scale each cursor's effective idf AND its
+    // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
+    val bo: Long => Double =
+      if (boostByTid == null) null
+      else tid => boostByTid.getOrElse(tid, 1.0)
     val scoped = lo > 0L || hi != Long.MaxValue
     val pls0 = segment.postings.filter($"termId".isin(tids.toSeq: _*))
     // scoped search prunes whole buckets before any decode. Bounds stay
@@ -488,7 +536,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
       }
       val plArr = plIt.toArray
       def cursors = plArr.map { pl =>
-        new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional, lo, hi)
+        new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional, lo, hi,
+          if (bo == null) 1.0 else bo(pl.termId))
       }
       val res =
         if (boolEval != null) {
@@ -496,7 +545,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
           // a slot with no list in this bucket stays null (never present)
           val plByTid = plArr.map(pl => pl.termId -> pl).toMap
           val slots = tids.map(tid => plByTid.get(tid)
-            .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
+            .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional,
+              lo, hi, if (bo == null) 1.0 else bo(tid)))
             .orNull)
           Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
             after, boolPhrases, boolWins)
@@ -506,7 +556,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
           if (plByTid.size < nTerms) Array.empty[Wand.Scored]
           else {
             val slots = phraseSlots.map(tid =>
-              new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
+              new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional,
+                lo, hi, if (bo == null) 1.0 else bo(tid)))
             if (nearWindow > 0)
               Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
             else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept, after)
@@ -703,6 +754,33 @@ final class Searcher(spark: SparkSession, segment: Segment,
 }
 
 object Searcher {
+  /** term-string weights → termId weights over the query's resolved
+    * entries; null when no term deviates from 1.0 (the common case —
+    * walks skip all weight lookups). */
+  private[search] def toTidBoosts(entries: Array[DictEntry],
+                                  m: Map[String, Double]): Map[Long, Double] =
+    if (m.isEmpty) null
+    else {
+      val b = entries.flatMap(e => m.get(e.term).map(e.termId -> _)).toMap
+      if (b.isEmpty) null else b
+    }
+
+  /** Effective per-term weights of a boolean query: the grammar's fixed-
+    * term maxima combined with each boosted Pattern leaf's weight applied
+    * to ITS per-segment expansion (max across mentions, unboosted = 1.0). */
+  private[search] def boolTermBoosts(ast: BoolQuery.Expr,
+                                     patEntries: Map[BoolQuery.Pattern, Array[DictEntry]])
+      : Map[String, Double] = {
+    val (tm, pm) = BoolQuery.boostMaps(ast)
+    if (pm.isEmpty) return tm
+    val eff = scala.collection.mutable.Map.empty[String, Double] ++ tm
+    patEntries.foreach { case (p, es) =>
+      val w = pm.getOrElse(p, 1.0)
+      es.foreach(e => eff(e.term) = math.max(eff.getOrElse(e.term, 1.0), w))
+    }
+    eff.filter(_._2 != 1.0).toMap
+  }
+
   /** Plain Levenshtein distance (unit insert/delete/substitute — the
     * same metric as DuckDB's `levenshtein`, keeping the suggest oracle
     * exact), with an early exit once every cell of a row exceeds

@@ -241,6 +241,20 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     }
     val nearWindow = if (kind == "NEAR") QueryParser.nearWindow(text) else 0
     val conjunctive = kind == "AND"
+    // query-time term weights (`merge^2`): fixed-term boosts from the
+    // query text; BOOL pattern-leaf boosts apply to this segment's own
+    // expansion (same per-segment derivation as the slot layout above)
+    val boostByTid: Map[Long, Double] = {
+      val m =
+        if (kind == "BOOL") {
+          val ast = BoolQuery.parse(text)
+          Searcher.boolTermBoosts(ast, BoolQuery.patterns(ast).map { p =>
+            p -> (if (p.isRegex) entriesFor("REGEX", Array(p.raw))
+                  else entriesFor("PREFIX", Array(p.raw)))
+          }.toMap)
+        } else QueryParser.boosts(kind, text)
+      Searcher.toTidBoosts(entries, m)
+    }
     val tids = entries.map(_.termId)
     val nTerms = entries.length
     val dlB = doclensB
@@ -256,13 +270,14 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val aft = after
     val bp = boolPhrases
     val bw = boolWins
+    val bst = boostByTid
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
-          if (rb == null) null else rb.value, aft, bp, bw))
+          if (rb == null) null else rb.value, aft, bp, bw, bst))
     perPart.flatten
   }
 }
@@ -420,7 +435,10 @@ object ServingSearcher {
       rejectBits: Map[Int, Array[Long]] = null,
       after: Wand.Scored = null,
       boolPhrases: Array[Array[Int]] = null,
-      boolWins: Array[Int] = null): Array[Wand.Scored] = {
+      boolWins: Array[Int] = null,
+      boostByTid: Map[Long, Double] = null): Array[Wand.Scored] = {
+    @inline def bo(tid: Long): Double =
+      if (boostByTid == null) 1.0 else boostByTid.getOrElse(tid, 1.0)
     val scoped = lo > 0L || hi != Long.MaxValue
     val lists0 = tids.flatMap(t => idx.getOrElse(t, Array.empty[PostingList]))
     // bucket bounds computed in Long then clamped: an open-ended scope
@@ -464,7 +482,8 @@ object ServingSearcher {
             if (boolEval != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               val slots = tids.map(tid => plByTid.get(tid)
-                .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional, lo, hi))
+                .map(pl => new Wand.TermCursor(tid, idfByTid(tid), pl, positional,
+                  lo, hi, bo(tid)))
                 .orNull)
               Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
                 after, boolPhrases, boolWins)
@@ -473,26 +492,30 @@ object ServingSearcher {
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]
               else {
                 val slots = phraseSlots.map(tid =>
-                  new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional, lo, hi))
+                  new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional,
+                    lo, hi, bo(tid)))
                 if (nearWindow > 0)
                   Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
                 else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept, after)
               }
             } else if (conjunctive) {
               if (plArr.length < nTerms) Array.empty[Wand.Scored]
-              else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept, after)
+              else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi, boostByTid), lens, firstDocId, avgdl, k, accept, after)
             } else if (pruned)
-              Wand.topK(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept, after)
+              Wand.topK(cursors(plArr, idfByTid, positional, lo, hi, boostByTid), lens, firstDocId, avgdl, k, accept, after)
             else
               // multi-segment global stats: stored block maxima are not
               // valid bounds — exhaustive walk, same as MultiSearcher
-              Wand.topKOrExhaustive(cursors(plArr, idfByTid, positional, lo, hi), lens, firstDocId, avgdl, k, accept, after)
+              Wand.topKOrExhaustive(cursors(plArr, idfByTid, positional, lo, hi, boostByTid), lens, firstDocId, avgdl, k, accept, after)
           res.iterator
       }
     }.toArray
   }
 
   private def cursors(plArr: Array[PostingList], idfByTid: Map[Long, Double],
-                      positional: Boolean, lo: Long, hi: Long): Array[Wand.TermCursor] =
-    plArr.map(pl => new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl, positional, lo, hi))
+                      positional: Boolean, lo: Long, hi: Long,
+                      boostByTid: Map[Long, Double] = null): Array[Wand.TermCursor] =
+    plArr.map(pl => new Wand.TermCursor(pl.termId, idfByTid(pl.termId), pl,
+      positional, lo, hi,
+      if (boostByTid == null) 1.0 else boostByTid.getOrElse(pl.termId, 1.0)))
 }

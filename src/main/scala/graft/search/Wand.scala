@@ -32,17 +32,26 @@ object Wand {
     * the first posting ≥ lo and reads as exhausted once past hi. Because
     * docIds are the global (repo, path, commit) sort rank, a repo (or
     * repo prefix) is a CONTIGUOUS range — scoped search costs a block
-    * skip, not a filter pass, and every walk works unchanged. */
-  final class TermCursor(val termId: Long, val idf: Double, pl: PostingList,
+    * skip, not a filter pass, and every walk works unchanged.
+    *
+    * `boost` is the query-time weight of this term (`merge^2`): it
+    * scales the effective idf (so every exact-scoring walk picks it up
+    * through [[idf]]) AND the stored block-max bounds below — a per-list
+    * bound times a non-negative constant is still a valid per-list upper
+    * bound, so WAND pruning stays sound under boosts. */
+  final class TermCursor(val termId: Long, idf0: Double, pl: PostingList,
                          positional: Boolean = false,
-                         lo: Long = 0L, hi: Long = Long.MaxValue) {
+                         lo: Long = 0L, hi: Long = Long.MaxValue,
+                         boost: Double = 1.0) {
+    /** Effective idf: the caller's statistical idf times the boost. */
+    val idf: Double = idf0 * boost
     val cursor = new PostingCodec.Cursor(pl.numDocs, pl.lastDocIds,
       pl.maxImpacts, pl.offsets, pl.bytes, positional)
     if (lo > 0L) cursor.nextGeq(lo)
     private val lastDocIds = pl.lastDocIds
     private val maxImpacts = pl.maxImpacts
-    /** Whole-list score upper bound. */
-    val listMax: Double = cursor.listMax.toDouble
+    /** Whole-list score upper bound (boost-scaled). */
+    val listMax: Double = cursor.listMax.toDouble * boost
 
     @inline def docId: Long = cursor.docId
     @inline def exhausted: Boolean = cursor.exhausted || cursor.docId >= hi
@@ -53,8 +62,9 @@ object Wand {
     def nextGeq(t: Long): Unit = cursor.nextGeq(t)
 
     /** Shallow (metadata-only) lookup of the block containing the first
-      * posting >= target: its max impact and last docId. Does not move
-      * the decode position. Requires target <= last docId of the list. */
+      * posting >= target: its max impact (boost-scaled) and last docId.
+      * Does not move the decode position. Requires target <= last docId
+      * of the list. */
     def shallowBlock(target: Long): (Double, Long) = {
       var lo = 0
       var hi = lastDocIds.length - 1
@@ -62,7 +72,7 @@ object Wand {
         val mid = (lo + hi) >>> 1
         if (lastDocIds(mid) < target) lo = mid + 1 else hi = mid
       }
-      (maxImpacts(lo).toDouble, lastDocIds(lo))
+      (maxImpacts(lo).toDouble * boost, lastDocIds(lo))
     }
   }
 

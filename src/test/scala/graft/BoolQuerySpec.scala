@@ -148,16 +148,28 @@ class BoolQuerySpec extends SparkSpec {
           isRegex = true)
       case _ => Term(words(rnd.nextInt(words.length)))
     }
+    // boost weights as (text, parsed-double) so print→parse is exact
+    val boostWs = Array("2", "3", "0.5", "1.5", "2.5").map(t => (t, t.toDouble))
+    // boostable shapes: leaves (except regex — '^' is regex syntax) and
+    // parenthesized groups; never Not (NOT a^2 binds the boost to a) and
+    // never nested Boost (a^2^3 is not a boost chain)
+    def maybeBoost(e: Expr): Expr = e match {
+      case Pattern(_, true) | Not(_) | Boost(_, _) => e
+      case _ if rnd.nextInt(4) == 0 =>
+        val (_, w) = boostWs(rnd.nextInt(boostWs.length))
+        Boost(e, w)
+      case _ => e
+    }
     def gen(depth: Int): Expr =
-      if (depth == 0) leaf()
+      if (depth == 0) maybeBoost(leaf())
       else rnd.nextInt(4) match {
-        case 0 => And(List.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
-        case 1 => Or(List.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
+        case 0 => maybeBoost(And(List.fill(2 + rnd.nextInt(2))(gen(depth - 1))))
+        case 1 => maybeBoost(Or(List.fill(2 + rnd.nextInt(2))(gen(depth - 1))))
         case 2 => Not(gen(depth - 1)) match {
           // printable negations only: the printer wraps NOT's operand
           case n => n
         }
-        case _ => leaf()
+        case _ => maybeBoost(leaf())
       }
     // print with full parenthesization — unambiguous regardless of the
     // precedence rules, so parse(print(e)) must reproduce e exactly
@@ -169,6 +181,9 @@ class BoolQuerySpec extends SparkSpec {
       case And(cs) => cs.map(print).mkString("(", " AND ", ")")
       case Or(cs) => cs.map(print).mkString("(", " OR ", ")")
       case Not(c) => "NOT " + print(c)
+      case Boost(c, w) =>
+        val ws = if (w == w.toLong.toDouble) w.toLong.toString else w.toString
+        print(c) + "^" + ws
     }
     // normalize: the parser collapses 1-element And/Or and 1-token
     // quotes — generate only shapes it preserves (done above: ≥2
