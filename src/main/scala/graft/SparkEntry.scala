@@ -387,6 +387,19 @@ object SparkEntry {
       val (_, searcher, _) = DocsIndex.get(s, dir)
       searcher.facets("FREE", "fast merge", "lang").orderBy("lang")
     }),
+    "ft_facets_bool" -> ((s, dir) => {
+      val (_, searcher, _) = DocsIndex.get(s, dir)
+      searcher.facets("BOOL", "(\"fast merge\" OR slow) AND table", "lang")
+        .orderBy("lang")
+    }),
+    "ft_count_bool" -> ((s, dir) => {
+      val (_, searcher, _) = DocsIndex.get(s, dir)
+      val b = searcher.matchCount("BOOL", "(\"fast merge\" OR slow) AND table")
+      val ph = searcher.matchCount("PHRASE", "\"fast merge\"")
+      val nr = searcher.matchCount("NEAR", "merge NEAR/3 sort")
+      s.createDataFrame(Seq(("bool_pm", b), ("phrase_fm", ph),
+        ("near_ms3", nr))).toDF("q", "n_docs").orderBy("q")
+    }),
     "ft_fielded" -> ((s, dir) =>
       DocsIndex.fieldedRankedHits(s, dir, "lang:fr fast merge sort", 20)),
     "ft_fielded_combo" -> ((s, dir) =>
@@ -685,6 +698,59 @@ object SparkEntry {
          |FROM tf JOIN documents d ON tf.doc_id = d.doc_id
          |WHERE tf.term IN ('fast', 'merge')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // facet counts over the EXACT boolean match set (phrase-leaf
+    // presence included) — the engine no longer degrades facet/count
+    // surfaces to any-term semantics for BOOL/PHRASE/NEAR
+    "ft_facets_bool" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), phr AS (
+         |  SELECT DISTINCT a0.doc_id FROM tokp a0
+         |  JOIN tokp a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos + 1
+         |  WHERE a0.term = 'fast' AND a1.term = 'merge'
+         |), boolmatch AS (
+         |  SELECT doc_id FROM alldl
+         |  WHERE (doc_id IN (SELECT doc_id FROM phr)
+         |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |    AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+         |)
+         |SELECT d.lang, count(*)::BIGINT AS n_docs
+         |FROM boolmatch b JOIN documents d ON b.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // match totals for the positional-predicate kinds: boolean with a
+    // phrase leaf, bare phrase, and a NEAR window (max-min span <= 3)
+    "ft_count_bool" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), phr AS (
+         |  SELECT DISTINCT a0.doc_id FROM tokp a0
+         |  JOIN tokp a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos + 1
+         |  WHERE a0.term = 'fast' AND a1.term = 'merge'
+         |), boolmatch AS (
+         |  SELECT doc_id FROM alldl
+         |  WHERE (doc_id IN (SELECT doc_id FROM phr)
+         |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |    AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+         |)
+         |SELECT 'bool_pm' AS q, (SELECT count(*) FROM boolmatch)::BIGINT AS n_docs
+         |UNION ALL
+         |SELECT 'near_ms3', (SELECT count(DISTINCT m.doc_id) FROM tokp m
+         |   JOIN tokp srt ON srt.doc_id = m.doc_id
+         |   WHERE m.term = 'merge' AND srt.term = 'sort'
+         |     AND abs(m.pos - srt.pos) <= 3)::BIGINT
+         |UNION ALL
+         |SELECT 'phrase_fm', (SELECT count(*) FROM phr)::BIGINT
+         |ORDER BY q""".stripMargin,
     "ft_highlight" ->
       s"""$tokCtes, w2 AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

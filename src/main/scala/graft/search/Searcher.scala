@@ -415,6 +415,40 @@ final class Searcher(spark: SparkSession, segment: Segment,
                        rejectB: AcceptB = null,
                        after: Wand.Scored = null): Dataset[Hit] = {
     val ast = BoolQuery.parse(text)
+    boolPlan(ast) match {
+      case None => spark.emptyDataset[Hit]
+      case Some(plan) =>
+        require(!plan.matchesEmpty,
+          s"pure-negative boolean query '$text' matches a corpus-sized " +
+            "complement; add a positive requirement (a AND NOT x)")
+        val entries = plan.entries
+        val idfByTid: Map[Long, Double] =
+          entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+        val boostByTid = Searcher.toTidBoosts(entries,
+          Searcher.boolTermBoosts(ast, plan.patEntries))
+        rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+          conjunctive = false, k, pruned = false, entries.length,
+          boolEval = plan.eval, boolPhrases = plan.phraseDefs,
+          boolWins = plan.phraseWins,
+          lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB,
+          after = after, boostByTid = boostByTid)
+          .toDF("docId", "score"), k, qid)
+    }
+  }
+
+  /** The compiled evaluation plan of a boolean expression over THIS
+    * segment's vocabulary: resolved entries (fixed terms ∪ pattern
+    * expansions, ascending termId), the presence predicate, and the
+    * positional-atom slot layout. None = provably empty (unsatisfiable
+    * under this vocabulary) without running a job. */
+  private case class BoolPlan(entries: Array[DictEntry],
+                              patEntries: Map[BoolQuery.Pattern, Array[DictEntry]],
+                              eval: Array[Boolean] => Boolean,
+                              phraseDefs: Array[Array[Int]],
+                              phraseWins: Array[Int],
+                              matchesEmpty: Boolean)
+
+  private def boolPlan(ast: BoolQuery.Expr): Option[BoolPlan] = {
     val terms = BoolQuery.terms(ast)
     val pats = BoolQuery.patterns(ast)
     // fixed-term lookups ∪ per-pattern dictionary expansions (the
@@ -426,7 +460,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .distinctBy(_.termId).sortBy(_.termId)
     if (entries.isEmpty ||
         !BoolQuery.satisfiable(ast, entries.map(_.term).toSet))
-      return spark.emptyDataset[Hit]
+      return None
     val atoms = BoolQuery.posAtoms(ast)
     if (atoms.nonEmpty)
       require(segment.params.positional,
@@ -435,26 +469,15 @@ final class Searcher(spark: SparkSession, segment: Segment,
     val phraseSlot = atoms.zipWithIndex.toMap
     val patternSlots = patEntries.map { case (p, es) =>
       p -> es.map(e => slotByTerm(e.term)) }
-    require(!BoolQuery.matchesEmpty(ast, slotByTerm, entries.length,
-        phraseSlot, entries.length, patternSlots),
-      s"pure-negative boolean query '$text' matches a corpus-sized " +
-        "complement; add a positive requirement (a AND NOT x)")
     val eval = BoolQuery.compile(ast, slotByTerm, phraseSlot, entries.length,
       patternSlots)
     val phraseDefs: Array[Array[Int]] =
       if (atoms.isEmpty) null
       else atoms.map { case (ts, _) => ts.map(t => slotByTerm.getOrElse(t, -1)).toArray }
     val phraseWins: Array[Int] = if (atoms.isEmpty) null else atoms.map(_._2)
-    val idfByTid: Map[Long, Double] =
-      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
-    val boostByTid = Searcher.toTidBoosts(entries,
-      Searcher.boolTermBoosts(ast, patEntries))
-    rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
-      conjunctive = false, k, pruned = false, entries.length,
-      boolEval = eval, boolPhrases = phraseDefs, boolWins = phraseWins,
-      lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB,
-      after = after, boostByTid = boostByTid)
-      .toDF("docId", "score"), k, qid)
+    Some(BoolPlan(entries, patEntries, eval, phraseDefs, phraseWins,
+      BoolQuery.matchesEmpty(ast, slotByTerm, entries.length, phraseSlot,
+        entries.length, patternSlots)))
   }
 
   /** Doc-length arrays up to this many documents stay resident
@@ -690,12 +713,17 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * set comes straight from the postings (termId pushdown, per-bucket
     * distinct-ish aggregation), then one hash aggregation against the
     * docmap — no scoring, no decode of positions, no top-k walk. */
-  /** The query's full matching docId set (presence semantics: FREE/OR
-    * match any term, AND all terms; PREFIX/REGEX expand first) — decoded
-    * per posting list with docIds only (tf/position bytes skipped by the
-    * cursor). None = provably empty without a job. Shared by facets and
-    * matchCount; no scoring walk runs. */
+  /** The query's full matching docId set under the KIND'S OWN predicate:
+    * FREE/OR match any term, AND all terms, PREFIX/REGEX expand first —
+    * decoded per posting list with docIds only (tf/position bytes skipped
+    * by the cursor), no scoring walk. BOOL/PHRASE/NEAR route through the
+    * compiled boolean presence walk (positional atoms verified), so facet
+    * counts and match totals honor the full query semantics instead of
+    * silently degrading to any-term. None = provably empty without a job.
+    * Shared by facets and matchCount. */
   private def matchSet(kind: String, text: String): Option[DataFrame] = {
+    if (kind == "BOOL" || kind == "PHRASE" || kind == "NEAR")
+      return boolMatchSet(kind, text)
     val terms = QueryParser.termsFor(kind, text)
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
@@ -723,6 +751,44 @@ final class Searcher(spark: SparkSession, segment: Segment,
         matching.groupByKey(identity).count()
           .filter(_._2 == nTerms.toLong).map(_._1).toDF("docId")
       else matching.distinct().toDF("docId"))
+  }
+
+  /** Full match set of a BOOL/PHRASE/NEAR query via the compiled
+    * presence walk. PHRASE/NEAR normalize into the boolean grammar's
+    * positional atoms (one Phrase/Near node), so all three kinds share
+    * one evaluator. The walk runs topKBool with k = bucketSize — every
+    * bucket holds ≤ bucketSize docs, so the per-bucket "top-k" IS the
+    * bucket's complete match set (scores computed but discarded). */
+  private def boolMatchSet(kind: String, text: String): Option[DataFrame] = {
+    val ast: BoolQuery.Expr = kind match {
+      case "PHRASE" =>
+        QueryParser.termsFor("PHRASE", text).toList match {
+          case Nil => return None
+          case t :: Nil => BoolQuery.Term(t)
+          case ts => BoolQuery.Phrase(ts)
+        }
+      case "NEAR" =>
+        QueryParser.termsFor("NEAR", text).toList match {
+          case Nil => return None
+          case t :: Nil => BoolQuery.Term(t)
+          case ts => BoolQuery.Near(ts, QueryParser.nearWindow(text))
+        }
+      case _ => BoolQuery.parse(text)
+    }
+    boolPlan(ast).map { plan =>
+      require(!plan.matchesEmpty,
+        s"pure-negative boolean query '$text' matches a corpus-sized " +
+          "complement; add a positive requirement (a AND NOT x)")
+      val entries = plan.entries
+      // scores are discarded: idf 0 keeps the walk's heap insertion-only
+      val zeroIdf: Map[Long, Double] = entries.map(_.termId -> 0.0).toMap
+      val k = math.min(segment.params.bucketSize, Int.MaxValue.toLong).toInt
+      scoredRaw(entries.map(_.termId), zeroIdf, stats.avgDocLen,
+        conjunctive = false, k, pruned = false, entries.length,
+        boolEval = plan.eval, boolPhrases = plan.phraseDefs,
+        boolWins = plan.phraseWins)
+        .map(_._1).toDF("docId")
+    }
   }
 
   def facets(kind: String, text: String, facetCol: String): DataFrame =

@@ -243,6 +243,46 @@ class BoolPhraseSpec extends SparkSpec {
       searcher.hits("BOOL", s"NOT $pre*", 5).collect())
   }
 
+  test("facets and matchCount honor BOOL/PHRASE/NEAR semantics (not any-term)") {
+    val Array(a, b, c, _*) = topTerms
+    val q = s"""("$a $b" OR $c) AND NOT zzznotaterm"""
+    val wantDocs = tokensOf.collect { case (d, toks)
+      if hasPhrase(toks, Seq(a, b)) || toks.contains(c) => d }.toSet
+    assert(searcher.matchCount("BOOL", q) == wantDocs.size.toLong)
+    // a doc with a but NOT the phrase and NOT c exists — any-term would
+    // overcount, so this pins the fix (facets used to degrade to OR)
+    val anyTerm = tokensOf.count { case (_, toks) =>
+      toks.contains(a) || toks.contains(b) || toks.contains(c) }
+    assert(anyTerm > wantDocs.size)
+    // facet counts group the SAME match set by docmap lang
+    import spark.implicits._
+    val langOf = seg.docs.select($"docId", $"lang").as[(Long, String)]
+      .collect().toMap
+    val wantFacets = wantDocs.groupBy(langOf).map { case (l, ds) => l -> ds.size.toLong }
+    val gotFacets = searcher.facets("BOOL", q, "lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotFacets == wantFacets)
+
+    // PHRASE kind: exact consecutive-position match set
+    val phq = s""""$a $b""""
+    val wantPh = tokensOf.count { case (_, toks) => hasPhrase(toks, Seq(a, b)) }
+    assert(searcher.matchCount("PHRASE", phq) == wantPh.toLong)
+    // NEAR kind: minimal-span window
+    val wantNear = tokensOf.count { case (_, toks) =>
+      toks.contains(a) && toks.contains(b) && {
+        val pa = toks.zipWithIndex.collect { case (t, i) if t == a => i }
+        val pb = toks.zipWithIndex.collect { case (t, i) if t == b => i }
+        pa.exists(i => pb.exists(j => math.abs(i - j) <= 3))
+      } }
+    assert(searcher.matchCount("NEAR", s"$a NEAR/3 $b") == wantNear.toLong)
+    // the match set equals the full hits set (unbounded k) for BOOL
+    val hitDocs = searcher.hits("BOOL", q, wantDocs.size + 10).collect()
+      .map(_.docId).toSet
+    assert(hitDocs == wantDocs)
+    // pure-negative still rejected through the facet path
+    intercept[IllegalArgumentException](searcher.matchCount("BOOL", s"NOT $a"))
+  }
+
   test("phrase atoms page with search_after like everything else") {
     val Array(a, b, c, _*) = topTerms
     val q = s""""$a $b" OR $c"""
