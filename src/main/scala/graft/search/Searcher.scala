@@ -695,7 +695,10 @@ final class Searcher(spark: SparkSession, segment: Segment,
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
       case "REGEX" => dictLookupRegex(terms.head)
-      case "BOOL" => dictLookup(terms)
+      case "BOOL" => // fixed terms ∪ pattern-leaf expansions — a hit
+        // matched via `s*` must highlight the expanded term's positions
+        boolPlan(BoolQuery.parse(text)).map(_.entries)
+          .getOrElse(Array.empty[DictEntry])
       case _ => dictLookup(terms.distinct)
     }
     val hitDocs = hits(kind, text, k).collect().map(_.docId)

@@ -45,6 +45,30 @@ class HighlightSpec extends SparkSpec {
       s"missing: ${want.diff(got).take(5)}; extra: ${got.diff(want).take(5)}")
   }
 
+  test("highlight covers BOOL queries incl. pattern-leaf expansions") {
+    val vocab = seg.dict.collect().map(_.term)
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val pre = terms(0).take(2)
+    val expand = vocab.filter(_.startsWith(pre)).toSet
+    assert(expand.nonEmpty)
+    val q = s"($pre* OR ${terms(1)}) AND NOT zzznotaterm"
+    val hits = searcher.hits("BOOL", q, 5).collect().map(_.docId).toSet
+    assert(hits.nonEmpty)
+    val got = searcher.highlight("BOOL", q, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // every EXPANDED term's occurrences must be highlighted, not just
+    // the fixed terms (the pre-fix behavior dropped pattern expansions)
+    val qTerms = expand + terms(1)
+    val want = (for {
+      d <- hits.toSeq
+      (tok, pos) <- Tokenizer.tokenize(contentByDocId(d)).zipWithIndex
+      if qTerms.contains(tok)
+    } yield (d, tok, pos)).toSet
+    assert(got == want,
+      s"missing: ${want.diff(got).take(5)}; extra: ${got.diff(want).take(5)}")
+    assert(got.exists { case (_, t, _) => expand.contains(t) && t != terms(1) })
+  }
+
   test("highlight covers PHRASE queries (positions of each phrase term)") {
     // find a phrase that exists: take a doc's first two adjacent tokens
     val d0 = contentByDocId.keys.min
