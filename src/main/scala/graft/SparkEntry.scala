@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.DocsIndex
-import graft.pipeline.{Ann, AnnIndex, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Ann, AnnIndex, Curation, Dedup, Multimodal, TextStats}
 import graft.search.ExactScorer
 
 /** Driver contract — SURVEY.md §2.7. Every implemented operator from
@@ -417,6 +417,10 @@ object SparkEntry {
       val rows = searcher.suggest("mrege", 5, maxDist = 2)
       s.createDataFrame(rows.toSeq).toDF("term", "df")
     }),
+    // more-like-this: top-5 informative terms of doc 7, BM25-ranked
+    // disjunction over the corpus minus the seed itself
+    "ft_mlt" -> ((s, dir) =>
+      DocsIndex.mltRankedHits(s, dir, 7L, 5, 15)),
     "ft_count" -> ((s, dir) => {
       val (_, searcher, _) = DocsIndex.get(s, dir)
       val and = searcher.matchCount("AND", "key AND value AND hash")
@@ -491,6 +495,31 @@ object SparkEntry {
       TextStats.tokenCounts(DocsIndex.documents(s, dir)).orderBy("doc_id")),
     "fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(DocsIndex.documents(s, dir)).orderBy("doc_id")),
+
+    // ── curation layer: decontamination / PII / repetition / mixing ──
+    // benchmark partition = source 'src0'; 3-gram overlap >= 0.5 flags
+    "decontam" -> ((s, dir) =>
+      Curation.decontaminate(DocsIndex.documents(s, dir), "src0", 3, 0.5)
+        .orderBy("doc_id")),
+    // scrub synthetic PII injected by a pure-SQL-portable expression (the
+    // testdata carries none), so counts are nonzero and the redaction
+    // path is genuinely exercised end-to-end
+    "pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact dev"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))
+      Curation.piiScrub(DocsIndex.documents(s, dir)
+        .select(col("doc_id"), aug.as("text"))).orderBy("doc_id")
+    }),
+    "rep_quality" -> ((s, dir) =>
+      Curation.repetitionStats(DocsIndex.documents(s, dir), 2, 0.2)
+        .orderBy("doc_id")),
+    "strat_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(DocsIndex.documents(s, dir),
+        Seq("en" -> 50, "de" -> 100, "fr" -> 25), 10).orderBy("doc_id")),
+    "seq_pack" -> ((s, dir) =>
+      Curation.packSequences(s, DocsIndex.documents(s, dir), 128)
+        .orderBy("seq_id", "doc_id")),
 
     // ── multimodal plumbing (decode stubbed; see Multimodal scaladoc) ──
     "mm_features" -> ((s, dir) => {
@@ -972,6 +1001,27 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // more-like-this: term selection by (tf/df desc, term asc) — an
+    // exactly portable integer-ratio ordering (see Searcher.mltTerms) —
+    // then standard BM25 over the selected terms, seed excluded
+    "ft_mlt" ->
+      s"""$tokCtes, seedtf AS (SELECT term, tf FROM tf WHERE doc_id = 7),
+         |sel AS (SELECT s.term FROM seedtf s JOIN df USING (term)
+         |        ORDER BY s.tf * 1.0 / df DESC, s.term LIMIT 5),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> 7
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // "did you mean": vocabulary within Levenshtein distance 2 of the
     // typo, ranked by document frequency — DuckDB's levenshtein() is the
     // same unit-cost metric as the engine's banded DP
@@ -1088,6 +1138,88 @@ object SparkEntry {
         |    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS min_word_hash,
         |  sha256(text) AS text_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontam" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source, ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS g
+        |  FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(p)
+        |  WHERE len(ws) >= 3
+        |),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |agg AS (
+        |  SELECT t.doc_id, count(*)::BIGINT AS n_grams,
+        |         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        |  FROM (SELECT doc_id, g FROM g WHERE source <> 'src0') t
+        |  LEFT JOIN bench b USING (g) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(n_grams, 0)::BIGINT AS n_grams,
+        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |       CASE WHEN coalesce(n_grams, 0) > 0
+        |            THEN round(n_hits * 1.0 / n_grams, 6) ELSE 0.0 END AS overlap,
+        |       (CASE WHEN coalesce(n_grams, 0) > 0
+        |             THEN round(n_hits * 1.0 / n_grams, 6) ELSE 0.0 END >= 0.5)
+        |         AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact dev' || doc_id || '@example.com from 10.0.' ||
+        |    (doc_id % 256) || '.7' AS text
+        |  FROM documents),
+        |red AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean
+        |  FROM aug)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+        |  length(clean)::BIGINT AS clean_len,
+        |  sha256(clean) AS clean_sha
+        |FROM red ORDER BY doc_id""".stripMargin,
+    "rep_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[p] || ' ' || ws[p+1] AS g
+        |      FROM w, unnest(range(1, greatest(len(ws), 1))) t(p) WHERE len(ws) >= 2),
+        |pg AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_gram_count,
+        |              sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup_occ
+        |       FROM pg GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_grams, 0)::BIGINT AS n_grams,
+        |       coalesce(top_gram_count, 0)::BIGINT AS top_gram_count,
+        |       CASE WHEN coalesce(n_grams, 0) > 0
+        |            THEN round(dup_occ * 1.0 / n_grams, 6) ELSE 0.0 END AS dup_ratio,
+        |       (CASE WHEN coalesce(n_grams, 0) > 0
+        |             THEN round(dup_occ * 1.0 / n_grams, 6) ELSE 0.0 END <= 0.2) AS keep
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "strat_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100
+        |                         WHEN 'fr' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    "seq_pack" ->
+      """WITH dl AS (SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), t -> length(t) >= 2))::BIGINT AS dl
+        |  FROM documents),
+        |o AS (SELECT doc_id, dl, (sum(dl) OVER (ORDER BY doc_id) - dl)::BIGINT AS off
+        |      FROM dl WHERE dl > 0),
+        |spans AS (SELECT doc_id, dl, off,
+        |                 unnest(range(off // 128, (off + dl - 1) // 128 + 1)) AS seq_id
+        |          FROM o)
+        |SELECT seq_id::BIGINT AS seq_id, doc_id,
+        |       greatest(0, seq_id * 128 - off)::BIGINT AS tok_start,
+        |       (least(dl, (seq_id + 1) * 128 - off) -
+        |        greatest(0, seq_id * 128 - off))::BIGINT AS n_toks
+        |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |       sha256(text) AS sha

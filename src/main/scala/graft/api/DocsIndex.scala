@@ -270,6 +270,39 @@ object DocsIndex {
     rankSeg(spark, segC, searcherC.hits(kind, text, k + 50), k)
   }
 
+  /** More-like-this: rank the corpus by BM25 over the `m` most
+    * informative terms of document `seedDocId` (Searcher.mltTerms),
+    * excluding the seed itself. The seed text is ONE pushdown-pruned row
+    * read; term selection is driver-side against the cached dict; the
+    * ranking is the ordinary FREE WAND walk — so MLT costs exactly one
+    * extra point lookup over a normal query. Slack of k+51 covers both
+    * the excluded seed and rounding ties at the k-boundary. */
+  def mltRankedHits(spark: SparkSession, sfDir: String, seedDocId: Long,
+                    m: Int, k: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val seedText = documents(spark, sfDir)
+      .filter(col("doc_id") === seedDocId).select(col("text"))
+      .collect().headOption.map(_.getString(0)).getOrElse("")
+    val sel = searcher.mltTerms(seedText, m)
+    val hits =
+      if (sel.isEmpty) spark.emptyDataset[graft.model.Hit]
+      else searcher.hits("FREE", sel.mkString(" "), k + 51)
+    hits.join(withDocId(seg), Seq("docId"))
+      .filter(col("doc_id") =!= seedDocId)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, s) => r += 1; (d, s, r) }
+      }
+      .toDF("doc_id", "score", "rank")
+  }
+
   private def rank(spark: SparkSession, sfDir: String,
                    hits: org.apache.spark.sql.Dataset[graft.model.Hit], k: Int): DataFrame = {
     val (seg, _, _) = get(spark, sfDir)

@@ -1,0 +1,216 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Training-data curation operators over a (doc_id, text, lang, source)
+  * table: benchmark decontamination, PII scrubbing, repetition-based
+  * quality filtering (the Gopher-style rules, Rae et al. 2021), and
+  * deterministic stratified sampling for domain mixing.
+  *
+  * Everything except sequence packing is pure `sql.functions` columns —
+  * whole-stage codegen, no UDFs — and every rule has an exactly
+  * equivalent ANSI-SQL twin for the DuckDB oracle (SparkEntry.oracleSql).
+  * Doubles are rounded at the output boundary and every flag compares on
+  * the ROUNDED value so cross-engine float noise cannot flip a row.
+  *
+  * Scale posture (the 100 TB question), per operator:
+  *  - decontaminate: the benchmark n-gram set is fixed-size (eval suites
+  *    are KBs-to-MBs, not corpus-sized) → broadcast; the corpus side is
+  *    one narrow gram pass + ONE hash agg by doc_id. No corpus-scale
+  *    join shuffle.
+  *  - piiScrub / stratifiedSample: fully narrow, zero shuffles.
+  *  - repetitionStats: one (doc_id, gram) hash agg + one doc_id hash agg
+  *    — both partial+final, skew-free (keys are per-doc).
+  *  - packSequences: ONE range shuffle on doc_id + a driver prefix-scan
+  *    of P partition sums — the docId-assignment machinery (DocIds)
+  *    generalized from rank to running token offset; output is invariant
+  *    to parallelism, which is what makes packed sequences reproducible
+  *    across cluster sizes.
+  */
+object Curation {
+
+  /** Raw whitespace word stream — the shingle convention shared with
+    * Dedup.shingles and the jaccard SQL twins. */
+  private def words: Column = split(col("text"), " ")
+
+  /** All n-grams of `ws` joined by single spaces; empty array when the
+    * doc is shorter than n (sequence() would otherwise count DOWN). */
+  private def ngrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  // ── decontamination ──────────────────────────────────────────────────
+
+  /** Benchmark decontamination: for every train document (source ≠
+    * `benchSource`), the fraction of its DISTINCT word n-grams that
+    * appear anywhere in the benchmark partition (source = `benchSource`).
+    * A doc is `contaminated` when that overlap (rounded to 6 dp) reaches
+    * `theta` — the n-gram-overlap rule used for eval-set decontamination
+    * of pretraining corpora (Brown et al. 2020 §C, Rae et al. 2021).
+    *
+    * Docs with fewer than n words carry 0 grams, overlap 0.0, and are
+    * kept (nothing to match on). */
+  def decontaminate(docs: DataFrame, benchSource: String, n: Int = 3,
+                    theta: Double = 0.5): DataFrame = {
+    val grams = array_distinct(ngrams(words, n))
+    val bench = docs.filter(col("source") === benchSource)
+      .select(explode(grams).as("g")).distinct()
+    val train = docs.filter(col("source") =!= benchSource)
+    val perDoc = train
+      .select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+    val overlap = when(col("n_grams") > 0,
+      round(col("n_hits").cast("double") / col("n_grams"), 6)).otherwise(lit(0.0))
+    train.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        overlap.as("overlap"),
+        (overlap >= theta).as("contaminated"))
+  }
+
+  // ── PII scrubbing ────────────────────────────────────────────────────
+
+  /** Email + IPv4 patterns, written in the common subset of Java regex
+    * and RE2 (no \b, no \d, no lookaround) so Spark and DuckDB match the
+    * exact same spans. */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrub: count emails/IPv4s in `text` and redact them (emails
+    * first — an IPv4 can never sit inside an email match because the TLD
+    * class is alphabetic, so the two passes commute on counts but the
+    * order is still pinned for byte-identical output). Returns counts,
+    * the redacted length, and sha256 of the redacted text — the
+    * cross-engine equality witness. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      length(clean).cast("long").as("clean_len"),
+      sha2(clean, 256).as("clean_sha"))
+  }
+
+  // ── repetition quality (Gopher-style) ────────────────────────────────
+
+  /** Per-doc n-gram repetition statistics: total grams, the count of the
+    * most frequent gram, and the fraction of gram occurrences whose gram
+    * occurs ≥ 2 times (`dup_ratio` — "fraction of tokens in duplicated
+    * n-grams", Rae et al. 2021 table A1). `keep` = dup_ratio ≤ theta on
+    * the rounded value. Docs shorter than n words have 0 grams and are
+    * kept. */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+                      theta: Double = 0.2): DataFrame = {
+    val perGram = docs
+      .select(col("doc_id"), explode(ngrams(words, n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("doc_id").agg(
+      sum(col("c")).as("n_grams"),
+      max(col("c")).as("top_gram_count"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"))
+    val ratio = when(col("n_grams") > 0,
+      round(col("dup_occ").cast("double") / col("n_grams"), 6)).otherwise(lit(0.0))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        ratio.as("dup_ratio"),
+        (ratio <= theta).as("keep"))
+  }
+
+  // ── stratified sampling ──────────────────────────────────────────────
+
+  /** Deterministic per-language downsampling for domain mixing: a doc
+    * lands in `bucket = int(md5(doc_id)[0:6], 16) mod 100` and survives
+    * iff bucket < rate(lang). md5 is the portable hash (DuckDB computes
+    * the identical hex), so the SAME rows survive in every engine, every
+    * run, at every parallelism — the property that makes a mixing recipe
+    * reproducible. Narrow: zero shuffles, pushdown-friendly. */
+  def stratifiedSample(docs: DataFrame, rates: Seq[(String, Int)],
+                       defaultRate: Int): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val rate = rates.foldRight(lit(defaultRate)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  // ── sequence packing ─────────────────────────────────────────────────
+
+  /** Pack the corpus token stream (docs in doc_id order, each doc's
+    * length-≥2-filtered tokens concatenated) into fixed-length training
+    * sequences of `seqLen` tokens. Emits one span row per (sequence,
+    * doc) overlap: `(seq_id, doc_id, tok_start, n_toks)` with tok_start
+    * the 0-based offset INSIDE the doc — exactly the manifest a
+    * pretraining loader needs to materialize sequence seq_id.
+    *
+    * Deterministic at any parallelism: global token offsets come from a
+    * range shuffle on doc_id + per-partition token sums + a driver
+    * prefix scan (the DocIds two-pass generalized from rank to running
+    * sum), never from task order. Zero-token docs occupy no stream
+    * positions and emit no spans. */
+  def packSequences(spark: SparkSession, docs: DataFrame, seqLen: Int,
+                    numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val dl = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) >= 2))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .as[(Long, Long)]
+    val sorted = dl.repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sums: Map[Int, Long] = sorted
+      .mapPartitions { it =>
+        var s = 0L; while (it.hasNext) s += it.next()._2
+        Iterator.single((TaskContext.getPartitionId(), s))
+      }
+      .collect().toMap
+    val numParts = sorted.rdd.getNumPartitions
+    val offsets = new Array[Long](numParts)
+    var acc = 0L
+    (0 until numParts).foreach { pid =>
+      offsets(pid) = acc
+      acc += sums.getOrElse(pid, 0L)
+    }
+    val l = seqLen.toLong
+    val out = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var off = offsets(pid)
+      it.flatMap { case (docId, n) =>
+        val o = off
+        off += n
+        val first = o / l
+        val last = (o + n - 1) / l
+        (first to last).iterator.map { s =>
+          val start = math.max(0L, s * l - o)
+          val end = math.min(n, (s + 1) * l - o)
+          (s, docId, start, end - start)
+        }
+      }
+    }
+    out.toDF("seq_id", "doc_id", "tok_start", "n_toks")
+  }
+}

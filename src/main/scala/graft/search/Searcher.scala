@@ -215,6 +215,28 @@ final class Searcher(spark: SparkSession, segment: Segment,
     cands.sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
   }
 
+  /** More-like-this term selection (the Lucene MoreLikeThis family): the
+    * `m` most informative in-vocabulary terms of `seedText`, ordered by
+    * (tf/df desc, term asc). The selection weight is deliberately tf/df,
+    * NOT tf·idf: a ratio of two small exact integers is a correctly
+    * rounded IEEE division and therefore BIT-IDENTICAL in every engine,
+    * whereas ln() may differ at the last ulp across libms and flip a
+    * boundary tie — and df is a monotone inverse of idf, so for equal tf
+    * the ordering is the tf·idf ordering anyway. Out-of-vocabulary seed
+    * terms carry no signal and are dropped. The caller runs the returned
+    * terms as a FREE query (BM25-ranked disjunction), excluding the seed
+    * document itself. */
+  def mltTerms(seedText: String, m: Int): Array[String] = {
+    // raw token stream, NOT queryTerms: queryTerms dedupes (a query has
+    // no use for repeats), but MLT's whole signal is the seed's tf
+    val toks = graft.tokenize.Tokenizer.tokenize(seedText)
+    val tf = toks.groupBy(identity).map { case (t, g) => t -> g.length }
+    dictLookup(tf.keys.toArray.sorted)
+      .map(e => (tf(e.term).toDouble / e.df, e.term))
+      .sortBy { case (w, t) => (-w, t) }
+      .take(m).map(_._2)
+  }
+
   /** Per-bucket docId bitsets for a docmap field predicate — the
     * fielded-query filter (`lang:scala`). Built once per (field, value)
     * and broadcast; bucket-local bitsets are computed executor-side in a

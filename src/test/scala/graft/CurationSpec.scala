@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Curation
+
+/** Curation layer: decontamination, PII scrubbing, repetition quality,
+  * stratified sampling, sequence packing. Every operator is checked
+  * against a driver-side brute force on a planted corpus; packing is
+  * additionally checked invariant to parallelism (the property that makes
+  * packed pretraining data reproducible across cluster sizes). */
+class CurationSpec extends SparkSpec {
+
+  /** Planted corpus: source "bench" docs, one train doc copied verbatim
+    * from bench (full contamination), one half-contaminated, short docs,
+    * a repetitive doc. */
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "bench"),
+      (1L, "one two three four five six seven", "de", "bench"))
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "web"), // exact copy
+      (11L, "alpha beta gamma delta unrelated words here now", "fr", "web"),
+      (12L, "totally fresh text nothing shared at all", "en", "web"),
+      (13L, "xx yy", "zh", "web"), // < 3 words: zero grams
+      (14L, "rep rep rep rep rep tail", "en", "web"),
+      (15L, "", "es", "web"))
+    (bench ++ train).toDF("doc_id", "text", "lang", "source")
+  }
+
+  private def gramsOf(text: String, n: Int): Seq[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) Seq.empty
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+  }
+
+  test("decontaminate matches brute-force n-gram overlap") {
+    val got = Curation.decontaminate(docs, "bench", 3, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val benchSet = Seq(0L, 1L).flatMap(i =>
+      gramsOf(docs.filter(col("doc_id") === i).head().getString(1), 3)).toSet
+    val train = docs.filter(col("source") =!= "bench")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == train.map(_._1).toSet)
+    train.foreach { case (id, text) =>
+      val g = gramsOf(text, 3).distinct
+      val hits = g.count(benchSet.contains)
+      val overlap =
+        if (g.isEmpty) 0.0
+        else BigDecimal(hits.toDouble / g.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nG, nH, ov, flag) = got(id)
+      assert(nG == g.size && nH == hits, s"doc $id gram counts")
+      assert(math.abs(ov - overlap) < 1e-9, s"doc $id overlap $ov vs $overlap")
+      assert(flag == (ov >= 0.5), s"doc $id flag")
+    }
+    // the verbatim copy is fully contaminated; the fresh doc is clean
+    assert(got(10L)._3 == 1.0 && got(10L)._4)
+    assert(got(12L)._2 == 0L && !got(12L)._4)
+    assert(got(13L)._1 == 0L && got(13L)._3 == 0.0)
+  }
+
+  test("piiScrub counts and redacts emails/IPv4s") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "mail a.b+c@host-x.org and 10.0.255.7 plus root@a.io end"),
+      (2L, "no pii here at all"),
+      (3L, "ip 1.2.3.4 twice 5.6.7.8"))
+      .toDF("doc_id", "text")
+    val got = Curation.piiScrub(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got(1L)._1 == 2 && got(1L)._2 == 1)
+    assert(got(2L)._1 == 0 && got(2L)._2 == 0)
+    assert(got(3L)._1 == 0 && got(3L)._2 == 2)
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._3 == sha("mail <EMAIL> and <IP> plus <EMAIL> end"))
+    assert(got(3L)._3 == sha("ip <IP> twice <IP>"))
+  }
+
+  test("repetitionStats matches brute-force bigram counts") {
+    val got = Curation.repetitionStats(docs, 2, 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val g = gramsOf(text, 2)
+      val counts = g.groupBy(identity).view.mapValues(_.size).toMap
+      val top = if (counts.isEmpty) 0L else counts.values.max.toLong
+      val dup = counts.values.filter(_ >= 2).sum.toLong
+      val ratio =
+        if (g.isEmpty) 0.0
+        else BigDecimal(dup.toDouble / g.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nG, tc, dr, keep) = got(id)
+      assert(nG == g.size.toLong && tc == top, s"doc $id")
+      assert(math.abs(dr - ratio) < 1e-9, s"doc $id ratio")
+      assert(keep == (dr <= 0.2), s"doc $id keep")
+    }
+    assert(!got(14L)._4, "the repetitive doc must be dropped")
+  }
+
+  test("stratifiedSample keeps exactly the md5-bucket rows") {
+    val rates = Seq("en" -> 50, "de" -> 100, "fr" -> 25)
+    val got = Curation.stratifiedSample(docs, rates, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 100
+    }
+    val want = docs.select("doc_id", "lang").collect().flatMap { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val rate = rates.toMap.getOrElse(lang, 10)
+      val b = bucket(id)
+      if (b < rate) Some((id, lang, b)) else None
+    }.toSet
+    assert(got == want)
+    // determinism: a second run returns the identical set
+    val again = Curation.stratifiedSample(docs, rates, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
+  test("packSequences == sequential brute force, invariant to parallelism") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(11)
+    val big = (0L until 300L).map { i =>
+      (i, Array.fill(1 + rng.nextInt(40))("tok" + rng.nextInt(9)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val l = 32
+    def run(parts: Int): Seq[(Long, Long, Long, Long)] =
+      Curation.packSequences(spark, big, l, parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val got = run(3)
+    assert(run(11) == got, "spans must not depend on partitioning")
+
+    // brute force: walk docs in id order, cut every l tokens
+    val dls = big.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).count(_.length >= 2).toLong))
+      .filter(_._2 > 0).sortBy(_._1)
+    var off = 0L
+    val want = dls.flatMap { case (id, n) =>
+      val o = off; off += n
+      (o / l to (o + n - 1) / l).map { s =>
+        (s, id, math.max(0L, s * l - o), math.min(n, (s + 1) * l - o) - math.max(0L, s * l - o))
+      }
+    }.sorted.toSeq
+    assert(got == want)
+    // every sequence except the last is exactly full
+    val bySeq = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, tot) =>
+      if (s != lastSeq) assert(tot == l, s"seq $s holds $tot tokens") }
+  }
+}

@@ -40,6 +40,20 @@ class SuggestSpec extends SparkSpec {
     }
   }
 
+  test("mltTerms picks the (tf/df desc, term asc) top in-vocab terms") {
+    val corpus = graft.corpus.Synthesizer.tiny(spark).collect()
+    val seedText = corpus.head.content
+    val got = searcher.mltTerms(seedText, 5).toSeq
+    val dict = seg.dict.collect().map(e => e.term -> e.df).toMap
+    val tf = graft.tokenize.Tokenizer.tokenize(seedText)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = tf.keys.toSeq.filter(dict.contains)
+      .map(t => (tf(t).toDouble / dict(t), t))
+      .sortBy { case (w, t) => (-w, t) }.take(5).map(_._2)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("suggest returns distance-bounded vocabulary ranked by df") {
     val vocab = seg.dict.collect()
     val top = vocab.maxBy(_.df)
