@@ -270,6 +270,28 @@ object DocsIndex {
     rankSeg(spark, segC, searcherC.hits(kind, text, k + 50), k)
   }
 
+  /** Result collapsing: the best hit per source ("repo"), top `kRepos`
+    * sources by their best hit — Searcher.collapsedHits with the docId
+    * mapped back to the table's doc_id and a rank column. */
+  def collapsedRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                          text: String, kRepos: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    // broadcast the ≤kRepos collapsed side, never the corpus-sized docmap
+    broadcast(searcher.collapsedHits(kind, text, kRepos))
+      .join(withDocId(seg), Seq("docId"))
+      .select(col("repo").as("source"), col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("source").asc)
+      .as[(String, Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (src, d, s) => r += 1; (src, d, s, r) }
+      }
+      .toDF("source", "doc_id", "score", "rank")
+  }
+
   /** More-like-this: rank the corpus by BM25 over the `m` most
     * informative terms of document `seedDocId` (Searcher.mltTerms),
     * excluding the seed itself. The seed text is ONE pushdown-pruned row

@@ -73,7 +73,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     // positional requirements surface HERE, not as a deep executor
     // require inside a walk lambda
-    if (kind == "PHRASE" || kind == "NEAR")
+    if (kind == "PHRASE" || kind == "NEAR" || kind == "ONEAR")
       require(segments.forall(_.params.positional),
         s"$kind queries need positional segments (BuildParams.positional)")
     val distinctTerms = terms.distinct
@@ -88,10 +88,15 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     // global df per term string
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
-    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
+      kind == "ONEAR"
     if (dfByTerm.isEmpty || (needAll && dfByTerm.size < distinctTerms.length))
       return spark.emptyDataset[Hit]
-    val nearWin = if (kind == "NEAR") QueryParser.nearWindow(text) else 0
+    // sign convention (all tiers): > 0 NEAR/w, < 0 BEFORE/w, 0 phrase
+    val nearWin =
+      if (kind == "NEAR") QueryParser.nearWindow(text)
+      else if (kind == "ONEAR") -QueryParser.orderedWindow(text)
+      else 0
     val n = numDocs
     val scored = searchers.zip(perSeg).collect {
       // a segment can only answer AND/PHRASE/NEAR if it knows every term;
@@ -101,7 +106,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         val idfByTid = entries
           .map(e => e.termId -> BM25.idf(n, dfByTerm(e.term))).toMap
         val phraseSlots: Array[Long] = kind match {
-          case "PHRASE" =>
+          case "PHRASE" | "ONEAR" => // ONEAR: QUERY order is the constraint
             val byTerm = entries.map(e => e.term -> e.termId).toMap
             terms.map(byTerm)
           case "NEAR" => entries.map(_.termId)

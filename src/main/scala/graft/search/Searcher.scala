@@ -22,6 +22,7 @@ object QueryParser {
     t.split("\\s+(?:AND|OR)\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
 
   private val NearRe = "\\s+NEAR/(\\d+)\\s+".r
+  private val BeforeRe = "\\s+BEFORE/(\\d+)\\s+".r
 
   def parse(text: String): (String, Array[String]) = {
     val t = text.trim
@@ -29,6 +30,8 @@ object QueryParser {
       ("PHRASE", termsFor("PHRASE", t))
     else if (NearRe.findFirstIn(t).isDefined)
       ("NEAR", termsFor("NEAR", t))
+    else if (BeforeRe.findFirstIn(t).isDefined)
+      ("ONEAR", termsFor("ONEAR", t))
     else if (t.startsWith("re:")) // before PREFIX: a pattern may end in *
       ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
@@ -72,6 +75,13 @@ object QueryParser {
     * [[DefaultNearWindow]] instead of throwing on connective-free text. */
   def nearWindow(text: String): Int = {
     val ws = NearRe.findAllMatchIn(text).map(_.group(1).toInt)
+    if (ws.isEmpty) DefaultNearWindow else ws.max
+  }
+
+  /** Window of an ordered-proximity query (`a BEFORE/w b`): max w over
+    * `BEFORE/w` connectives, same default rule as [[nearWindow]]. */
+  def orderedWindow(text: String): Int = {
+    val ws = BeforeRe.findAllMatchIn(text).map(_.group(1).toInt)
     if (ws.isEmpty) DefaultNearWindow else ws.max
   }
 
@@ -121,6 +131,14 @@ object QueryParser {
     case "PHRASE" => Tokenizer.tokenize(text.trim.stripPrefix("\"").stripSuffix("\""))
     case "NEAR" =>
       text.trim.split("\\s+NEAR/\\d+\\s+").flatMap(Tokenizer.tokenize).distinct.sorted
+    case "ONEAR" =>
+      // ordered proximity: operand ORDER is the match constraint — never
+      // sorted; a repeated term is rejected (slots must pick distinct
+      // positions, which the one-cursor-per-term walk cannot express)
+      val ts = text.trim.split("\\s+BEFORE/\\d+\\s+").flatMap(Tokenizer.tokenize)
+      require(ts.distinct.length == ts.length,
+        s"ONEAR requires distinct terms, got ${ts.mkString(" ")}")
+      ts
     case "PREFIX" =>
       // normalize through the tokenizer's boundary rules: dictionary
       // terms are post-split lowercase pieces, so a prefix containing
@@ -382,7 +400,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
       case "REGEX" => dictLookupRegex(terms.head)
       case _ => dictLookup(terms.distinct)
     }
-    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
+      kind == "ONEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return spark.emptyDataset[Hit] // AND/PHRASE/NEAR with an unknown term ⇒ ∅
     val boostByTid = Searcher.toTidBoosts(entries, QueryParser.boosts(kind, text))
@@ -400,6 +419,16 @@ final class Searcher(spark: SparkSession, segment: Segment,
         scored(entries, conjunctive = true, k, qid, pruned,
           phraseSlots = entries.map(_.termId),
           nearWindow = QueryParser.nearWindow(text), lo = lo, hi = hi,
+          acceptB = acceptB, rejectB = rejectB, after = after)
+      case "ONEAR" =>
+        require(segment.params.positional,
+          "proximity queries need a positional index (BuildParams.positional)")
+        // slots in QUERY order (the ordering IS the constraint); the
+        // negative window carries orderedness through scoredRaw
+        val byTerm = entries.map(e => e.term -> e.termId).toMap
+        scored(entries, conjunctive = true, k, qid, pruned,
+          phraseSlots = terms.map(byTerm),
+          nearWindow = -QueryParser.orderedWindow(text), lo = lo, hi = hi,
           acceptB = acceptB, rejectB = rejectB, after = after)
       case _ =>
         scored(entries, conjunctive = kind == "AND", k, qid, pruned,
@@ -603,8 +632,13 @@ final class Searcher(spark: SparkSession, segment: Segment,
             val slots = phraseSlots.map(tid =>
               new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional,
                 lo, hi, if (bo == null) 1.0 else bo(tid)))
+            // nearWindow sign convention (every tier): > 0 unordered
+            // NEAR/w, < 0 ordered BEFORE/w (window = −nearWindow, slots
+            // in QUERY order), 0 phrase
             if (nearWindow > 0)
               Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
+            else if (nearWindow < 0)
+              Wand.topKONear(slots, lens, firstDocId, avgdl, k, -nearWindow, accept, after)
             else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept, after)
           }
         } else if (conjunctive) {
@@ -749,6 +783,24 @@ final class Searcher(spark: SparkSession, segment: Segment,
   private def matchSet(kind: String, text: String): Option[DataFrame] = {
     if (kind == "BOOL" || kind == "PHRASE" || kind == "NEAR")
       return boolMatchSet(kind, text)
+    if (kind == "ONEAR") {
+      // ordered proximity isn't a boolean atom; its match set is the
+      // ONEAR walk with k = bucketSize (the boolMatchSet trick: every
+      // bucket holds ≤ bucketSize docs, so per-bucket "top-k" is the
+      // complete match set) and scores discarded
+      require(segment.params.positional,
+        "proximity queries need a positional index (BuildParams.positional)")
+      val ts = QueryParser.termsFor(kind, text)
+      val entries = dictLookup(ts.distinct)
+      if (entries.length < ts.length) return None
+      val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+      val byTerm = entries.map(e => e.term -> e.termId).toMap
+      return Some(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+        conjunctive = true, k = segment.params.bucketSize.toInt,
+        pruned = false, entries.length, phraseSlots = ts.map(byTerm),
+        nearWindow = -QueryParser.orderedWindow(text))
+        .toDF("docId", "score").select($"docId"))
+    }
     val terms = QueryParser.termsFor(kind, text)
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
@@ -833,6 +885,71 @@ final class Searcher(spark: SparkSession, segment: Segment,
   def matchCount(kind: String, text: String): Long =
     matchSet(kind, text).map(_.count()).getOrElse(0L)
 
+  /** Result collapsing (the field-collapse / diversified-results surface:
+    * Elasticsearch `collapse`, Lucene grouping): the single best hit per
+    * repo, for the `kRepos` best repos by their best hit. FREE/AND/OR.
+    *
+    * Plan, built for the 100 TB shape: the per-bucket walk scores ALL
+    * matching docs (the facets/matchCount regime — an exhaustive walk
+    * with per-bucket k = bucketSize, so nothing escapes the bucket), and
+    * because the (repo,path,commit) build sort makes every repo a
+    * CONTIGUOUS docId range (X7), each scored doc resolves to its repo
+    * with a binary search over the broadcast repo-boundary array — so
+    * the per-repo best is pre-combined MAP-SIDE by the typed reduce, and
+    * the only exchange after the walk carries ≤ (repos touched) rows per
+    * partition, never the match set. Best-per-repo compares ROUNDED
+    * (6 dp) scores with docId-asc tie-break, so the selected doc is
+    * bit-reproducible cross-engine; final order = (score desc, repo asc).
+    *
+    * The repo-boundary collect is #repos driver rows (16 B each) —
+    * guarded by [[CollapseRepoLimit]], the dict-cache residency regime.
+    */
+  def collapsedHits(kind: String, text: String, kRepos: Int): DataFrame = {
+    import spark.implicits._
+    require(kind == "FREE" || kind == "OR" || kind == "AND",
+      s"collapse supports FREE/OR/AND, got $kind")
+    val empty = Seq.empty[(String, Long, Double)].toDF("repo", "docId", "score")
+    val terms = QueryParser.termsFor(kind, text).distinct
+    val entries = dictLookup(terms)
+    if (entries.isEmpty || (kind == "AND" && entries.length < terms.length))
+      return empty
+    val bounds: Array[(Long, String)] = segment.docs
+      .groupBy($"repo").agg(min($"docId").as("lo"))
+      .orderBy($"lo").select($"lo", $"repo")
+      .as[(Long, String)].collect()
+    require(bounds.length <= Searcher.CollapseRepoLimit,
+      s"collapse boundary array (${bounds.length} repos) exceeds " +
+        s"${Searcher.CollapseRepoLimit} — shard the collapse by repo range")
+    val los = bounds.map(_._1)
+    val bc = spark.sparkContext.broadcast(los)
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val best = scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive = kind == "AND", k = segment.params.bucketSize.toInt,
+      pruned = false, entries.length)
+      .mapPartitions { it =>
+        val l = bc.value
+        it.map { case (docId, score) =>
+          var a = 0; var b = l.length - 1
+          while (a < b) { // last boundary <= docId
+            val m = (a + b + 1) >>> 1
+            if (l(m) <= docId) a = m else b = m - 1
+          }
+          (a, docId, Searcher.round6(score))
+        }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        if (x._3 > y._3) x
+        else if (x._3 < y._3) y
+        else if (x._2 < y._2) x else y
+      }
+      .map { case (idx, (_, docId, score)) => (bounds(idx)._2, docId, score) }
+    best.toDF("repo", "docId", "score")
+      .orderBy($"score".desc, $"repo".asc)
+      .limit(kRepos)
+  }
+
   /** Hits joined back to the doc map (SURVEY §2.4 Q9). The HITS side is
     * broadcast — it is ≤k rows by construction, while the docmap is
     * corpus-sized (10^12 rows at the design point): broadcasting the
@@ -845,6 +962,17 @@ final class Searcher(spark: SparkSession, segment: Segment,
 }
 
 object Searcher {
+  /** Collapse keeps a sorted repo-boundary Long array resident on the
+    * driver and executors (8 B/repo) — 1M repos = 8 MB, the same
+    * residency regime as [[Searcher.DictCacheLimit]]. */
+  private[search] val CollapseRepoLimit = 1L << 20
+
+  /** Spark's round(col, 6) (BigDecimal HALF_UP) as a JVM-side scalar, so
+    * reductions that compare rounded scores agree bit-for-bit with the
+    * relational/oracle rounding. */
+  private[graft] def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** term-string weights → termId weights over the query's resolved
     * entries; null when no term deviates from 1.0 (the common case —
     * walks skip all weight lookups). */

@@ -140,7 +140,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val terms = QueryParser.termsFor(kind, text)
     val entries =
       if (kind == "BOOL") boolEntries(text) else entriesFor(kind, terms)
-    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
+      kind == "ONEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return Array.empty
     val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
@@ -237,9 +238,17 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       case "NEAR" =>
         require(positional, "proximity queries need a positional index")
         entries.map(_.termId)
+      case "ONEAR" =>
+        require(positional, "proximity queries need a positional index")
+        val byTerm = entries.map(e => e.term -> e.termId).toMap
+        terms.map(byTerm) // QUERY order — the ordering IS the constraint
       case _ => null
     }
-    val nearWindow = if (kind == "NEAR") QueryParser.nearWindow(text) else 0
+    // sign convention (all tiers): > 0 NEAR/w, < 0 BEFORE/w, 0 phrase
+    val nearWindow =
+      if (kind == "NEAR") QueryParser.nearWindow(text)
+      else if (kind == "ONEAR") -QueryParser.orderedWindow(text)
+      else 0
     val conjunctive = kind == "AND"
     // query-time term weights (`merge^2`): fixed-term boosts from the
     // query text; BOOL pattern-leaf boosts apply to this segment's own
@@ -339,7 +348,7 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
       : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     if (terms.isEmpty) return Array.empty
-    if (kind == "PHRASE" || kind == "NEAR")
+    if (kind == "PHRASE" || kind == "NEAR" || kind == "ONEAR")
       require(segments.forall(_.params.positional),
         s"$kind queries need positional segments (BuildParams.positional)")
     val distinctTerms = terms.distinct
@@ -348,7 +357,8 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
       else servers.map(_.entriesFor(kind, terms))
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
-    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR"
+    val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
+      kind == "ONEAR"
     if (dfByTerm.isEmpty || (needAll && dfByTerm.size < distinctTerms.length))
       return Array.empty
     val n = numDocs
@@ -496,6 +506,8 @@ object ServingSearcher {
                     lo, hi, bo(tid)))
                 if (nearWindow > 0)
                   Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
+                else if (nearWindow < 0)
+                  Wand.topKONear(slots, lens, firstDocId, avgdl, k, -nearWindow, accept, after)
                 else Wand.topKPhrase(slots, lens, firstDocId, avgdl, k, accept, after)
               }
             } else if (conjunctive) {

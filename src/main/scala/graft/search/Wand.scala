@@ -310,6 +310,73 @@ object Wand {
     topk.result()
   }
 
+  /** Ordered proximity (`a BEFORE/w b …`, kind ONEAR): conjunction walk
+    * like [[topKNear]], but the span must pick strictly INCREASING
+    * positions in QUERY order (`slots` arrive in query order, not termId
+    * order). Scoring is unchanged: BM25 over the distinct terms — the
+    * same filter-doesn't-rescale rule as NEAR/PHRASE. */
+  def topKONear(slots: Array[TermCursor], lens: Array[Int], firstDocId: Long,
+                avgdl: Double, k: Int, window: Int,
+                accept: Long => Boolean = null,
+                after: Scored = null): Array[Scored] = {
+    if (slots.isEmpty || slots.exists(_.exhausted)) return Array.empty
+    val topk = new TopK(k, after)
+    val byTermId = slots.sortBy(_.termId)
+    var target = slots.map(_.docId).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < slots.length && !done) {
+        slots(i).nextGeq(target)
+        if (slots(i).exhausted) done = true
+        else if (slots(i).docId > target) { target = slots(i).docId; aligned = false }
+        i += 1
+      }
+      if (!done && aligned) {
+        if ((accept == null || accept(target)) &&
+            orderedSpan(slots.map(_.positions())) <= window) {
+          val dl = lens((target - firstDocId).toInt)
+          var score = 0.0
+          var j = 0
+          while (j < byTermId.length) {
+            score += BM25.impact(byTermId(j).idf, byTermId(j).tf, dl, avgdl)
+            j += 1
+          }
+          topk.offer(target, score)
+        }
+        target += 1
+      }
+    }
+    topk.result()
+  }
+
+  /** Minimal (last − first) over one pick per list with picks strictly
+    * increasing left to right. Greedy chain per start position; every
+    * pointer only advances, so the sweep is O(total positions). */
+  private def orderedSpan(lists: Array[Array[Int]]): Int = {
+    if (lists.length == 1) return 0
+    val idx = new Array[Int](lists.length)
+    var best = Int.MaxValue
+    var s = 0
+    while (s < lists(0).length) {
+      var prev = lists(0)(s)
+      var i = 1
+      var ok = true
+      while (i < lists.length && ok) {
+        while (idx(i) < lists(i).length && lists(i)(idx(i)) <= prev) idx(i) += 1
+        if (idx(i) >= lists(i).length) ok = false
+        else prev = lists(i)(idx(i))
+        i += 1
+      }
+      if (!ok) return best
+      val span = prev - lists(0)(s)
+      if (span < best) best = span
+      s += 1
+    }
+    best
+  }
+
   /** Minimal max-min over one pick per sorted list (classic k-pointer
     * sweep: always advance the list holding the minimum). */
   private def minSpan(lists: Array[Array[Int]]): Int = {

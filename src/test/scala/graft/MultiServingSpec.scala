@@ -36,6 +36,7 @@ class MultiServingSpec extends SparkSpec {
       ("OR", terms.mkString(" OR ")),
       ("BOOL", s"(${terms(0)} OR ${terms(1)}) AND ${terms(2)}"),
       ("NEAR", s"${terms(0)} NEAR/5 ${terms(1)}"),
+      ("ONEAR", s"${terms(0)} BEFORE/5 ${terms(1)}"),
       ("PREFIX", terms(0).take(2) + "*"),
       ("FREE", "zzznotaterm"))
     var nonEmpty = 0
