@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.DocsIndex
-import graft.pipeline.{Ann, AnnIndex, Curation, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Ann, AnnIndex, Curation, Dedup, Multimodal, Percolator, TextStats}
 import graft.search.ExactScorer
 
 /** Driver contract — SURVEY.md §2.7. Every implemented operator from
@@ -359,6 +359,9 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "PHRASE", "\"big order scan\"", 10)),
     "ft_near" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "NEAR", "merge NEAR/3 sort", 20)),
+    // ordered proximity: 'merge' strictly before 'sort', span <= 4
+    "ft_onear" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "ONEAR", "merge BEFORE/4 sort", 20)),
     "ft_prefix" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "PREFIX", "s*", 20)),
     "ft_scoped" -> ((s, dir) =>
@@ -421,6 +424,21 @@ object SparkEntry {
     // disjunction over the corpus minus the seed itself
     "ft_mlt" -> ((s, dir) =>
       DocsIndex.mltRankedHits(s, dir, 7L, 5, 15)),
+    // result collapsing: best hit per source, top-8 sources
+    "ft_collapse" -> ((s, dir) =>
+      DocsIndex.collapsedRankedHits(s, dir, "FREE", "fast merge sort table", 8)),
+    // percolation (reverse search): 5 stored queries across the kinds,
+    // matched against every document in one narrow pass
+    "percolate" -> ((s, dir) => {
+      val qs = Seq(
+        Percolator.compile("p1", "FREE", "fast merge"),
+        Percolator.compile("p2", "AND", "key AND value AND hash"),
+        Percolator.compile("p3", "PHRASE", "\"fast merge\""),
+        Percolator.compile("p4", "NEAR", "fast NEAR/3 sort"),
+        Percolator.compile("p5", "BOOL", "(fast OR slow) AND NOT window"))
+      Percolator.percolate(s, DocsIndex.documents(s, dir), qs)
+        .orderBy("query_id", "doc_id")
+    }),
     "ft_count" -> ((s, dir) => {
       val (_, searcher, _) = DocsIndex.get(s, dir)
       val and = searcher.matchCount("AND", "key AND value AND hash")
@@ -441,6 +459,10 @@ object SparkEntry {
       Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")),
+    // chunk-level exact duplication (Lee et al. exact-substring family):
+    // 4-word stride-4 chunks, dup = chunk in >= 2 distinct docs
+    "dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkDups(DocsIndex.documents(s, dir), 4, 0.2).orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => // no SQL twin: signature uses murmur3
       Dedup.simhashPairs(DocsIndex.documents(s, dir), 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
@@ -666,6 +688,35 @@ object SparkEntry {
     "ft_phrase" -> phraseSql(Seq("part", "filter"), 20),
     "ft_phrase3" -> phraseSql(Seq("big", "order", "scan"), 10),
     "ft_near" -> nearSql("merge", "sort", 3, 20),
+    // ordered variant: b strictly AFTER a, within the window
+    "ft_onear" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), oDocs AS (
+         |  SELECT DISTINCT a.doc_id FROM tokp a
+         |  JOIN tokp b ON b.doc_id = a.doc_id
+         |    AND b.pos > a.pos AND b.pos - a.pos <= 4
+         |  WHERE a.term = 'merge' AND b.term = 'sort'
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'sort')
+         |    AND tf.doc_id IN (SELECT doc_id FROM oDocs)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ft_prefix" -> prefixSql("s", 20),
     "ft_regex" ->
       s"""$tokCtes, sc AS (
@@ -1022,6 +1073,61 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // percolation: per stored query, the exact match set — presence for
+    // FREE/AND/BOOL, consecutive positions for PHRASE, |Δpos| ≤ w for
+    // the 2-term NEAR (minimal span over one pick per term)
+    "percolate" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |)
+         |SELECT doc_id, query_id FROM (
+         |  SELECT DISTINCT doc_id, 'p1' AS query_id FROM tf
+         |  WHERE term IN ('fast', 'merge')
+         |  UNION ALL
+         |  SELECT doc_id, 'p2' FROM tf WHERE term IN ('key', 'value', 'hash')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 3
+         |  UNION ALL
+         |  SELECT DISTINCT a0.doc_id, 'p3' FROM tokp a0
+         |  JOIN tokp a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos + 1
+         |  WHERE a0.term = 'fast' AND a1.term = 'merge'
+         |  UNION ALL
+         |  SELECT DISTINCT a.doc_id, 'p4' FROM tokp a
+         |  JOIN tokp b ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 3
+         |  WHERE a.term = 'fast' AND b.term = 'sort'
+         |  UNION ALL
+         |  SELECT doc_id, 'p5' FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM tf WHERE term IN ('fast', 'slow'))
+         |    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')
+         |) ORDER BY query_id, doc_id""".stripMargin,
+    // result collapse: per-source best doc by (rounded score desc,
+    // doc_id asc), then the top-8 sources by (score desc, source asc)
+    "ft_collapse" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |),
+         |per AS (
+         |  SELECT d.source, sc.doc_id, round(sc.score, 6) AS score,
+         |         row_number() OVER (PARTITION BY d.source
+         |           ORDER BY round(sc.score, 6) DESC, sc.doc_id) AS rn
+         |  FROM sc JOIN documents d USING (doc_id)
+         |)
+         |SELECT source, doc_id, score,
+         |       row_number() OVER (ORDER BY score DESC, source) AS rank
+         |FROM per WHERE rn = 1
+         |ORDER BY score DESC, source LIMIT 8""".stripMargin,
     // "did you mean": vocabulary within Levenshtein distance 2 of the
     // typo, ranked by document frequency — DuckDB's levenshtein() is the
     // same unit-cost metric as the engine's banded DP
@@ -1068,6 +1174,25 @@ object SparkEntry {
         |ORDER BY text_sha""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
     "dedup_minhash" -> jaccardSql, // LSH banding at J≈0.99 pairs: recall 1 − (1−J⁴)¹⁶ ≈ 1
+    "dedup_chunks" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, list_aggregate(ws[p:p+3], 'string_agg', ' ') AS chunk
+        |      FROM ws, unnest(range(1, len(ws) - 3 + 1, 4)) t(p) WHERE len(ws) >= 4),
+        |pd AS (SELECT chunk, doc_id, count(*)::BIGINT AS occ FROM c GROUP BY 1, 2),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS ndocs FROM pd),
+        |agg AS (SELECT doc_id, sum(occ)::BIGINT AS n_chunks,
+        |               sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END)::BIGINT AS n_dup_chunks
+        |        FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_chunks, 0)::BIGINT AS n_chunks,
+        |       coalesce(n_dup_chunks, 0)::BIGINT AS n_dup_chunks,
+        |       CASE WHEN coalesce(n_chunks, 0) > 0
+        |            THEN round(n_dup_chunks * 1.0 / n_chunks, 6) ELSE 0.0 END AS dup_frac,
+        |       (CASE WHEN coalesce(n_chunks, 0) > 0
+        |             THEN round(n_dup_chunks * 1.0 / n_chunks, 6) ELSE 0.0 END <= 0.2)
+        |         AS keep
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // transitive closure of the exact-Jaccard pair graph (recursive CTE)
     // — component = min reachable doc_id, the same canonical rule
     "dedup_clusters" ->

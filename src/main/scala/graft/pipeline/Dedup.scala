@@ -229,4 +229,52 @@ object Dedup {
     }.distinct()
     pairs.toDF("doc_a", "doc_b", "hamming")
   }
+
+  /** Chunk-level exact duplication (the scalable coarse form of exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" — their suffix-array exact-substring pass
+    * approximated by fixed-stride chunk hashing, the variant production
+    * pipelines run at corpus scale): split every doc into consecutive
+    * `w`-word chunks (stride w, trailing partial chunk dropped), call a
+    * chunk DUPLICATED when it occurs in ≥ 2 distinct docs, and score
+    * each doc by the fraction of its chunks (with multiplicity) that are
+    * duplicated. `keep` = dup_frac ≤ theta, compared on the ROUNDED
+    * value so cross-engine float noise cannot flip a row.
+    *
+    * Scale posture: chunking is a pure narrow column expression
+    * (whole-stage codegen, no UDF). Three key-aggregated shuffles: a
+    * (chunk, doc) hash agg with map-side partials, a chunk-partitioned
+    * window for the distinct-doc count (sort-based, spills past memory),
+    * and the final doc_id agg. Every stage is count-aggregated — no pair
+    * expansion, so a corpus-wide hot chunk costs one sorted partition of
+    * per-doc counters, not the quadratic blowup the shingle self-join
+    * has. */
+  def chunkDups(docs: DataFrame, w: Int = 8, theta: Double = 0.2): DataFrame = {
+    require(w > 0, s"chunk width must be positive, got $w")
+    val ws = split(col("text"), " ")
+    val chunks = when(size(ws) >= w,
+      transform(sequence(lit(1), size(ws) - lit(w - 1), lit(w)),
+        i => concat_ws(" ", slice(ws, i, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    val c = docs.select(col("doc_id"), explode(chunks).as("chunk"))
+    // one row per (chunk, doc) with multiplicity, then chunk-level ndocs
+    val perDoc = c.groupBy(col("chunk"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    val flagged = perDoc
+      .withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))))
+    val agg = flagged.groupBy(col("doc_id")).agg(
+      sum(col("occ")).as("n_chunks"),
+      sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L)).as("n_dup_chunks"))
+    val frac = when(col("n_chunks") > 0,
+      round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+      .otherwise(lit(0.0))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        frac.as("dup_frac"),
+        (frac <= theta).as("keep"))
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.QuerySet
+import graft.build.{BuildParams, SegmentBuilder}
+import graft.corpus.{DatasetCorpusSource, Synthesizer}
+import graft.pipeline.Percolator
+import graft.search.Searcher
+
+/** Percolation (reverse search): a stored query matches a document iff
+  * the document is in that query's INDEX match set. Proven by set
+  * equality against the oracle-verified Searcher walks over the entire
+  * committed query set, all kinds. */
+class PercolatorSpec extends SparkSpec {
+
+  lazy val seg = SegmentBuilder.build(spark,
+    DatasetCorpusSource(Synthesizer.tiny(spark)),
+    BuildParams(numPartitions = 4, bucketSize = 64, positional = true))._1
+  lazy val searcher = new Searcher(spark, seg)
+
+  /** (docId, content) of the indexed corpus — docIds via the docmap's
+    * natural key so percolation sees exactly the indexed rows. */
+  lazy val docsDf = {
+    val c = Synthesizer.tiny(spark).toDF()
+      .select(col("repo"), col("path"), col("content"))
+    seg.docs.join(c, Seq("repo", "path"))
+      .select(col("docId").as("doc_id"), col("content").as("text"))
+  }
+
+  test("percolate == index match set for every committed query") {
+    val qs = QuerySet.load()
+    val compiled = qs.map(q => Percolator.compile(q.qid.toString, q.kind, q.text))
+    val got: Map[String, Set[Long]] = Percolator
+      .percolate(spark, docsDf, compiled).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    qs.foreach { q =>
+      val want = searcher.hits(q.kind, q.text, 1000000).collect()
+        .map(_.docId).toSet
+      val g = got.getOrElse(q.qid.toString, Set.empty)
+      assert(g == want,
+        s"q${q.qid} ${q.kind} '${q.text}': percolate ${g.size} vs index ${want.size}")
+    }
+  }
+
+  test("pure-negative boolean percolates (the index path rejects it)") {
+    val c = Percolator.compile("neg", "BOOL", "NOT def")
+    val got = Percolator.percolate(spark, docsDf, Seq(c)).count()
+    val withDef = Percolator.percolate(spark, docsDf,
+      Seq(Percolator.compile("pos", "FREE", "def"))).count()
+    assert(got == docsDf.count() - withDef)
+  }
+
+  test("unsupported kind is rejected at compile time") {
+    intercept[IllegalArgumentException] {
+      Percolator.compile("x", "NOPE", "abc")
+    }
+  }
+}

@@ -159,6 +159,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunkDups == brute-force chunk duplication") {
+    val w = 4
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def chunksOf(t: String): Seq[String] =
+      t.split(" ").grouped(w).filter(_.length == w).map(_.mkString(" ")).toSeq
+    val all = rows.flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+    val ndocs = all.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val want = rows.map { case (id, t) =>
+      val cs = chunksOf(t)
+      val dup = cs.count(c => ndocs(c) >= 2)
+      val frac = if (cs.isEmpty) 0.0
+        else BigDecimal(dup.toDouble / cs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, cs.size.toLong, dup.toLong, frac, frac <= 0.2)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.chunkDups(docs, w, 0.2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == want)
+    // the planted exact dup pair (0, 200) must be fully duplicated
+    val full = got.filter(r => r._1 == 0L || r._1 == 200L)
+    assert(full.nonEmpty && full.forall(r => r._4 == 1.0 && !r._5))
+  }
+
   test("quality/langid/fingerprint are deterministic and sane") {
     val q = TextStats.quality(docs).collect()
     assert(q.forall(r => r.getDouble(r.fieldIndex("ttr")) <= 1.0))
