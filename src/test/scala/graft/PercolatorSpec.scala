@@ -57,4 +57,32 @@ class PercolatorSpec extends SparkSpec {
       Percolator.compile("x", "NOPE", "abc")
     }
   }
+
+  test("percolation runs INSIDE a streaming query (the alerting shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val compiled = Seq(
+      Percolator.compile("alert1", "AND", "def AND import"),
+      Percolator.compile("alert2", "BOOL", "match AND NOT import"))
+    val q = Percolator
+      .percolate(spark, mem.toDF().toDF("doc_id", "text"), compiled)
+      .writeStream.format("memory").queryName("perc").outputMode("append")
+      .start()
+    try {
+      val rows = Synthesizer.tiny(spark).collect().take(40)
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.content) }
+      mem.addData(rows.take(20)); q.processAllAvailable()
+      mem.addData(rows.drop(20)); q.processAllAvailable()
+      val got = spark.table("perc").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // batch twin over the same rows
+      val want = Percolator.percolate(spark,
+        rows.toSeq.toDF("doc_id", "text"), compiled).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
