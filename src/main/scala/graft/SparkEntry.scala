@@ -427,6 +427,15 @@ object SparkEntry {
     // result collapsing: best hit per source, top-8 sources
     "ft_collapse" -> ((s, dir) =>
       DocsIndex.collapsedRankedHits(s, dir, "FREE", "fast merge sort table", 8)),
+    // hybrid lexical+vector: BM25 top-30 for the text ∪ exact-cosine
+    // top-30 neighbors of doc 7's embedding, fused by RRF (C = 60)
+    "hybrid_rrf" -> ((s, dir) =>
+      DocsIndex.hybridRankedHits(s, dir, "FREE", "fast merge sort table",
+        7L, 30, 15)),
+    // re-rank window: BM25 top-50, re-ordered by BM25 + 0.1·ln(1+n_chars)
+    "ft_rescore" -> ((s, dir) =>
+      DocsIndex.rescoredRankedHits(s, dir, "FREE", "fast merge sort table",
+        50, 15, 0.1)),
     // percolation (reverse search): 5 stored queries across the kinds,
     // matched against every document in one narrow pass
     "percolate" -> ((s, dir) => {
@@ -1104,6 +1113,66 @@ object SparkEntry {
          |  WHERE doc_id IN (SELECT doc_id FROM tf WHERE term IN ('fast', 'slow'))
          |    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')
          |) ORDER BY query_id, doc_id""".stripMargin,
+    // hybrid RRF: both legs' rank CTEs mirror their standalone oracles
+    // (bm25 rank window; cosine rank window excluding the seed), fused
+    // by 1/(60+rank) with 0 for a missing list
+    "hybrid_rrf" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |),
+         |ftr AS (SELECT doc_id, rank AS ft_rank FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 30),
+         |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+         |cs AS (SELECT e.vec_id AS doc_id,
+         |              round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6) AS cos
+         |       FROM embeddings e, qv WHERE e.vec_id <> 7),
+         |anr AS (SELECT doc_id, rank AS ann_rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+         |  FROM cs) WHERE rank <= 30),
+         |fused AS (
+         |  SELECT coalesce(ftr.doc_id, anr.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / (60 + ft_rank), 0) +
+         |               coalesce(1.0 / (60 + ann_rank), 0), 6) AS rrf
+         |  FROM ftr FULL OUTER JOIN anr ON ftr.doc_id = anr.doc_id
+         |)
+         |SELECT doc_id, rrf,
+         |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    // re-rank window: the bm25 rank window (same CTE as the standalone
+    // oracles) re-ordered by the blended function score
+    "ft_rescore" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |),
+         |win AS (SELECT doc_id, round(score, 6) AS bm25 FROM (
+         |  SELECT doc_id, score, row_number() OVER (
+         |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 50)
+         |SELECT doc_id, bm25,
+         |       round(bm25 + 0.1 * ln(1.0 + n_chars), 6) AS blended,
+         |       row_number() OVER (
+         |         ORDER BY round(bm25 + 0.1 * ln(1.0 + n_chars), 6) DESC,
+         |                  doc_id) AS rank
+         |FROM win JOIN documents USING (doc_id)
+         |ORDER BY blended DESC, doc_id LIMIT 15""".stripMargin,
     // result collapse: per-source best doc by (rounded score desc,
     // doc_id asc), then the top-8 sources by (score desc, source asc)
     "ft_collapse" ->

@@ -325,6 +325,82 @@ object DocsIndex {
       .toDF("doc_id", "score", "rank")
   }
 
+  /** Hybrid lexical+vector search fused by Reciprocal Rank Fusion
+    * (Cormack et al. SIGIR'09): rrf(d) = Σ_lists 1/(C + rank_d) over the
+    * BM25 top-`kEach` for `text` and the exact-cosine top-`kEach`
+    * neighbors of `seedVecId`'s embedding; a doc absent from a list
+    * contributes 0 from it. Rank-based fusion needs NO score
+    * normalization (BM25 and cosine live on incomparable scales), which
+    * is why RRF is the production default for hybrid retrieval.
+    *
+    * Scale posture: each leg is its own already-scale-shaped operator
+    * (WAND walk; broadcast-query cosine pass — swap in AnnIndex for the
+    * LSH leg at corpus scale); the fusion joins two ≤kEach-row sides —
+    * driver-trivial, broadcast by size. C = 60, the paper's constant. */
+  def hybridRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                       text: String, seedVecId: Long, kEach: Int,
+                       k: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ft = rankedHits(spark, sfDir, kind, text, kEach)
+      .select(col("doc_id"), col("rank").as("ft_rank"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val seedVec = emb.filter(col("vec_id") === seedVecId).collect()
+      .headOption.map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no embedding $seedVecId"))
+    val ann = graft.pipeline.Ann
+      .bruteTopK(emb, Array((seedVecId, seedVec)), kEach)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("ann_rank"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(60) + col("ft_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("ann_rank")), lit(0.0)), 6)
+    ft.join(ann, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, s) => r += 1; (d, s, r) }
+      }
+      .toDF("doc_id", "rrf", "rank")
+  }
+
+  /** Re-rank window (the Lucene/Elasticsearch rescore pattern and the
+    * shape every learning-to-rank deployment uses): retrieve the BM25
+    * top-`window`, then re-order ONLY that window by a blended function
+    * score — here BM25 + `lengthWeight` · ln(1 + n_chars), a stand-in
+    * for any per-doc static signal (pagerank, recency, quality). The
+    * expensive corpus-scale walk stays pure BM25 (prunable by WAND);
+    * the function score touches ≤window rows — which is why production
+    * rescoring is windowed rather than folded into the base walk (an
+    * arbitrary signal has no per-list upper bound, so it would disable
+    * pruning). The ≤window side is broadcast into the docmap join. */
+  def rescoredRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                         text: String, window: Int, k: Int,
+                         lengthWeight: Double): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = rankedHits(spark, sfDir, kind, text, window)
+      .select(col("doc_id"), col("score"))
+    val signal = documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    broadcast(base).join(signal, Seq("doc_id"))
+      .select(col("doc_id"), col("score").as("bm25"),
+        round(col("score") +
+          lit(lengthWeight) * log(lit(1.0) + col("n_chars")), 6).as("blended"))
+      .orderBy(col("blended").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, b, s) => r += 1; (d, b, s, r) }
+      }
+      .toDF("doc_id", "bm25", "blended", "rank")
+  }
+
   private def rank(spark: SparkSession, sfDir: String,
                    hits: org.apache.spark.sql.Dataset[graft.model.Hit], k: Int): DataFrame = {
     val (seg, _, _) = get(spark, sfDir)
