@@ -376,6 +376,9 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "BOOL", "(\"fast merge\" OR slow) AND table", 20)),
     "ft_bool_near" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "(\"merge sort\"~3 OR slow) AND table", 20)),
+    // ordered-proximity atom: merge strictly before sort within 3
+    "ft_bool_onear" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "BOOL", "(\"merge sort\"~>3 OR slow) AND table", 20)),
     "ft_bool_prefix" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "(s* OR slow) AND table", 20)),
     "ft_bool_regex" -> ((s, dir) =>
@@ -937,6 +940,41 @@ object SparkEntry {
          |), boolmatch AS (
          |  SELECT doc_id FROM alldl
          |  WHERE (doc_id IN (SELECT doc_id FROM nearDocs)
+         |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |    AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'sort', 'slow', 'table')
+         |    AND tf.doc_id IN (SELECT doc_id FROM boolmatch)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // ordered-proximity atom: same shape as ft_bool_near, but b strictly
+    // AFTER a within the window
+    "ft_bool_onear" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), oDocs AS (
+         |  SELECT DISTINCT a.doc_id FROM tokp a
+         |  JOIN tokp b ON b.doc_id = a.doc_id
+         |    AND b.pos > a.pos AND b.pos - a.pos <= 3
+         |  WHERE a.term = 'merge' AND b.term = 'sort'
+         |), boolmatch AS (
+         |  SELECT doc_id FROM alldl
+         |  WHERE (doc_id IN (SELECT doc_id FROM oDocs)
          |         OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
          |    AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
          |), sc AS (

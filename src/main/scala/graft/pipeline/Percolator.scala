@@ -114,7 +114,8 @@ object Percolator {
     e match {
       case BoolQuery.Term(t) => pos.contains(t)
       case BoolQuery.Phrase(ts) => phraseAt(ts, pos)
-      case BoolQuery.Near(ts, w) => nearAt(ts, w, pos)
+      case BoolQuery.Near(ts, w) =>
+        if (w < 0) orderedAt(ts, -w, pos) else nearAt(ts, w, pos)
       case BoolQuery.Pattern(raw, isRegex) =>
         if (isRegex) {
           val re = java.util.regex.Pattern.compile(raw)

@@ -39,7 +39,10 @@ object BoolQuery {
   /** Proximity atom (`"merge sort"~3`): present iff one occurrence of
     * every DISTINCT term fits in a w-token window (the NEAR-kind
     * minimal-span predicate). Terms deduplicated at construction — a
-    * repeated term would trivially satisfy any window against itself. */
+    * repeated term would trivially satisfy any window against itself.
+    * A NEGATIVE w is the ORDERED variant (`"merge sort"~>3`, the ONEAR
+    * kind as a leaf): terms must appear in list order within −w, and
+    * repeated terms are rejected at parse. */
   final case class Near(ts: List[String], w: Int) extends Expr
   /** Dictionary-expansion atom: a trailing-wildcard prefix (`s*`) or an
     * anchored regex (`re:pat`). Present iff ANY vocabulary term matching
@@ -271,7 +274,7 @@ object BoolQuery {
 
   // `~3`, `~3^2`, `^2` suffix tokens after a closing quote; `body^2`
   // word-glued boosts; standalone `^2` after a group
-  private val SufRe = "(?:~(\\d+))?(?:\\^(\\d+(?:\\.\\d+)?))?".r
+  private val SufRe = "(?:~(>?)(\\d+))?(?:\\^(\\d+(?:\\.\\d+)?))?".r
   private val BoostRe = "(.*)\\^(\\d+(?:\\.\\d+)?)".r
   private val BoostTokRe = "\\^(?:\\d+(?:\\.\\d+)?)".r
 
@@ -331,17 +334,24 @@ object BoolQuery {
           // window and boost ride in ONE whitespace-glued token after the
           // closing quote
           var win = 0
+          var ordered = false
           var w = 1.0
           if (!eof) peek match {
-            case SufRe(winS, bS) =>
+            case SufRe(ordS, winS, bS) =>
               at += 1
-              if (winS != null) win = math.max(1, winS.toInt)
+              if (winS != null) { win = math.max(1, winS.toInt); ordered = ordS == ">" }
               if (bS != null) w = bS.toDouble
             case _ =>
           }
           val leaf = Tokenizer.tokenize(q.substring(1, q.length - 1)).toList match {
             case Nil => And(Nil) // an empty quote drops out, like a dropped word
             case t :: Nil => Term(t) // 1-token phrase/near ≡ the term
+            case ts if win > 0 && ordered =>
+              // ordered leaf keeps QUERY order; a repeated term cannot
+              // pick two positions through one cursor — reject like ONEAR
+              require(ts.distinct.length == ts.length,
+                s"ordered proximity atom requires distinct terms: $ts")
+              Near(ts, -win)
             case ts if win > 0 => ts.distinct match {
               case d :: Nil => Term(d) // one distinct term: window is vacuous
               case ds => Near(ds, win)

@@ -473,7 +473,8 @@ object Wand {
       }
       // positional slots extend the presence vector: window 0 = the
       // consecutive-position staircase (phrase), window w ≥ 1 = the
-      // minimal-span sweep over distinct-term positions (NEAR); a def
+      // minimal-span sweep over distinct-term positions (NEAR), window
+      // w ≤ −1 = the ordered sweep with window −w (BEFORE); a def
       // with a missing (-1) slot can never match
       var j = 0
       while (j < nPhrases) {
@@ -484,6 +485,7 @@ object Wand {
         while (ok && x < defn.length) { ok = defn(x) >= 0 && present(defn(x)); x += 1 }
         present(n + j) = ok && (
           if (win == 0) stairMatch(posArrs, defn)
+          else if (win < 0) orderedSpan(defn.map(posArrs)) <= -win
           else minSpan(defn.map(posArrs)) <= win)
         j += 1
       }

@@ -138,7 +138,9 @@ class BoolQuerySpec extends SparkSpec {
         Phrase(List.fill(2 + rnd.nextInt(2))(words(rnd.nextInt(words.length))))
       case 1 => // distinct terms: the parser deduplicates NEAR members
         val ts = rnd.shuffle(words.toList).take(2 + rnd.nextInt(2))
-        BoolQuery.Near(ts, 1 + rnd.nextInt(9))
+        val w = 1 + rnd.nextInt(9)
+        // negative w = the ordered (`~>`) variant
+        BoolQuery.Near(ts, if (rnd.nextBoolean()) w else -w)
       case 2 => // prefix atom: lowercase-alpha operand round-trips the tokenizer
         Pattern(words(rnd.nextInt(words.length)).take(2 + rnd.nextInt(3)),
           isRegex = false)
@@ -176,7 +178,8 @@ class BoolQuerySpec extends SparkSpec {
     def print(e: Expr): String = e match {
       case Term(t) => t
       case Phrase(ts) => "\"" + ts.mkString(" ") + "\""
-      case BoolQuery.Near(ts, w) => "\"" + ts.mkString(" ") + "\"~" + w
+      case BoolQuery.Near(ts, w) =>
+        "\"" + ts.mkString(" ") + "\"" + (if (w < 0) "~>" + -w else "~" + w)
       case Pattern(raw, isRegex) => if (isRegex) "re:" + raw else raw + "*"
       case And(cs) => cs.map(print).mkString("(", " AND ", ")")
       case Or(cs) => cs.map(print).mkString("(", " OR ", ")")

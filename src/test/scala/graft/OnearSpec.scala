@@ -100,6 +100,31 @@ class OnearSpec extends SparkSpec {
     assert(searcher.matchCount("ONEAR", q) == hitDocs.size)
   }
 
+  test("ordered atom in the boolean grammar == kind ONEAR, composes, serves") {
+    val (a, b) = pair
+    // pure ordered atom ≡ the ONEAR kind
+    val asKind = searcher.hits("ONEAR", s"$a BEFORE/5 $b", 10000).collect()
+      .map(h => (h.docId, h.score)).toSet
+    val asBool = searcher.hits("BOOL", s""""$a $b"~>5""", 10000).collect()
+      .map(h => (h.docId, h.score)).toSet
+    assert(asBool == asKind && asBool.nonEmpty)
+    // composed: ("a b"~>5 OR zzz) AND a — same docs here (zzz unknown)
+    val comp = searcher.hits("BOOL", s"""("$a $b"~>5 OR zzznotaterm) AND $a""", 10000)
+      .collect().map(_.docId).toSet
+    assert(comp == asKind.map(_._1))
+    // serving-tier parity on the composed form
+    val serving = new graft.search.ServingSearcher(spark, seg)
+    try {
+      val srv = serving.hits("BOOL", s"""("$a $b"~>5 OR zzznotaterm) AND $a""", 10000)
+        .map(_.docId).toSet
+      assert(srv == comp)
+    } finally serving.close()
+    // repeated terms rejected in the ordered atom
+    intercept[IllegalArgumentException] {
+      graft.search.BoolQuery.parse(s""""$a $a"~>3""")
+    }
+  }
+
   test("three-term ordered chain") {
     // find a doc with 3 distinct terms appearing in order within 10
     val trip = toksByDoc.values.flatMap { toks =>
