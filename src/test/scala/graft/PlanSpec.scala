@@ -87,6 +87,22 @@ class PlanSpec extends SparkSpec {
       s"query plan must not re-hash the corpus:\n$plan")
   }
 
+  test("collapse and rescore broadcast their bounded side, never the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    // collapse: the ≤kRepos collapsed rows are BuildLeft into the docmap
+    val cPlan = graft.api.DocsIndex
+      .collapsedRankedHits(spark, sf, "FREE", "fast merge", 5)
+      .queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin") && cPlan.contains("BuildLeft"),
+      s"collapsed side must broadcast:\n$cPlan")
+    // rescore: the ≤window BM25 rows are BuildLeft into the signal join
+    val rPlan = graft.api.DocsIndex
+      .rescoredRankedHits(spark, sf, "FREE", "fast merge", 50, 10, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(rPlan.contains("BroadcastHashJoin") && rPlan.contains("BuildLeft"),
+      s"rescore window must broadcast:\n$rPlan")
+  }
+
   test("TPC-H style join picks broadcast for the small dimension") {
     val sf = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_join_rev")(spark, sf)
