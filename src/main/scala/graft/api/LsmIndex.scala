@@ -34,7 +34,8 @@ import graft.search.MultiSearcher
   * upsert, which is idempotent by natural key).
   */
 final class LsmIndex(spark: SparkSession, val indexDir: String,
-                     params: BuildParams = BuildParams()) {
+                     params: BuildParams = BuildParams(),
+                     retainSnapshots: Int = 0) {
   import spark.implicits._
 
   // mutation counter: cache epoch + unique tombstone-bitset tags
@@ -147,6 +148,9 @@ final class LsmIndex(spark: SparkSession, val indexDir: String,
   def maintain(policy: Compaction.Policy = Compaction.Policy()): Seq[Long] = {
     val tomb = IndexStorage.readTombstones(spark, indexDir)
     if (!tomb.isEmpty) {
+      // a purge rewrites segment dirs IN PLACE — a snapshot barrier:
+      // older generations would read rewritten bytes, so they expire NOW
+      if (retainSnapshots > 0) Compaction.expireSnapshots(indexDir, 0)
       val tombCached = tomb.cache()
       tombCached.count()
       Compaction.listLive(indexDir).foreach { st =>
@@ -166,9 +170,54 @@ final class LsmIndex(spark: SparkSession, val indexDir: String,
       invalidate()
     }
     val out = Seq.newBuilder[Long]
-    var made = Compaction.run(spark, indexDir, policy)
-    while (made.nonEmpty) { out ++= made; made = Compaction.run(spark, indexDir, policy) }
+    var made = Compaction.run(spark, indexDir, policy,
+      retainInputs = retainSnapshots > 0)
+    while (made.nonEmpty) {
+      out ++= made
+      made = Compaction.run(spark, indexDir, policy,
+        retainInputs = retainSnapshots > 0)
+    }
+    if (retainSnapshots > 0) Compaction.expireSnapshots(indexDir, retainSnapshots)
     if (out.result().nonEmpty) invalidate()
     out.result()
   }
+
+  // ── snapshots (time travel) ──────────────────────────────────────────
+
+  /** Commit a snapshot of the CURRENT index state: the live segment set
+    * and the delete-log high-watermark. Readable via [[hitsAt]] until
+    * expired. Snapshots survive appends and compactions (merge inputs
+    * are retained on disk while referenced); `maintain()` with live
+    * tombstones purges segments in place and therefore expires all
+    * older generations first. Requires `retainSnapshots > 0`. */
+  def snapshot(): Long = {
+    require(retainSnapshots > 0,
+      "snapshots need retainSnapshots > 0 at LsmIndex construction")
+    Compaction.commitSnapshot(indexDir,
+      Compaction.listLive(indexDir).map(_.segId),
+      IndexStorage.tombstoneBatchCount(indexDir))
+  }
+
+  /** Committed snapshot generations, ascending. */
+  def generations(): Seq[Long] = Compaction.generations(indexDir)
+
+  /** Tombstone-aware top-k AS OF snapshot `gen`: exactly the segments
+    * and the delete-log prefix the generation pinned, with that state's
+    * own global statistics. */
+  def hitsAt(gen: Long, kind: String, text: String, k: Int,
+             qid: Long = 0L): Dataset[Hit] = {
+    val (ids, delK) = Compaction.readSnapshot(indexDir, gen)
+    val segs = ids.map(id =>
+      IndexStorage.read(spark, IndexStorage.segDir(indexDir, id).toString))
+    require(segs.nonEmpty, s"snapshot $gen references no segments")
+    val multi = new MultiSearcher(spark, segs)
+    val tomb = IndexStorage.readTombstonesUpTo(spark, indexDir, delK)
+    if (tomb.isEmpty) multi.hits(kind, text, k, qid)
+    else multi.deletedHits(kind, text, k, s"$indexDir@g$gen#$delK", tomb, qid)
+  }
+
+  /** Expire all but the newest `keepLast` snapshots and reclaim every
+    * segment directory no retained generation or the live set needs. */
+  def expireSnapshots(keepLast: Int = retainSnapshots): (Seq[Long], Seq[Long]) =
+    Compaction.expireSnapshots(indexDir, keepLast)
 }

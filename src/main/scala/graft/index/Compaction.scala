@@ -68,6 +68,73 @@ object Compaction {
     if (!Files.exists(manifestPath(indexDir))) None
     else Some(readIdArray(Files.readString(manifestPath(indexDir)), "live"))
 
+  // ── snapshot generations (time-travel reads; Lucene
+  // IndexDeletionPolicy / Iceberg snapshot family) ─────────────────────
+  // `segments-<gen>.json` is a CLOSED manifest: the exact live segId set
+  // plus the delete-log high-watermark (committed tombstone batches) at
+  // commit time. Snapshots survive appends (closed list) and compactions
+  // (merge inputs are retained while any snapshot may reference them —
+  // see `run(retainInputs)`); a purge (`LsmIndex.maintain` with live
+  // tombstones) rewrites segment dirs IN PLACE and is therefore a
+  // snapshot barrier — callers expire snapshots across it.
+
+  private def snapshotPath(indexDir: String, gen: Long): Path =
+    Paths.get(indexDir, f"segments-$gen%05d.json")
+
+  /** Committed snapshot generations, ascending. */
+  def generations(indexDir: String): Seq[Long] = {
+    val dir = Paths.get(indexDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("segments-\\d+\\.json") =>
+        n.stripPrefix("segments-").stripSuffix(".json").toLong }
+      .toSeq.sorted
+    finally listing.close()
+  }
+
+  /** Atomically commit a new snapshot generation; returns its gen id. */
+  def commitSnapshot(indexDir: String, live: Seq[Long],
+                     deleteBatches: Long): Long = {
+    val gen = generations(indexDir).foldLeft(0L)(math.max) + 1
+    atomicWrite(snapshotPath(indexDir, gen),
+      live.sorted.mkString("{\"live\":[", ",", "],") +
+        s""""deletes":$deleteBatches}""")
+    gen
+  }
+
+  /** A snapshot's (segIds, tombstone-batch high-watermark). */
+  def readSnapshot(indexDir: String, gen: Long): (Seq[Long], Long) = {
+    val p = snapshotPath(indexDir, gen)
+    require(Files.exists(p), s"no snapshot generation $gen under $indexDir")
+    val json = Files.readString(p)
+    val m = java.util.regex.Pattern.compile("\"deletes\":(\\d+)").matcher(json)
+    require(m.find(), s"missing deletes watermark in $json")
+    (readIdArray(json, "live"), m.group(1).toLong)
+  }
+
+  /** Expire all but the newest `keepLast` snapshots, then reclaim every
+    * committed segment directory at or below the current manifest's
+    * high-watermark that neither the current live set nor any retained
+    * snapshot references (segments ABOVE the high-watermark are open
+    * appends — never touched). Returns (expired gens, reclaimed segIds). */
+  def expireSnapshots(indexDir: String, keepLast: Int): (Seq[Long], Seq[Long]) = {
+    require(keepLast >= 0)
+    val gens = generations(indexDir)
+    val drop = gens.dropRight(keepLast)
+    drop.foreach(g => Files.deleteIfExists(snapshotPath(indexDir, g)))
+    val current = readManifest(indexDir).getOrElse(Seq.empty)
+    if (current.isEmpty) return (drop, Seq.empty)
+    val hwm = current.max
+    val refs = (generations(indexDir)
+      .flatMap(g => readSnapshot(indexDir, g)._1) ++ current).toSet
+    val reclaim = scanSegments(indexDir).map(_.segId)
+      .filter(id => id <= hwm && !refs(id))
+    reclaim.foreach(deleteSegDir(indexDir, _))
+    (drop, reclaim)
+  }
+
   /** The crashed-round intent, if one exists: (outputs, inputs). */
   def readInflight(indexDir: String): Option[(Seq[Long], Seq[Long])] =
     if (!Files.exists(inflightPath(indexDir))) None
@@ -132,7 +199,8 @@ object Compaction {
     * output FORWARD (delete its inputs) if the manifest references it,
     * BACK (delete the output) if not; then clear the intent. No-op
     * without an intent file. Returns (rolledForward, rolledBack). */
-  def repair(indexDir: String): (Seq[Long], Seq[Long]) =
+  def repair(indexDir: String,
+             retainInputs: Boolean = false): (Seq[Long], Seq[Long]) =
     readInflight(indexDir) match {
       case None => (Seq.empty, Seq.empty)
       case Some((outputs, inputs)) =>
@@ -140,7 +208,10 @@ object Compaction {
         val (fwd, back) = outputs.partition(manifestSet)
         // forward: the merged output is committed AND manifested — the
         // consumed inputs are garbage whether or not their dirs remain
-        if (fwd.nonEmpty) inputs.foreach(id => deleteSegDir(indexDir, id))
+        // (unless snapshots may still reference them: retainInputs —
+        // expireSnapshots reclaims later)
+        if (fwd.nonEmpty && !retainInputs)
+          inputs.foreach(id => deleteSegDir(indexDir, id))
         // back: the round never manifested — outputs (possibly
         // partially written) are garbage, inputs stay authoritative
         back.foreach(id => deleteSegDir(indexDir, id))
@@ -272,8 +343,9 @@ object Compaction {
     * concurrent streaming appends, which allocate the same way). Returns
     * the new segIds (empty = nothing to merge). */
   def run(spark: SparkSession, indexDir: String,
-          policy: Policy = Policy()): Seq[Long] = {
-    repair(indexDir)
+          policy: Policy = Policy(),
+          retainInputs: Boolean = false): Seq[Long] = {
+    repair(indexDir, retainInputs)
     val live = listLive(indexDir)
     val plans = plan(live, policy)
     if (plans.isEmpty) return Seq.empty
@@ -295,7 +367,9 @@ object Compaction {
     }
     writeManifest(indexDir,
       live.map(_.segId).filterNot(inputs.toSet) ++ outputs)
-    inputs.foreach(id => deleteSegDir(indexDir, id))
+    // snapshot retention: consumed inputs stay on disk while an older
+    // generation may reference them; expireSnapshots reclaims them
+    if (!retainInputs) inputs.foreach(id => deleteSegDir(indexDir, id))
     Files.deleteIfExists(inflightPath(indexDir))
     outputs
   }

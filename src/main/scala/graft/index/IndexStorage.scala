@@ -170,6 +170,24 @@ object IndexStorage {
       .select(col("docId")).distinct().as[Long]
   }
 
+  /** Committed tombstone-batch count — the delete-log high-watermark a
+    * snapshot generation pins (Compaction.commitSnapshot). */
+  def tombstoneBatchCount(indexDir: String): Long =
+    listTombstoneBatches(Paths.get(indexDir, "deletes")).size.toLong
+
+  /** Tombstones of the FIRST `firstK` committed batches only — the
+    * snapshot-pinned view of the delete log (batches commit in del-N
+    * order, so a prefix is exactly "deletes as of then"). */
+  def readTombstonesUpTo(spark: SparkSession, indexDir: String,
+                         firstK: Long): org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    val batches = listTombstoneBatches(Paths.get(indexDir, "deletes"))
+      .take(firstK.toInt)
+    if (batches.isEmpty) spark.emptyDataset[Long]
+    else spark.read.parquet(batches.map(_.toString): _*)
+      .select(col("docId")).distinct().as[Long]
+  }
+
   /** Drop tombstone batches a committed purge consumed. */
   def clearTombstones(indexDir: String): Unit =
     listTombstoneBatches(Paths.get(indexDir, "deletes")).foreach(deleteRec)
