@@ -56,14 +56,38 @@ final class LsmIndex(spark: SparkSession, val indexDir: String,
       r
     }
 
+  // ── result cache ─────────────────────────────────────────────────────
+  // Repeated identical queries are the norm on a serving index (hot
+  // queries, dashboard refreshes); materialized hit arrays are ≤k rows.
+  // The cache key carries the mutation epoch, so ANY append / delete /
+  // upsert / maintain invalidates every entry implicitly — a stale
+  // epoch's keys simply never match again. Bounded FIFO (CacheMax).
+  private val resultCache = new java.util.LinkedHashMap[
+      (Long, String, String, Int), Array[Hit]](64, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(Long, String, String, Int), Array[Hit]]): Boolean =
+      size() > LsmIndex.CacheMax
+  }
+
   /** Tombstone-aware top-k: live deletes are excluded inside the walks;
     * scores keep the pre-purge global statistics (the standard
-    * merge-on-read posture — `maintain()` rescores). */
+    * merge-on-read posture — `maintain()` rescores). Results are served
+    * from the epoch-keyed cache when the same (kind, text, k) repeats
+    * against an unmutated index. */
   def hits(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
-    val (_, multi) = reader()
-    val tomb = IndexStorage.readTombstones(spark, indexDir)
-    if (tomb.isEmpty) multi.hits(kind, text, k, qid)
-    else multi.deletedHits(kind, text, k, s"$indexDir#$epoch", tomb, qid)
+    val key = (epoch, kind, text, k)
+    val hitRows = resultCache.synchronized {
+      Option(resultCache.get(key))
+    }.getOrElse {
+      val (_, multi) = reader()
+      val tomb = IndexStorage.readTombstones(spark, indexDir)
+      val rows = (if (tomb.isEmpty) multi.hits(kind, text, k, qid)
+        else multi.deletedHits(kind, text, k, s"$indexDir#$epoch", tomb, qid))
+        .collect()
+      resultCache.synchronized { resultCache.put(key, rows) }
+      rows
+    }
+    spark.createDataset(hitRows.toSeq.map(h => h.copy(qid = qid)))
   }
 
   /** Fielded (`lang:x`-style) tombstone-aware top-k — the per-segment
@@ -220,4 +244,9 @@ final class LsmIndex(spark: SparkSession, val indexDir: String,
     * segment directory no retained generation or the live set needs. */
   def expireSnapshots(keepLast: Int = retainSnapshots): (Seq[Long], Seq[Long]) =
     Compaction.expireSnapshots(indexDir, keepLast)
+}
+
+object LsmIndex {
+  /** Result-cache capacity (entries are ≤k driver-side hit rows). */
+  final val CacheMax = 256
 }

@@ -151,4 +151,21 @@ class LsmIndexSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
     mono.unpersist()
   }
+
+  test("result cache serves repeats bit-identically and invalidates on mutation") {
+    import spark.implicits._
+    val (idx, _) = freshLsm()
+    val q = topTerms(idx, 2).mkString(" ")
+    val first = idx.hits("FREE", q, 20).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    // repeat: served from the epoch-keyed cache, bit-identical
+    val second = idx.hits("FREE", q, 20).collect()
+      .map(h => (h.rank, h.docId, h.score)).toSeq
+    assert(second == first && first.nonEmpty)
+    // mutation bumps the epoch: the next read reflects the delete
+    val victim = first.head._2
+    idx.delete(col("docId") === victim)
+    val third = idx.hits("FREE", q, 20).collect().map(_.docId).toSet
+    assert(!third.contains(victim))
+  }
 }
