@@ -137,6 +137,13 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     }
 
+    // ── one-time trigram substring index build, its own metric ──
+    val triBuildSec = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.prebuildTrigrams(spark, sfDir); secs(t0) }
+      catch { case _: Throwable => -1.0 }
+    }
+
     // ── one-time tombstone-purge compaction, its own metric too ──
     val purgeBuildSec = {
       val t0 = System.nanoTime()
@@ -161,7 +168,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"sf":"$sfDir","cpus":$cpus,""" +
       s""""build":${buildReport.json},"synth_build":${synthReport.json},""" +
-      s""""ann_build":$annBuildSec,"purge_build":$purgeBuildSec,""" +
+      s""""ann_build":$annBuildSec,"tri_build":$triBuildSec,""" +
+      s""""purge_build":$purgeBuildSec,""" +
       s""""compact_build":$compactBuildSec,""" +
       s""""query_p50_ms":$p50,"query_p95_ms":$p95,""" +
       s""""serving_qps":$servingQps,""" +

@@ -71,6 +71,26 @@ object SparkEntry {
     ivfIndex(s, dir)
   }
 
+  /** Persisted trigram substring index per sfDir (one build per JVM) —
+    * the query path reads the (tri, bucket)-sorted parquet artifact with
+    * the needle's trigrams pushed down, the way the term index works. */
+  private val triCache = scala.collection.concurrent.TrieMap.empty[String, graft.search.TrigramIndex]
+  private def triIndex(s: SparkSession, dir: String): graft.search.TrigramIndex =
+    triCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-tri").toString
+      graft.search.TrigramIndex.build(s, DocsIndex.documents(s, dir), out,
+        graft.search.TrigramIndex.Params(bucketSize = 1L << 12,
+          numPartitions = s.sparkContext.defaultParallelism))
+    })
+
+  /** Force the one-time trigram-index build NOW — Bench bills it as
+    * `tri_build`, so `ft_substr` times the candidate-intersection +
+    * verify query, not index construction. */
+  def prebuildTrigrams(s: SparkSession, dir: String): Unit = {
+    triIndex(s, dir)
+    ()
+  }
+
   /** Force the one-time tombstone-purge compaction NOW — same reasoning
     * as [[prebuildAnnIndexes]]: Bench bills it as `purge_build`, so
     * `ft_purged` times the query, not the compaction. */
@@ -305,6 +325,18 @@ object SparkEntry {
       |  FROM sc)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Exact 3-NN join over ALL vectors — the oracle for Ann.knnJoin. */
+  private val knnJoinSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |              round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      |       FROM e a JOIN e b ON b.vec_id <> a.vec_id)
+      |SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ─────────────────────────── queries ────────────────────────────────
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── fulltext engine over `documents` (SURVEY §2.1–§2.4) ──
@@ -406,6 +438,27 @@ object SparkEntry {
       s.createDataFrame(Seq(("bool_pm", b), ("phrase_fm", ph),
         ("near_ms3", nr))).toDF("q", "n_docs").orderBy("q")
     }),
+    // trigram substring ("grep") search: the needle crosses token
+    // boundaries mid-word — invisible to every word-aligned query kind
+    "ft_substr" -> ((s, dir) =>
+      triIndex(s, dir).grep(DocsIndex.documents(s, dir), "rge so")
+        .orderBy("doc_id")),
+    // regex grep with the Cox literal-alternation trigram prefilter:
+    // candidates = union of the two literals' intersection sets, then
+    // full-regex verification on candidates only
+    "ft_grep_regex" -> ((s, dir) =>
+      triIndex(s, dir).grepRegex(DocsIndex.documents(s, dir), "merge (sort|scan)")
+        .orderBy("doc_id")),
+    // synonym expansion as a query rewrite: merge≡join, fast≡quick;
+    // `fast AND merge` evaluates as (fast OR quick) AND (join OR merge)
+    // through the ordinary BOOL walk
+    "ft_synonym" -> ((s, dir) =>
+      DocsIndex.synonymRankedHits(s, dir, "AND", "fast AND merge", 20,
+        graft.search.Synonyms.parse(Seq("merge, join", "fast, quick")))),
+    // score explanation: per-(hit doc × term) BM25 breakdown of the
+    // ft_bm25_topk ranking's top 10
+    "ft_explain" -> ((s, dir) =>
+      DocsIndex.explain(s, dir, "FREE", "fast merge sort table", 10)),
     "ft_fielded" -> ((s, dir) =>
       DocsIndex.fieldedRankedHits(s, dir, "lang:fr fast merge sort", 20)),
     "ft_fielded_combo" -> ((s, dir) =>
@@ -519,6 +572,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // exact kNN JOIN (the kNN-graph step of semantic curation): every
+    // vector's 3 nearest neighbors via block-pair partial top-k heaps
+    "knn_join" -> ((s, dir) =>
+      Ann.knnJoin(embeddings(s, dir), 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
 
     // ── text analysis ──
     "text_quality" -> ((s, dir) =>
@@ -868,6 +927,55 @@ object SparkEntry {
          |FROM tokp t
          |WHERE t.term IN ('fast', 'merge') AND t.doc_id IN (SELECT doc_id FROM topd)
          |ORDER BY doc_id, term, pos""".stripMargin,
+    // substring grep: non-overlapping occurrence count = the
+    // replace-all count, the expression both engines evaluate literally
+    "ft_substr" ->
+      """SELECT doc_id,
+        |       ((length(text) - length(replace(text, 'rge so', ''))) / 6)::BIGINT
+        |         AS n_occur
+        |FROM documents WHERE contains(text, 'rge so')
+        |ORDER BY doc_id""".stripMargin,
+    // regex grep: leftmost non-overlapping match count, the rule both
+    // RE2 (DuckDB) and java.util.regex (Spark) implement for this
+    // metachar-free alternation
+    "ft_grep_regex" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, 'merge (sort|scan)'))::BIGINT
+        |         AS n_match
+        |FROM documents WHERE regexp_matches(text, 'merge (sort|scan)')
+        |ORDER BY doc_id""".stripMargin,
+    // synonym rewrite of `fast AND merge` with merge≡join, fast≡quick:
+    // presence-pivot over the expanded expression, BM25 over the present
+    // distinct terms (quick is out-of-vocabulary: pivot 0, no score rows)
+    "ft_synonym" -> boolSql(Seq("fast", "quick", "join", "merge"),
+      "(p_fast = 1 OR p_quick = 1) AND (p_join = 1 OR p_merge = 1)", 20),
+    // score explanation: per-(top-10 doc × matched term) BM25 breakdown
+    // of the ft_bm25_topk ranking
+    "ft_explain" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |), topd AS (
+         |  SELECT doc_id FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+         |)
+         |SELECT tf.doc_id, tf.term, tf.tf, dl,
+         |       round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6) AS idf,
+         |       round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS contrib
+         |FROM tf
+         |JOIN df USING (term)
+         |JOIN alldl USING (doc_id)
+         |CROSS JOIN stats
+         |WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  AND tf.doc_id IN (SELECT doc_id FROM topd)
+         |ORDER BY doc_id, term""".stripMargin,
     "ft_fielded" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,
@@ -1321,6 +1429,7 @@ object SparkEntry {
     // pairing dedup_minhash/dedup_jaccard use
     "dedup_embed_lsh" -> embedDupSql,
     "ann_topk" -> annTopkSql,
+    "knn_join" -> knnJoinSql,
     // exact at nProbe = nlist (every inverted list probed) — shares the
     // brute-force oracle, the same pairing dedup_embed_lsh uses
     "ann_ivf" -> annTopkSql,

@@ -169,6 +169,59 @@ object DocsIndex {
       .orderBy("doc_id", "term", "pos")
   }
 
+  /** Per-term BM25 score breakdown for the top-k docs of a query — the
+    * Lucene `explain` surface (why did this doc score what it scored).
+    * One row per (hit doc × matched query term) with the stored tf, the
+    * doc length, the term's idf, and the term's BM25 contribution; the
+    * doc's score is the sum of its contrib rows. The top-k doc set is
+    * selected by the SAME rounded ranking as rankedHits, so both engines
+    * pick identical docs; the tf decode touches only the query's termIds
+    * and the ≤k hit docs' buckets ([[Searcher.matchedTfs]] — pushdown +
+    * galloping cursor, never a full-list decode). */
+  def explain(spark: SparkSession, sfDir: String, kind: String,
+              text: String, k: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val top = rankedHits(spark, sfDir, kind, text, k)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val docRows = seg.docs
+      .select(col("docId"), col("path").cast("long").as("doc_id"), col("docLen"))
+      .filter(col("doc_id").isin(top.toSeq: _*)).collect()
+    val extById = docRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dlById = docRows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val terms = graft.search.QueryParser.termsFor(kind, text)
+    val entries = searcher.dictLookup(terms.distinct)
+    val termByTid = entries.map(e => e.termId -> e.term).toMap
+    val idfByTid = entries.map(e =>
+      e.termId -> graft.model.BM25.idf(seg.stats.numDocs, e.df)).toMap
+    val avgdl = seg.stats.avgDocLen
+    val bExt = spark.sparkContext.broadcast(extById)
+    val bDl = spark.sparkContext.broadcast(dlById)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.matchedTfs(entries, extById.keys.toArray)
+      .map { case (d, tid, tf) =>
+        val dl = bDl.value(d)
+        val idf = idfByTid(tid)
+        (bExt.value(d), termByTid(tid), tf.toLong, dl.toLong, idf,
+          graft.model.BM25.impact(idf, tf, dl, avgdl))
+      }
+      .toDF("doc_id", "term", "tf", "dl", "idf", "contrib")
+      .withColumn("idf", round(col("idf"), 6))
+      .withColumn("contrib", round(col("contrib"), 6))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Synonym-expanded search: rewrite the query against the equivalence
+    * classes ([[graft.search.Synonyms]]) and rank through the ordinary
+    * BOOL path — the index never changes, every tier inherits the
+    * expansion. */
+  def synonymRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                        text: String, k: Int,
+                        syn: Map[String, Seq[String]]): DataFrame = {
+    val (k2, t2) = graft.search.Synonyms.rewrite(kind, text, syn)
+    rankedHits(spark, sfDir, k2, t2, k)
+  }
+
   /** Deterministic tombstone fixture shared with the DuckDB twins: the
     * documents whose external `doc_id % 7 == 3` (≈14% of the corpus) are
     * deleted. Returns INTERNAL docIds via the docmap. */

@@ -72,6 +72,74 @@ object Ann {
     * codegen on private case classes. */
   final case class VecBlock(block: Int, ids: Array[Long], vecs: Array[Array[Float]])
 
+  /** Exact k-nearest-neighbor JOIN: for EVERY vector, its k nearest
+    * neighbors by cosine — the kNN-graph construction step semantic
+    * curation pipelines run over embedding tables (cluster-then-prune
+    * dedup, neighborhood quality filters). Same block-pair decomposition
+    * as [[nearDupPairs]], but each task keeps only a bounded per-vector
+    * top heap (k + slack by exact cosine), so the post-task exchange
+    * carries ≤ (k+slack) rows per (vector, block-pair) — never the
+    * quadratic pair set — and one windowed aggregation merges the
+    * ≤ numBlocks partial lists per vector. Quadratic in COMPUTE by
+    * definition (every pair is measured once); the LSH/IVF indexes are
+    * the approximate scale path, with this as their oracle twin.
+    *
+    * Output (query_id, neighbor_id, cos, rank), ranked by
+    * (round(cos,6) desc, neighbor_id) — the cross-engine-reproducible
+    * order; the slack keeps every 6-dp tie group intact across the
+    * local-heap cut. */
+  def knnJoin(embeddings: Dataset[(Long, Array[Float])], k: Int,
+              numBlocks: Int = 32): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val keep = k + 8
+    val blocks = embeddings
+      .groupByKey(t => (t._1 % numBlocks).toInt)
+      .mapGroups { (b, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        VecBlock(b, arr.map(_._1), arr.map(_._2))
+      }
+    val bp = spark.createDataset(
+      for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    // evict the WORST kept entry first: min cosine, then max neighbor id
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+    bp.join(blocks.toDF("bi", "lids", "lvecs"), "bi")
+      .join(blocks.toDF("bj", "rids", "rvecs"), "bj")
+      .as[(Int, Int, Array[Long], Array[Array[Float]], Array[Long], Array[Array[Float]])]
+      .flatMap { case (bi, bj, lids, lvecs, rids, rvecs) =>
+        val heaps = scala.collection.mutable.Map.empty[Long,
+          scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        def offer(q: Long, n: Long, c: Double): Unit = {
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst.reverse))
+          if (h.size < keep) h.enqueue((c, n))
+          else if (worstFirst.gt((c, n), h.head)) { h.dequeue(); h.enqueue((c, n)) }
+        }
+        var i = 0
+        while (i < lids.length) {
+          var j = if (bi == bj) i + 1 else 0
+          while (j < rids.length) {
+            val c = cosine(lvecs(i), rvecs(j))
+            offer(lids(i), rids(j), c)
+            offer(rids(j), lids(i), c)
+            j += 1
+          }
+          i += 1
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (c, n) => (q, n, c) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("cos", round($"cos", 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")
+  }
+
   /** Exact embedding near-duplicate pairs: cosine ≥ tau, doc_a < doc_b.
     * Quadratic by definition — this is the small-scale ORACLE twin of
     * `AnnIndex.nearDupPairs` (the bucketed scale path), mirroring the

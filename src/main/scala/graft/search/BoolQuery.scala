@@ -61,6 +61,26 @@ object BoolQuery {
   final case class Or(cs: List[Expr]) extends Expr
   final case class Not(c: Expr) extends Expr
 
+  /** Print an expression back to query text, fully parenthesized —
+    * unambiguous under any precedence, so `parse(render(e)) == e` for
+    * every parser-normal shape (≥2 children per And/Or, ≥2 phrase
+    * tokens; the 500-case fuzz suite pins the round-trip). Used by
+    * query REWRITES (synonym expansion) that build an AST and hand it
+    * to any tier's ordinary BOOL entry point. */
+  def render(e: Expr): String = e match {
+    case Term(t) => t
+    case Phrase(ts) => "\"" + ts.mkString(" ") + "\""
+    case Near(ts, w) =>
+      "\"" + ts.mkString(" ") + "\"" + (if (w < 0) "~>" + -w else "~" + w)
+    case Pattern(raw, isRegex) => if (isRegex) "re:" + raw else raw + "*"
+    case And(cs) => cs.map(render).mkString("(", " AND ", ")")
+    case Or(cs) => cs.map(render).mkString("(", " OR ", ")")
+    case Not(c) => "NOT " + render(c)
+    case Boost(c, w) =>
+      val ws = if (w == w.toLong.toDouble) w.toLong.toString else w.toString
+      render(c) + "^" + ws
+  }
+
   /** True when the text needs the nested grammar: parentheses, a NOT,
     * both flat connectives mixed in one query, or a quoted phrase
     * combined with anything else (a text that IS one quoted phrase never

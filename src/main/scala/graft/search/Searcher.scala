@@ -743,6 +743,45 @@ final class Searcher(spark: SparkSession, segment: Segment,
       }
   }
 
+  /** Matched term frequencies for scoring explanations: for each
+    * (docId in `docIds`) × (query term in `entries`), the stored tf —
+    * the same pushdown + galloping-cursor shape as [[matchedPositions]]
+    * (only the query's termIds and the ≤k hit docs' buckets are read,
+    * never a full-list decode), but works on positional and
+    * non-positional segments alike (tf rides the v1 stream).
+    *
+    * Returns (docId, termId, tf) rows. */
+  def matchedTfs(entries: Array[DictEntry], docIds: Array[Long])
+      : Dataset[(Long, Long, Int)] = {
+    if (entries.isEmpty || docIds.isEmpty)
+      return spark.emptyDataset[(Long, Long, Int)]
+    val bs = segment.params.bucketSize
+    val positional = segment.params.positional
+    val byBucket: Map[Int, Array[Long]] =
+      docIds.groupBy(d => (d / bs).toInt).map { case (b, ds) => b -> ds.sorted }
+    val bcast = spark.sparkContext.broadcast(byBucket)
+    val tids = entries.map(_.termId)
+    val buckets = byBucket.keys.toSeq
+    segment.postings
+      .filter($"termId".isin(tids.toSeq: _*) && $"bucket".isin(buckets: _*))
+      .as[PostingList]
+      .flatMap { pl =>
+        val targets = bcast.value.getOrElse(pl.bucket, Array.empty[Long])
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        val c = new graft.codec.PostingCodec.Cursor(
+          pl.numDocs, pl.lastDocIds, pl.maxImpacts, pl.offsets, pl.bytes,
+          positional = positional)
+        var i = 0
+        while (i < targets.length && !c.exhausted) {
+          c.nextGeq(targets(i))
+          if (!c.exhausted && c.docId == targets(i))
+            out += ((targets(i), pl.termId, c.tf))
+          i += 1
+        }
+        out
+      }
+  }
+
   /** Top-k hits WITH their matched positions — the snippet/highlight
     * surface every code-search UI needs. Uses the same expansion rules
     * as [[hits]] for the given kind. */

@@ -174,20 +174,10 @@ class BoolQuerySpec extends SparkSpec {
         case _ => maybeBoost(leaf())
       }
     // print with full parenthesization — unambiguous regardless of the
-    // precedence rules, so parse(print(e)) must reproduce e exactly
-    def print(e: Expr): String = e match {
-      case Term(t) => t
-      case Phrase(ts) => "\"" + ts.mkString(" ") + "\""
-      case BoolQuery.Near(ts, w) =>
-        "\"" + ts.mkString(" ") + "\"" + (if (w < 0) "~>" + -w else "~" + w)
-      case Pattern(raw, isRegex) => if (isRegex) "re:" + raw else raw + "*"
-      case And(cs) => cs.map(print).mkString("(", " AND ", ")")
-      case Or(cs) => cs.map(print).mkString("(", " OR ", ")")
-      case Not(c) => "NOT " + print(c)
-      case Boost(c, w) =>
-        val ws = if (w == w.toLong.toDouble) w.toLong.toString else w.toString
-        print(c) + "^" + ws
-    }
+    // precedence rules, so parse(print(e)) must reproduce e exactly.
+    // BoolQuery.render IS that printer (promoted to main for the synonym
+    // rewrite); fuzzing through it pins the public round-trip contract.
+    def print(e: Expr): String = BoolQuery.render(e)
     // normalize: the parser collapses 1-element And/Or and 1-token
     // quotes — generate only shapes it preserves (done above: ≥2
     // children, ≥2 phrase tokens), so equality is exact
