@@ -188,11 +188,15 @@ object DocsIndex {
       .filter(col("doc_id").isin(top.toSeq: _*)).collect()
     val extById = docRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dlById = docRows.map(r => r.getLong(0) -> r.getInt(2)).toMap
-    val terms = graft.search.QueryParser.termsFor(kind, text)
-    val entries = searcher.dictLookup(terms.distinct)
+    val entries = searcher.entriesFor(kind, text)
     val termByTid = entries.map(e => e.termId -> e.term).toMap
+    // query-time term boosts scale the explained contribution exactly as
+    // they scale the walk's score (pattern-LEAF weights inside BOOL apply
+    // per expansion and are reported at 1.0 here — the one explain gap)
+    val boosts = graft.search.QueryParser.boosts(kind, text)
     val idfByTid = entries.map(e =>
-      e.termId -> graft.model.BM25.idf(seg.stats.numDocs, e.df)).toMap
+      e.termId -> (graft.model.BM25.idf(seg.stats.numDocs, e.df) *
+        boosts.getOrElse(e.term, 1.0))).toMap
     val avgdl = seg.stats.avgDocLen
     val bExt = spark.sparkContext.broadcast(extById)
     val bDl = spark.sparkContext.broadcast(dlById)

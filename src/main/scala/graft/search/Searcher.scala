@@ -743,6 +743,24 @@ final class Searcher(spark: SparkSession, segment: Segment,
       }
   }
 
+  /** The dictionary entries a query's kind actually matches against —
+    * the kind's own expansion rules: PREFIX/REGEX expand against the
+    * vocabulary, BOOL takes its fixed terms ∪ pattern-leaf expansions
+    * (a hit matched via `s*` must explain/highlight the expanded term),
+    * everything else is a plain lookup. Shared by the highlight and
+    * explain surfaces so neither under-reports expansion kinds. */
+  def entriesFor(kind: String, text: String): Array[DictEntry] = {
+    val terms = QueryParser.termsFor(kind, text)
+    kind match {
+      case "PREFIX" => dictLookupPrefix(terms.head)
+      case "REGEX" => dictLookupRegex(terms.head)
+      case "BOOL" =>
+        boolPlan(BoolQuery.parse(text)).map(_.entries)
+          .getOrElse(Array.empty[DictEntry])
+      case _ => dictLookup(terms.distinct)
+    }
+  }
+
   /** Matched term frequencies for scoring explanations: for each
     * (docId in `docIds`) × (query term in `entries`), the stored tf —
     * the same pushdown + galloping-cursor shape as [[matchedPositions]]
@@ -786,16 +804,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * surface every code-search UI needs. Uses the same expansion rules
     * as [[hits]] for the given kind. */
   def highlight(kind: String, text: String, k: Int): DataFrame = {
-    val terms = QueryParser.termsFor(kind, text)
-    val entries = kind match {
-      case "PREFIX" => dictLookupPrefix(terms.head)
-      case "REGEX" => dictLookupRegex(terms.head)
-      case "BOOL" => // fixed terms ∪ pattern-leaf expansions — a hit
-        // matched via `s*` must highlight the expanded term's positions
-        boolPlan(BoolQuery.parse(text)).map(_.entries)
-          .getOrElse(Array.empty[DictEntry])
-      case _ => dictLookup(terms.distinct)
-    }
+    val entries = entriesFor(kind, text)
     val hitDocs = hits(kind, text, k).collect().map(_.docId)
     // entries are already driver-side: map termId → term in a narrow
     // projection instead of a dict join

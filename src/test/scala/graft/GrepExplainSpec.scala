@@ -174,6 +174,23 @@ class GrepExplainSpec extends SparkSpec {
     }
   }
 
+  test("explain covers expansion kinds and boosted queries") {
+    // PREFIX: the expanded vocabulary terms appear in the breakdown
+    val pr = DocsIndex.explain(spark, sf, "PREFIX", "s*", 5).collect()
+    assert(pr.nonEmpty)
+    assert(pr.forall(_.getString(1).startsWith("s")), pr.map(_.getString(1)).toSeq)
+    assert(pr.map(_.getString(1)).distinct.length > 1) // >1 expanded term
+    // boosted FREE: Σcontrib still reproduces the boosted hit score
+    val q = "fast^2 merge sort^0.5"
+    val hits = DocsIndex.rankedHits(spark, sf, "FREE", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = DocsIndex.explain(spark, sf, "FREE", q, 10).collect()
+    assert(rows.map(_.getLong(0)).toSet == hits.keySet)
+    rows.groupBy(_.getLong(0)).foreach { case (d, rs) =>
+      assert(math.abs(rs.map(_.getDouble(5)).sum - hits(d)) < 5e-6, s"doc $d")
+    }
+  }
+
   // ── kNN join ─────────────────────────────────────────────────────
   test("knnJoin equals bruteTopK run with every vector as a query") {
     import spark.implicits._
