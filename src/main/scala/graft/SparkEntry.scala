@@ -61,14 +61,24 @@ object SparkEntry {
         graft.pipeline.IvfIndex.Params(nlist = 16, iters = 10, dim = 64))
     })
 
+  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, graft.pipeline.PqIndex]
+  private def pqIndex(s: SparkSession, dir: String): graft.pipeline.PqIndex =
+    pqCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      graft.pipeline.PqIndex.build(s, embeddings(s, dir), out,
+        graft.pipeline.PqIndex.Params(m = 8, ksub = 64, iters = 10, dim = 64))
+    })
+
   /** Force the one-time ANN index builds NOW — Bench calls this before
     * the timed query loop so index construction is billed as its own
-    * `ann_build` metric, not smeared into `ann_lsh`/`ann_ivf`/
+    * `ann_build` metric, not smeared into `ann_lsh`/`ann_ivf`/`ann_pq`/
     * `dedup_embed_lsh` query times. */
   def prebuildAnnIndexes(s: SparkSession, dir: String): Unit = {
     annIndex(s, dir, "topk")
     annIndex(s, dir, "neardup")
     ivfIndex(s, dir)
+    pqIndex(s, dir)
+    ()
   }
 
   /** Persisted trigram substring index per sfDir (one build per JVM) —
@@ -569,6 +579,15 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       val qs = embeddings(s, dir).filter(_._1 < 5).collect().sortBy(_._1)
       ivfIndex(s, dir).topK(qs, 10, nProbe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    // product-quantization ADC scan (no SQL twin: approximate by design
+    // — quantization error; ADC identity, determinism, and recall vs
+    // the exact brute force are pinned in PqSpec)
+    "ann_pq" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(_._1 < 5).collect().sortBy(_._1)
+      pqIndex(s, dir).topK(qs, 10)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
