@@ -448,6 +448,25 @@ object SparkEntry {
       s.createDataFrame(Seq(("bool_pm", b), ("phrase_fm", ph),
         ("near_ms3", nr))).toDF("q", "n_docs").orderBy("q")
     }),
+    // sparse tf-idf document vectors (top-5 terms per doc) — the
+    // feature-export surface a training pipeline reads; a full-corpus
+    // decode by definition (it IS the export job), one window shuffle
+    "ft_docvec" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      val n = seg.stats.numDocs
+      import org.apache.spark.sql.expressions.Window
+      ExactScorer.decodedPostings(s, seg).toDF("termId", "docId", "tf")
+        .join(seg.dict.select(col("termId"), col("term"), col("df")), "termId")
+        .join(DocsIndex.withDocId(seg), "docId")
+        .withColumn("tfidf", round(col("tf") *
+          expr(s"ln(1.0 + ($n - df + 0.5) / (df + 0.5))"), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("term").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
     // trigram substring ("grep") search: the needle crosses token
     // boundaries mid-word — invisible to every word-aligned query kind
     "ft_substr" -> ((s, dir) =>
@@ -632,6 +651,11 @@ object SparkEntry {
     "seq_pack" -> ((s, dir) =>
       Curation.packSequences(s, DocsIndex.documents(s, dir), 128)
         .orderBy("seq_id", "doc_id")),
+    // GloVe-style co-occurrence table: ordered in-doc pairs within a
+    // 2-token window, corpus-wide counts, floor 5
+    "cooc_pairs" -> ((s, dir) =>
+      Curation.cooccurrence(s, DocsIndex.documents(s, dir), 2, 5L)
+        .orderBy("term_a", "term_b")),
 
     // ── multimodal plumbing (decode stubbed; see Multimodal scaladoc) ──
     "mm_features" -> ((s, dir) => {
@@ -946,6 +970,21 @@ object SparkEntry {
          |FROM tokp t
          |WHERE t.term IN ('fast', 'merge') AND t.doc_id IN (SELECT doc_id FROM topd)
          |ORDER BY doc_id, term, pos""".stripMargin,
+    // sparse tf-idf doc vectors: same idf form the engine pins (BM25
+    // Robertson–Spärck-Jones smoothed), ranked on the ROUNDED value
+    // with a term tie-break so both engines pick identical rows
+    "ft_docvec" ->
+      s"""$tokCtes, v AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round(tf * ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats
+         |)
+         |SELECT doc_id, term, tfidf, rank FROM (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM v)
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     // substring grep: non-overlapping occurrence count = the
     // replace-all count, the expression both engines evaluate literally
     "ft_substr" ->
@@ -1580,6 +1619,23 @@ object SparkEntry {
         |       (least(dl, (seq_id + 1) * 128 - off) -
         |        greatest(0, seq_id * 128 - off))::BIGINT AS n_toks
         |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
+    // ordered in-doc pairs at distance 1..2 over the filtered token
+    // stream (positions = row_number over the split stream, the same
+    // coordinate space the positional index stores)
+    "cooc_pairs" ->
+      """WITH w2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), rawtok AS (
+        |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+        |), tokp AS (
+        |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+        |  FROM rawtok WHERE length(term) >= 2
+        |)
+        |SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n
+        |FROM tokp a JOIN tokp b
+        |  ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY term_a, term_b""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |       sha256(text) AS sha

@@ -213,4 +213,33 @@ object Curation {
     }
     out.toDF("seq_id", "doc_id", "tok_start", "n_toks")
   }
+  /** Term co-occurrence counts over a sliding window — the GloVe-style
+    * statistics table (Pennington et al., EMNLP 2014) an embedding
+    * trainer consumes: for every ORDERED in-document pair of tokens at
+    * distance 1..window (positions over the filtered token stream),
+    * how often the pair occurs corpus-wide.
+    *
+    * Scale posture: pair generation is one NARROW flatMap over documents
+    * (a doc's text is one row — the P7 fusion argument), followed by ONE
+    * (term_a, term_b) hash aggregation, partial+final. The pair key
+    * space is vocabulary², not corpus-sized, so the shuffle carries
+    * combiner output; a `minCount` floor keeps the result table the
+    * shape trainers actually load. */
+  def cooccurrence(spark: SparkSession, docs: DataFrame, window: Int,
+                   minCount: Long = 1L): DataFrame = {
+    import spark.implicits._
+    require(window >= 1, s"window must be >= 1, got $window")
+    docs.select(col("text")).as[String]
+      .flatMap { text =>
+        val ts = graft.tokenize.Tokenizer.tokenize(text)
+        for {
+          i <- ts.indices.iterator
+          j <- (i + 1) until math.min(i + window + 1, ts.length)
+        } yield (ts(i), ts(j))
+      }
+      .toDF("term_a", "term_b")
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

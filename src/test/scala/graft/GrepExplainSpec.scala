@@ -191,6 +191,26 @@ class GrepExplainSpec extends SparkSpec {
     }
   }
 
+  // ── co-occurrence ────────────────────────────────────────────────
+  test("cooccurrence equals a brute-force sliding-window pair count") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "aa bb aa bb cc"), (1L, "bb aa aa"), (2L, "x yy zz"),
+      (3L, ""))).toDF("doc_id", "text")
+    val got = graft.pipeline.Curation.cooccurrence(spark, docs, 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.collect().foreach { r =>
+      val ts = graft.tokenize.Tokenizer.tokenize(r.getString(1))
+      for {
+        i <- ts.indices
+        j <- (i + 1) until math.min(i + 3, ts.length)
+      } want((ts(i), ts(j))) = want.getOrElse((ts(i), ts(j)), 0L) + 1L
+    }
+    assert(got == want.toMap, s"got=$got want=$want")
+    // window bound respected: 'aa cc' is at distance 3 in doc 0
+    assert(!got.contains(("aa", "cc")) || want.contains(("aa", "cc")))
+  }
+
   // ── kNN join ─────────────────────────────────────────────────────
   test("knnJoin equals bruteTopK run with every vector as a query") {
     import spark.implicits._
