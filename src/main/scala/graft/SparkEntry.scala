@@ -406,6 +406,10 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "ONEAR", "merge BEFORE/4 sort", 20)),
     "ft_prefix" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "PREFIX", "s*", 20)),
+    // fuzzy term query (Lucene FuzzyQuery): edit-distance dictionary
+    // expansion — sow~1 matches docs with 'row' or 'slow'
+    "ft_fuzzy" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "FUZZY", "sow~1", 20)),
     "ft_scoped" -> ((s, dir) =>
       DocsIndex.scopedRankedHits(s, dir, "FREE", "fast merge sort", 10, "src7")),
     "ft_regex" -> ((s, dir) =>
@@ -832,6 +836,23 @@ object SparkEntry {
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ft_prefix" -> prefixSql("s", 20),
+    // fuzzy twin: DuckDB's levenshtein IS the engine's pinned edit
+    // metric (the ft_suggest pairing), OR-scored over the expansion
+    "ft_fuzzy" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE levenshtein(tf.term, 'sow') <= 1
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ft_regex" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

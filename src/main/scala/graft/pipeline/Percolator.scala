@@ -159,6 +159,13 @@ object Percolator {
       val re = java.util.regex.Pattern.compile(raw)
       Compiled(qid, kind, pos => pos.keysIterator.exists(t => re.matcher(t).matches()),
         Array.empty, Array.empty)
+    case "FUZZY" =>
+      val w = graft.search.QueryParser.termsFor(kind, text).head
+      val d = graft.search.QueryParser.fuzzyDist(text)
+      Compiled(qid, kind, pos => pos.keysIterator.exists(t =>
+        math.abs(t.length - w.length) <= d &&
+          graft.search.Searcher.editDistance(t, w, d) <= d),
+        Array.empty, Array.empty)
     case "BOOL" =>
       // NOTE: pure-negative boolean queries — rejected by the index walk
       // (corpus-sized complement) — are fine here: percolation evaluates

@@ -83,6 +83,8 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     val perSeg: Seq[Array[DictEntry]] = kind match {
       case "PREFIX" => searchers.map(_.dictLookupPrefix(terms.head))
       case "REGEX" => searchers.map(_.dictLookupRegex(terms.head))
+      case "FUZZY" => searchers.map(
+        _.dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text)))
       case _ => searchers.map(_.dictLookup(distinctTerms))
     }
     // global df per term string

@@ -23,6 +23,7 @@ object QueryParser {
 
   private val NearRe = "\\s+NEAR/(\\d+)\\s+".r
   private val BeforeRe = "\\s+BEFORE/(\\d+)\\s+".r
+  private val FuzzyRe = "[^\\s\"~]+~[0-2]".r
 
   def parse(text: String): (String, Array[String]) = {
     val t = text.trim
@@ -36,6 +37,8 @@ object QueryParser {
       ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
       ("PREFIX", termsFor("PREFIX", t))
+    else if (FuzzyRe.matches(t)) // one bare word + ~d (Lucene FuzzyQuery)
+      ("FUZZY", termsFor("FUZZY", t))
     else if (BoolQuery.isNested(t))
       // parens or mixed AND/OR: the nested grammar (precedence: AND binds
       // tighter than OR). Malformed nesting (unbalanced parens pasted
@@ -69,6 +72,15 @@ object QueryParser {
   /** Default NEAR window when kind "NEAR" is forced on text that has no
     * `NEAR/w` connective (e.g. a Query fixture) — adjacent-token span. */
   final val DefaultNearWindow = 1
+
+  /** Edit-distance bound of a FUZZY query (`sow~1`): the trailing `~d`
+    * digit, clamped to [0, 2] (the Lucene FuzzyQuery cap — wider bounds
+    * expand to most of the vocabulary and stop meaning "typo").
+    * Defaults to 1 when kind "FUZZY" is forced on suffix-free text. */
+  def fuzzyDist(text: String): Int = {
+    val m = "~([0-9])\\s*$".r.findFirstMatchIn(text.trim)
+    m.map(x => math.min(2, x.group(1).toInt)).getOrElse(1)
+  }
 
   /** Window of a NEAR query: the max w over `NEAR/w` connectives (flat
     * grammar — one window governs the whole term set). Falls back to
@@ -148,6 +160,12 @@ object QueryParser {
       val pieces = Tokenizer.tokenizeUnfiltered(text.trim.stripSuffix("*"))
       Array(if (pieces.isEmpty) "" else pieces.last)
     case "REGEX" => Array(text.trim.stripPrefix("re:").trim)
+    case "FUZZY" =>
+      // same normalization rule as PREFIX: dictionary terms are
+      // post-split lowercase pieces, so the operand must be one too
+      val body = text.trim.replaceAll("~[0-9]\\s*$", "")
+      val pieces = Tokenizer.tokenizeUnfiltered(body)
+      Array(if (pieces.isEmpty) "" else pieces.last)
     case "BOOL" => BoolQuery.terms(BoolQuery.parse(text))
     case _ => Tokenizer.queryTerms(text)
   }
@@ -213,6 +231,24 @@ final class Searcher(spark: SparkSession, segment: Segment,
       case Some(m) => m.valuesIterator.filter(e => re.matcher(e.term).matches()).toArray
       case None => segment.dict.filter($"term".rlike("^(?:" + pattern + ")$")).collect()
     }).sortBy(_.termId).take(maxExpansion)
+  }
+
+  /** Fuzzy expansion (Lucene FuzzyQuery): every vocabulary term within
+    * `maxDist` Levenshtein edits of `word`, capped DETERMINISTICALLY at
+    * `maxExpansion` in termId order like prefix/regex expansion. A
+    * dictionary-sized scan with a length-band prefilter before any DP
+    * runs — the vocabulary is the small artifact by design. */
+  def dictLookupFuzzy(word: String, maxDist: Int,
+                      maxExpansion: Int = 1024): Array[DictEntry] = {
+    val w = word.trim.toLowerCase
+    if (w.isEmpty) return Array.empty
+    val band = (e: DictEntry) => math.abs(e.term.length - w.length) <= maxDist
+    (dictCache match {
+      case Some(m) => m.valuesIterator.filter(band).toArray
+      case None => segment.dict
+        .filter(abs(length($"term") - lit(w.length)) <= maxDist).collect()
+    }).filter(e => Searcher.editDistance(e.term, w, maxDist) <= maxDist)
+      .sortBy(_.termId).take(maxExpansion)
   }
 
   /** "Did you mean": vocabulary terms within `maxDist` Levenshtein edit
@@ -398,6 +434,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
       case "REGEX" => dictLookupRegex(terms.head)
+      case "FUZZY" => dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text))
       case _ => dictLookup(terms.distinct)
     }
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
@@ -754,6 +791,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
       case "REGEX" => dictLookupRegex(terms.head)
+      case "FUZZY" => dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text))
       case "BOOL" =>
         boolPlan(BoolQuery.parse(text)).map(_.entries)
           .getOrElse(Array.empty[DictEntry])
@@ -853,6 +891,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     val entries = kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
       case "REGEX" => dictLookupRegex(terms.head)
+      case "FUZZY" => dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text))
       case _ => dictLookup(terms.distinct)
     }
     val needAll = kind == "AND"

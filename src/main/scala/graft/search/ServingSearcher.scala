@@ -139,7 +139,9 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       : Array[Hit] = {
     val terms = QueryParser.termsFor(kind, text)
     val entries =
-      if (kind == "BOOL") boolEntries(text) else entriesFor(kind, terms)
+      if (kind == "BOOL") boolEntries(text)
+      else if (kind == "FUZZY") fuzzyEntries(terms.head, QueryParser.fuzzyDist(text))
+      else entriesFor(kind, terms)
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
       kind == "ONEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
@@ -162,6 +164,18 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       if (p.isRegex) entriesFor("REGEX", Array(p.raw))
       else entriesFor("PREFIX", Array(p.raw)))
     (fixed ++ expanded).distinctBy(_.termId).sortBy(_.termId)
+  }
+
+  /** Fuzzy expansion over the resident dictionary — same band +
+    * banded-DP + deterministic termId-order cap as
+    * Searcher.dictLookupFuzzy. */
+  private[search] def fuzzyEntries(word: String, maxDist: Int): Array[DictEntry] = {
+    val w = word.trim.toLowerCase
+    if (w.isEmpty) Array.empty
+    else dictCache.valuesIterator
+      .filter(e => math.abs(e.term.length - w.length) <= maxDist &&
+        Searcher.editDistance(e.term, w, maxDist) <= maxDist)
+      .toArray.sortBy(_.termId).take(1024)
   }
 
   /** Dictionary resolution for a query's terms under this segment's own
@@ -354,6 +368,8 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
     val distinctTerms = terms.distinct
     val perSeg =
       if (kind == "BOOL") servers.map(_.boolEntries(text))
+      else if (kind == "FUZZY") servers.map(
+        _.fuzzyEntries(terms.head, QueryParser.fuzzyDist(text)))
       else servers.map(_.entriesFor(kind, terms))
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }

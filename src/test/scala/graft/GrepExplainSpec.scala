@@ -191,6 +191,30 @@ class GrepExplainSpec extends SparkSpec {
     }
   }
 
+  // ── fuzzy ────────────────────────────────────────────────────────
+  test("FUZZY parses, expands by edit distance, and ranks as the OR") {
+    import graft.search.QueryParser
+    assert(QueryParser.parse("sow~1")._1 == "FUZZY")
+    assert(QueryParser.fuzzyDist("sow~1") == 1)
+    assert(QueryParser.fuzzyDist("sow~2") == 2)
+    assert(QueryParser.fuzzyDist("sow") == 1) // forced-kind default
+    assert(QueryParser.termsFor("FUZZY", "Sow~1").toSeq == Seq("sow"))
+    // quoted proximity is NOT fuzzy
+    assert(QueryParser.parse("\"merge sort\"~3")._1 != "FUZZY")
+    val (_, searcher, _) = DocsIndex.get(spark, sf)
+    val exp = searcher.dictLookupFuzzy("sow", 1).map(_.term).toSeq
+    assert(exp == Seq("row", "slow").sortBy(t =>
+      searcher.dictLookup(Array(t)).head.termId), exp)
+    val fz = searcher.hits("FUZZY", "sow~1", 20).collect()
+      .map(h => (h.docId, h.score)).toSeq.sortBy(_._1)
+    val or = searcher.hits("OR", "row OR slow", 20).collect()
+      .map(h => (h.docId, h.score)).toSeq.sortBy(_._1)
+    assert(fz == or) // bit-identical to the expanded disjunction
+    assert(fz.nonEmpty)
+    // zero-expansion queries are empty, not an error
+    assert(searcher.hits("FUZZY", "qqqqqqq~1", 20).collect().isEmpty)
+  }
+
   // ── co-occurrence ────────────────────────────────────────────────
   test("cooccurrence equals a brute-force sliding-window pair count") {
     val docs = spark.createDataFrame(Seq(
