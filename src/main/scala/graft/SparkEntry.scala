@@ -463,7 +463,7 @@ object SparkEntry {
         .join(seg.dict.select(col("termId"), col("term"), col("df")), "termId")
         .join(DocsIndex.withDocId(seg), "docId")
         .withColumn("tfidf", round(col("tf") *
-          expr(s"ln(1.0 + ($n - df + 0.5) / (df + 0.5))"), 6))
+          expr(graft.model.BM25.idfSql(n.toString, "df")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(col("tfidf").desc, col("term").asc)).cast("long"))

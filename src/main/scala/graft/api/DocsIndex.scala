@@ -157,8 +157,10 @@ object DocsIndex {
       .select(col("docId"), col("path").cast("long").as("doc_id"))
       .filter(col("doc_id").isin(top.toSeq: _*))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val terms = graft.search.QueryParser.termsFor(kind, text)
-    val entries = searcher.dictLookup(terms.distinct)
+    // the kind's own expansion rules (FUZZY/PREFIX/REGEX/BOOL-pattern
+    // hits must highlight the EXPANDED terms' positions, not the raw
+    // operand — which for an expansion kind is not even a vocab term)
+    val entries = searcher.entriesFor(kind, text)
     val termByTid = entries.map(e => e.termId -> e.term).toMap
     val spark2 = spark
     import spark2.implicits._

@@ -162,10 +162,15 @@ object Percolator {
     case "FUZZY" =>
       val w = graft.search.QueryParser.termsFor(kind, text).head
       val d = graft.search.QueryParser.fuzzyDist(text)
-      Compiled(qid, kind, pos => pos.keysIterator.exists(t =>
-        math.abs(t.length - w.length) <= d &&
-          graft.search.Searcher.editDistance(t, w, d) <= d),
-        Array.empty, Array.empty)
+      // empty operand matches NOTHING — the same reading as the index
+      // tiers' empty expansion (editDistance("", t) <= d would otherwise
+      // fire on every short-term document)
+      val p: Map[String, Array[Int]] => Boolean =
+        if (w.isEmpty) _ => false
+        else pos => pos.keysIterator.exists(t =>
+          math.abs(t.length - w.length) <= d &&
+            graft.search.Searcher.editDistance(t, w, d) <= d)
+      Compiled(qid, kind, p, Array.empty, Array.empty)
     case "BOOL" =>
       // NOTE: pure-negative boolean queries — rejected by the index walk
       // (corpus-sized complement) — are fine here: percolation evaluates

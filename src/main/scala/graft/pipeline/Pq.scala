@@ -254,32 +254,52 @@ final class PqIndex(spark: SparkSession, dir: String,
   }
 
   /** Approximate top-k neighbors per query via one ADC scan of the code
-    * table: per-partition bounded heaps, global TakeOrdered merge.
-    * Output (query_id, neighbor_id, cos, rank) — cos is the cosine of
-    * the RECONSTRUCTED neighbor (1 − d²/2), ranked by (round(cos,6)
-    * desc, neighbor_id), the cross-engine-reproducible order the exact
-    * paths use. */
+    * table: per-partition BOUNDED heaps (k + slack per query, by exact
+    * reconstruction cosine — the Ann.knnJoin discipline), so only
+    * ≤ (k+slack) rows per (query, partition) leave the scan; a final
+    * windowed rank merges the partial lists. Output
+    * (query_id, neighbor_id, cos, rank) — cos is the cosine of the
+    * RECONSTRUCTED neighbor (1 − d²/2), ranked by (round(cos,6) desc,
+    * neighbor_id), the cross-engine-reproducible order the exact paths
+    * use; the slack keeps 6-dp tie groups intact across the heap cut. */
   def topK(queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
     require(queries.nonEmpty)
     val p = params
+    val keep = k + 8
     val luts = queries.map { case (qid, qemb) => (qid, lutFor(qemb, codebooks, p)) }
     val bc = spark.sparkContext.broadcast(luts)
-    codes.flatMap { row =>
+    // heap ordering: the WORST kept entry (lowest cos, then highest
+    // neighbor id) dequeues first
+    val heapOrd: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    codes.mapPartitions { it =>
       val ls = bc.value
-      val out = new Array[(Long, Long, Double)](ls.length)
-      var qi = 0
-      while (qi < ls.length) {
-        val (qid, lut) = ls(qi)
-        var d = 0.0
-        var s = 0
-        while (s < lut.length) { d += lut(s)(row.code(s) & 0xff); s += 1 }
-        out(qi) = (qid, row.vec_id, 1.0 - d / 2.0)
-        qi += 1
+      val heaps = Array.fill(ls.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapOrd))
+      it.foreach { row =>
+        var qi = 0
+        while (qi < ls.length) {
+          val (qid, lut) = ls(qi)
+          if (row.vec_id != qid) {
+            var d = 0.0
+            var s = 0
+            while (s < lut.length) { d += lut(s)(row.code(s) & 0xff); s += 1 }
+            val c = 1.0 - d / 2.0
+            val h = heaps(qi)
+            if (h.size < keep) h.enqueue((c, row.vec_id))
+            else if (heapOrd.lt((c, row.vec_id), h.head)) {
+              // less-than under heapOrd = strictly better than the worst
+              h.dequeue(); h.enqueue((c, row.vec_id))
+            }
+          }
+          qi += 1
+        }
       }
-      out.iterator
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, n) => (ls(qi)._1, n, c) }
+      }
     }
       .toDF("query_id", "neighbor_id", "cos")
-      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(col("cos"), 6))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

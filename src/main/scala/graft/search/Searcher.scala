@@ -23,7 +23,9 @@ object QueryParser {
 
   private val NearRe = "\\s+NEAR/(\\d+)\\s+".r
   private val BeforeRe = "\\s+BEFORE/(\\d+)\\s+".r
-  private val FuzzyRe = "[^\\s\"~]+~[0-2]".r
+  // any single digit: fuzzyDist clamps to 2, so `word~3` still parses
+  // FUZZY (at the cap) instead of silently degrading to free text
+  private val FuzzyRe = "[^\\s\"~]+~[0-9]".r
 
   def parse(text: String): (String, Array[String]) = {
     val t = text.trim
@@ -214,7 +216,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * order — at corpus scale an unbounded wildcard could expand to
     * millions of lists. The dict is term-sorted, so the uncached scan is
     * a contiguous range (parquet min/max prunes it). */
-  def dictLookupPrefix(prefix: String, maxExpansion: Int = 1024): Array[DictEntry] =
+  def dictLookupPrefix(prefix: String, maxExpansion: Int = Searcher.MaxExpansion): Array[DictEntry] =
     if (prefix.isEmpty) Array.empty // `*` alone must not expand the whole dict
     else (dictCache match {
       case Some(m) => m.valuesIterator.filter(_.term.startsWith(prefix)).toArray
@@ -225,7 +227,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * as prefix. Unlike prefix there is no contiguous dict range — the
     * uncached path is a full dictionary scan (dictionary-sized, not
     * corpus-sized: the vocabulary is the small artifact by design). */
-  def dictLookupRegex(pattern: String, maxExpansion: Int = 1024): Array[DictEntry] = {
+  def dictLookupRegex(pattern: String, maxExpansion: Int = Searcher.MaxExpansion): Array[DictEntry] = {
     val re = java.util.regex.Pattern.compile(pattern)
     (dictCache match {
       case Some(m) => m.valuesIterator.filter(e => re.matcher(e.term).matches()).toArray
@@ -239,16 +241,16 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * dictionary-sized scan with a length-band prefilter before any DP
     * runs — the vocabulary is the small artifact by design. */
   def dictLookupFuzzy(word: String, maxDist: Int,
-                      maxExpansion: Int = 1024): Array[DictEntry] = {
+                      maxExpansion: Int = Searcher.MaxExpansion): Array[DictEntry] = {
     val w = word.trim.toLowerCase
     if (w.isEmpty) return Array.empty
-    val band = (e: DictEntry) => math.abs(e.term.length - w.length) <= maxDist
-    (dictCache match {
-      case Some(m) => m.valuesIterator.filter(band).toArray
+    val vocab = dictCache match {
+      case Some(m) => m.valuesIterator
       case None => segment.dict
-        .filter(abs(length($"term") - lit(w.length)) <= maxDist).collect()
-    }).filter(e => Searcher.editDistance(e.term, w, maxDist) <= maxDist)
-      .sortBy(_.termId).take(maxExpansion)
+        .filter(abs(length($"term") - lit(w.length)) <= maxDist)
+        .collect().iterator
+    }
+    Searcher.fuzzyExpand(vocab, w, maxDist, maxExpansion)
   }
 
   /** "Did you mean": vocabulary terms within `maxDist` Levenshtein edit
@@ -431,12 +433,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     if (kind == "BOOL")
       return boolHits(text, k, qid, lo, hi, acceptB, rejectB, after)
     val terms = QueryParser.termsFor(kind, text)
-    val entries = kind match {
-      case "PREFIX" => dictLookupPrefix(terms.head)
-      case "REGEX" => dictLookupRegex(terms.head)
-      case "FUZZY" => dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text))
-      case _ => dictLookup(terms.distinct)
-    }
+    val entries = entriesFor(kind, text) // ONE expansion dispatch, every caller
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
       kind == "ONEAR"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
@@ -888,12 +885,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
         .toDF("docId", "score").select($"docId"))
     }
     val terms = QueryParser.termsFor(kind, text)
-    val entries = kind match {
-      case "PREFIX" => dictLookupPrefix(terms.head)
-      case "REGEX" => dictLookupRegex(terms.head)
-      case "FUZZY" => dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text))
-      case _ => dictLookup(terms.distinct)
-    }
+    val entries = entriesFor(kind, text) // ONE expansion dispatch, every caller
     val needAll = kind == "AND"
     if (entries.isEmpty || (needAll && entries.length < terms.distinct.length))
       return None
@@ -1049,6 +1041,24 @@ final class Searcher(spark: SparkSession, segment: Segment,
 }
 
 object Searcher {
+  /** Deterministic dictionary-expansion cap shared by every expansion
+    * kind (prefix/regex/fuzzy) and every tier — ONE constant, so the
+    * serving tier's bit-parity with the relational tier cannot drift
+    * through a tuned copy. */
+  final val MaxExpansion = 1024
+
+  /** Fuzzy expansion core shared by the relational and serving tiers:
+    * length band → banded Levenshtein DP → deterministic termId-order
+    * cap. Empty operand expands to nothing. */
+  def fuzzyExpand(vocab: Iterator[DictEntry], word: String, maxDist: Int,
+                  cap: Int = MaxExpansion): Array[DictEntry] = {
+    val w = word.trim.toLowerCase
+    if (w.isEmpty) Array.empty
+    else vocab.filter(e => math.abs(e.term.length - w.length) <= maxDist &&
+        editDistance(e.term, w, maxDist) <= maxDist)
+      .toArray.sortBy(_.termId).take(cap)
+  }
+
   /** Collapse keeps a sorted repo-boundary Long array resident on the
     * driver and executors (8 B/repo) — 1M repos = 8 MB, the same
     * residency regime as [[Searcher.DictCacheLimit]]. */

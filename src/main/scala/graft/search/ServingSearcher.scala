@@ -166,17 +166,11 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     (fixed ++ expanded).distinctBy(_.termId).sortBy(_.termId)
   }
 
-  /** Fuzzy expansion over the resident dictionary — same band +
-    * banded-DP + deterministic termId-order cap as
-    * Searcher.dictLookupFuzzy. */
-  private[search] def fuzzyEntries(word: String, maxDist: Int): Array[DictEntry] = {
-    val w = word.trim.toLowerCase
-    if (w.isEmpty) Array.empty
-    else dictCache.valuesIterator
-      .filter(e => math.abs(e.term.length - w.length) <= maxDist &&
-        Searcher.editDistance(e.term, w, maxDist) <= maxDist)
-      .toArray.sortBy(_.termId).take(1024)
-  }
+  /** Fuzzy expansion over the resident dictionary — the SAME shared
+    * core (band + banded DP + deterministic cap) as the relational
+    * tier, so bit-parity cannot drift through a second copy. */
+  private[search] def fuzzyEntries(word: String, maxDist: Int): Array[DictEntry] =
+    Searcher.fuzzyExpand(dictCache.valuesIterator, word, maxDist)
 
   /** Dictionary resolution for a query's terms under this segment's own
     * vocabulary — shared with the multi-segment tier, which re-derives
@@ -186,11 +180,11 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       case "PREFIX" =>
         if (terms.head.isEmpty) Array.empty[DictEntry] // `*` alone: no expansion
         else dictCache.valuesIterator.filter(_.term.startsWith(terms.head))
-          .toArray.sortBy(_.termId).take(1024)
+          .toArray.sortBy(_.termId).take(Searcher.MaxExpansion)
       case "REGEX" =>
         val re = java.util.regex.Pattern.compile(terms.head)
         dictCache.valuesIterator.filter(e => re.matcher(e.term).matches())
-          .toArray.sortBy(_.termId).take(1024)
+          .toArray.sortBy(_.termId).take(Searcher.MaxExpansion)
       case _ => terms.distinct.flatMap(dictCache.get).sortBy(_.termId)
     }
 

@@ -198,6 +198,10 @@ class GrepExplainSpec extends SparkSpec {
     assert(QueryParser.fuzzyDist("sow~1") == 1)
     assert(QueryParser.fuzzyDist("sow~2") == 2)
     assert(QueryParser.fuzzyDist("sow") == 1) // forced-kind default
+    // out-of-range distance still parses FUZZY, clamped to the cap —
+    // never a silent degrade to an exact free-text search
+    assert(QueryParser.parse("sow~3")._1 == "FUZZY")
+    assert(QueryParser.fuzzyDist("sow~3") == 2)
     assert(QueryParser.termsFor("FUZZY", "Sow~1").toSeq == Seq("sow"))
     // quoted proximity is NOT fuzzy
     assert(QueryParser.parse("\"merge sort\"~3")._1 != "FUZZY")
@@ -219,7 +223,7 @@ class GrepExplainSpec extends SparkSpec {
   test("cooccurrence equals a brute-force sliding-window pair count") {
     val docs = spark.createDataFrame(Seq(
       (0L, "aa bb aa bb cc"), (1L, "bb aa aa"), (2L, "x yy zz"),
-      (3L, ""))).toDF("doc_id", "text")
+      (3L, ""), (4L, "pp qq rr ss"))).toDF("doc_id", "text")
     val got = graft.pipeline.Curation.cooccurrence(spark, docs, 2).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val want = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -231,8 +235,11 @@ class GrepExplainSpec extends SparkSpec {
       } want((ts(i), ts(j))) = want.getOrElse((ts(i), ts(j)), 0L) + 1L
     }
     assert(got == want.toMap, s"got=$got want=$want")
-    // window bound respected: 'aa cc' is at distance 3 in doc 0
-    assert(!got.contains(("aa", "cc")) || want.contains(("aa", "cc")))
+    // window bound respected, asserted directly: in doc 4 the only
+    // pp→ss occurrence is at distance 3 (beyond window 2), while
+    // pp→rr at distance 2 is in
+    assert(!got.contains(("pp", "ss")))
+    assert(got(("pp", "rr")) == 1L)
   }
 
   // ── kNN join ─────────────────────────────────────────────────────
