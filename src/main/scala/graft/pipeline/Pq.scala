@@ -142,7 +142,14 @@ object PqIndex {
     * codebooks(s)(j) is centroid j of subspace s. */
   def train(sample: Array[Array[Float]], p: Params): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "PQ training sample is empty")
-    val xs = sample.map(normalize)
+    trainRaw(sample.map(normalize), p)
+  }
+
+  /** Codebooks over raw (already-prepared) vectors — the residual-PQ
+    * entry point ([[IvfPqIndex]] trains on q − centroid residuals, which
+    * must NOT be re-normalized). */
+  def trainRaw(xs: Array[Array[Double]], p: Params): Array[Array[Array[Double]]] = {
+    require(xs.nonEmpty, "PQ training sample is empty")
     val rng = new java.util.SplittableRandom(p.seed)
     Array.tabulate(p.m) { s =>
       val sub = xs.map(_.slice(s * p.dsub, (s + 1) * p.dsub))
@@ -153,8 +160,12 @@ object PqIndex {
   /** Encode one vector: per subspace, the nearest codebook centroid id
     * (squared L2, ties → lowest id). */
   def encode(emb: Array[Float], books: Array[Array[Array[Double]]],
-             p: Params): Array[Byte] = {
-    val v = normalize(emb)
+             p: Params): Array[Byte] =
+    encodeRaw(normalize(emb), books, p)
+
+  /** Encode a raw vector (no normalization) — residuals go through here. */
+  def encodeRaw(v: Array[Double], books: Array[Array[Array[Double]]],
+                p: Params): Array[Byte] = {
     val code = new Array[Byte](p.m)
     var s = 0
     while (s < p.m) {
@@ -190,8 +201,13 @@ object PqIndex {
     * ADC distance of a code = Σ_s lut(s)(code(s)) — exactly
     * ‖q − decode(code)‖² (per-subspace squares partition the sum). */
   def lutFor(qemb: Array[Float], books: Array[Array[Array[Double]]],
-             p: Params): Array[Array[Double]] = {
-    val q = normalize(qemb)
+             p: Params): Array[Array[Double]] =
+    lutForRaw(normalize(qemb), books, p)
+
+  /** LUT over a raw vector (no normalization) — the residual-query entry
+    * point: ‖(q − c_list) − r̂‖² partitions per subspace the same way. */
+  def lutForRaw(q: Array[Double], books: Array[Array[Array[Double]]],
+                p: Params): Array[Array[Double]] = {
     Array.tabulate(p.m) { s =>
       val book = books(s)
       Array.tabulate(book.length)(j => sub2(q, s * p.dsub, book(j)))
