@@ -519,6 +519,14 @@ object SparkEntry {
       val rows = searcher.suggest("mrege", 5, maxDist = 2)
       s.createDataFrame(rows.toSeq).toDF("term", "df")
     }),
+    // autocomplete: top-5 completions of prefix "s" by (df desc, term) —
+    // the typeahead surface; 6 vocabulary terms start with "s", so the
+    // k-cut is genuinely exercised
+    "ft_complete" -> ((s, dir) => {
+      val (_, searcher, _) = DocsIndex.get(s, dir)
+      val rows = searcher.complete("s", 5)
+      s.createDataFrame(rows.toSeq).toDF("term", "df")
+    }),
     // more-like-this: top-5 informative terms of doc 7, BM25-ranked
     // disjunction over the corpus minus the seed itself
     "ft_mlt" -> ((s, dir) =>
@@ -670,6 +678,11 @@ object SparkEntry {
     "rep_quality" -> ((s, dir) =>
       Curation.repetitionStats(DocsIndex.documents(s, dir), 2, 0.2)
         .orderBy("doc_id")),
+    // model-based quality filter (linear classifier apply): the inline
+    // hash-weight instance — codegen columns, zero shuffles; proven
+    // row-identical to the broadcast-weight-map path in CurationSpec
+    "quality_model" -> ((s, dir) =>
+      Curation.hashedQuality(DocsIndex.documents(s, dir)).orderBy("doc_id")),
     "strat_sample" -> ((s, dir) =>
       Curation.stratifiedSample(DocsIndex.documents(s, dir),
         Seq("en" -> 50, "de" -> 100, "fr" -> 25), 10).orderBy("doc_id")),
@@ -1451,6 +1464,13 @@ object SparkEntry {
          |SELECT term, df FROM df
          |WHERE levenshtein(term, 'mrege') <= 2
          |ORDER BY df DESC, term LIMIT 5""".stripMargin,
+    // autocomplete: prefix completions ranked by popularity (df desc,
+    // term asc) — the deterministic typeahead contract
+    "ft_complete" ->
+      s"""$tokCtes
+         |SELECT term, df FROM df
+         |WHERE term LIKE 's%'
+         |ORDER BY df DESC, term LIMIT 5""".stripMargin,
     // total-match counts ("about N results"): presence semantics only —
     // AND = all terms present, FREE = any, absent term = 0
     "ft_count" ->
@@ -1639,6 +1659,28 @@ object SparkEntry {
         |             THEN round(dup_occ * 1.0 / n_grams, 6) ELSE 0.0 END <= 0.2) AS keep
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // model-based quality filter: per-token md5 hash weights on a 2^-10
+    // grid (token sums EXACT ⇒ order-independent), mean-pooled; the
+    // rounding tie rule is spelled out (floor(x·1e6+0.5)/1e6) because a
+    // mean can land exactly on a 6-dp half where round() tie rules
+    // differ across engines; keep compares on the rounded score
+    "quality_model" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), t2 AS (
+        |  SELECT doc_id, term,
+        |         (('0x' || substr(md5(term), 1, 6))::BIGINT % 2001 - 1000) / 1024.0 AS wt
+        |  FROM tok WHERE length(term) >= 2
+        |), s AS (
+        |  SELECT doc_id, sum(wt) AS swt, count(*)::BIGINT AS dl
+        |  FROM t2 GROUP BY 1
+        |), q AS (
+        |  SELECT d.doc_id,
+        |         floor((CASE WHEN coalesce(dl, 0) = 0 THEN 0.0 ELSE swt / dl END) * 1e6 + 0.5) / 1e6 AS quality
+        |  FROM documents d LEFT JOIN s USING (doc_id)
+        |)
+        |SELECT doc_id, quality, (quality > 0.0) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
     "strat_sample" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,

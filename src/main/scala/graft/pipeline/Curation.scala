@@ -242,4 +242,79 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** Model-based quality scoring — the linear-classifier filter of the
+    * GPT-3/CCNet lineage (Brown et al. 2020 §A; fastText's mean-pooled
+    * linear layer, Joulin et al. 2017): score = bias + mean over the
+    * doc's tokens of a per-term weight, keep = rounded score > 0.
+    *
+    * Scale posture: the weight table is vocabulary-sized (MBs for a
+    * 1M-term vocab — the small artifact by design) → BROADCAST; scoring
+    * is one narrow pass, zero shuffles, and a missing term scores 0 so
+    * any corpus can run under any model. Tokens = the whitespace/len≥2
+    * convention every documents-table twin shares.
+    *
+    * Reproducibility: token weights accumulate left-to-right; with
+    * weights on a 2^-10 grid ([[hashWeights]]) every partial sum is
+    * EXACT, so sum order cannot matter, sum/dl is one correctly-rounded
+    * IEEE division, and the pre-round score is bit-identical in every
+    * engine. Rounding is the EXPLICIT floor(x·1e6 + 0.5)/1e6 rather than
+    * round(x, 6): a mean can land exactly on a 6-dp half (e.g.
+    * 0.0640625), where engines disagree on the tie rule (Spark half-up,
+    * DuckDB half-even) — spelling the tie rule out makes both compute
+    * the same double. The keep flag compares on the ROUNDED value (the
+    * C3 convention). */
+  def linearQuality(docs: DataFrame, weights: Map[String, Double],
+                    bias: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(weights)
+    val score = udf { text: String =>
+      val w = bc.value
+      val toks = Option(text).getOrElse("").split(" ").filter(_.length >= 2)
+      val x =
+        if (toks.isEmpty) bias
+        else {
+          var s = 0.0
+          toks.foreach(t => s += w.getOrElse(t, 0.0))
+          bias + s / toks.length
+        }
+      math.floor(x * 1e6 + 0.5) / 1e6
+    }
+    docs.select(col("doc_id"), score(col("text")).as("quality"))
+      .withColumn("keep", col("quality") > 0.0)
+  }
+
+  /** The md5-portable stand-in weight for a term: 6 hex chars of
+    * md5(term) → [−1000, 1000] scaled by 2^-10 — every weight is a
+    * multiple of 2^-10 (exactly representable, so token sums are EXACT
+    * and engine-order-independent), and DuckDB computes the identical
+    * value from the identical hex. A trained model's weights drop in
+    * through [[linearQuality]]'s map without touching the operator. */
+  def hashWeight(term: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 6)
+    (java.lang.Integer.parseInt(hex, 16) % 2001 - 1000) / 1024.0
+  }
+
+  def hashWeights(vocab: Seq[String]): Map[String, Double] =
+    vocab.map(t => t -> hashWeight(t)).toMap
+
+  /** [[linearQuality]] instantiated with the hash weights computed
+    * INLINE per token — pure built-in columns (md5/conv/aggregate):
+    * whole-stage codegen, zero shuffles, no vocabulary collection, no
+    * UDF. Proven row-identical to linearQuality(hashWeights(vocab)) in
+    * CurationSpec; the driver's `quality_model` oracle twin. */
+  def hashedQuality(docs: DataFrame, bias: Double = 0.0): DataFrame = {
+    val toks = filter(split(col("text"), " "),
+      t => length(t) >= 2)
+    val wt = (t: Column) =>
+      (conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 2001 - 1000) /
+        lit(1024.0)
+    val swt = aggregate(toks, lit(0.0), (acc, t) => acc + wt(t))
+    val x = lit(bias) + when(size(toks) === 0, 0.0).otherwise(swt / size(toks))
+    docs.select(col("doc_id"),
+        (floor(x * 1e6 + 0.5) / 1e6).as("quality"))
+      .withColumn("keep", col("quality") > 0.0)
+  }
 }

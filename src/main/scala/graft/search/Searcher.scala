@@ -271,6 +271,26 @@ final class Searcher(spark: SparkSession, segment: Segment,
     cands.sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
   }
 
+  /** Autocomplete (the search-box typeahead surface): vocabulary terms
+    * starting with `prefix`, ranked (df desc, term asc) — most-used
+    * completions first, the inverse of suggest's recovery ranking but
+    * the same popularity contract. The operand normalizes through the
+    * tokenizer's boundary rules exactly like PREFIX queries (dictionary
+    * terms are post-split lowercase pieces — the LAST unfiltered piece
+    * is the live prefix, so `get_val` completes "val"). Scale: the dict
+    * is term-sorted, so the uncached scan is a contiguous range (parquet
+    * min/max prunes it); dictionary-sized at worst, never corpus-sized. */
+  def complete(prefix: String, k: Int): Array[(String, Long)] = {
+    val pieces = graft.tokenize.Tokenizer.tokenizeUnfiltered(prefix.trim.stripSuffix("*"))
+    val p = if (pieces.isEmpty) "" else pieces.last
+    if (p.isEmpty) return Array.empty // bare `*` must not rank the whole dict
+    val cands = dictCache match {
+      case Some(m) => m.valuesIterator.filter(_.term.startsWith(p)).toArray
+      case None => segment.dict.filter($"term".startsWith(p)).collect()
+    }
+    cands.sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
+  }
+
   /** More-like-this term selection (the Lucene MoreLikeThis family): the
     * `m` most informative in-vocabulary terms of `seedText`, ordered by
     * (tf/df desc, term asc). The selection weight is deliberately tf/df,

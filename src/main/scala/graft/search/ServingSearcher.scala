@@ -88,6 +88,16 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       .sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
   }
 
+  /** Autocomplete at serving latency — same normalization and ranking
+    * contract as Searcher.complete over the resident dictionary. */
+  def complete(prefix: String, k: Int): Array[(String, Long)] = {
+    val pieces = graft.tokenize.Tokenizer.tokenizeUnfiltered(prefix.trim.stripSuffix("*"))
+    val p = if (pieces.isEmpty) "" else pieces.last
+    if (p.isEmpty) return Array.empty
+    dictCache.valuesIterator.filter(_.term.startsWith(p)).toArray
+      .sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
+  }
+
   /** search_after pagination at serving latency — same cursor contract
     * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
   def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,

@@ -157,4 +157,39 @@ class CurationSpec extends SparkSpec {
     bySeq.foreach { case (s, tot) =>
       if (s != lastSeq) assert(tot == l, s"seq $s holds $tot tokens") }
   }
+
+  test("linearQuality matches a brute-force mean of weights; missing terms score 0") {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // a PARTIAL vocabulary: only terms starting with a..m carry weight
+    val vocab = rows.flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .distinct.filter(_.head <= 'm')
+    val w = Curation.hashWeights(vocab.toSeq)
+    val got = Curation.linearQuality(docs, w, bias = 0.125)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    rows.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.length >= 2)
+      val mean = if (toks.isEmpty) 0.0
+        else toks.map(t => w.getOrElse(t, 0.0)).sum / toks.length
+      val score = math.floor((0.125 + mean) * 1e6 + 0.5) / 1e6
+      assert(got(id)._1 == score, s"doc $id")
+      assert(got(id)._2 == (got(id)._1 > 0.0), s"keep flag doc $id")
+    }
+    // the zero-token doc scores exactly the bias
+    assert(got(15L)._1 == 0.125)
+  }
+
+  test("hashedQuality (inline codegen weights) == linearQuality(hashWeights(vocab))") {
+    val vocab = docs.select("text").collect().flatMap(_.getString(0).split(" "))
+      .filter(_.length >= 2).distinct.toSeq
+    val a = Curation.hashedQuality(docs).orderBy("doc_id").collect().toSeq
+    val b = Curation.linearQuality(docs, Curation.hashWeights(vocab))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // weights live on the 2^-10 grid: every weight times 1024 is integral
+    vocab.foreach { t =>
+      val w = Curation.hashWeight(t) * 1024.0
+      assert(w == math.rint(w) && math.abs(w) <= 1000.0, s"$t -> $w")
+    }
+  }
 }

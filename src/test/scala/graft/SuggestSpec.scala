@@ -78,4 +78,33 @@ class SuggestSpec extends SparkSpec {
       searcher.suggest(typo, 10, 2).toSeq)
     serving.close()
   }
+
+  test("complete ranks prefix completions by (df desc, term asc)") {
+    val vocab = seg.dict.collect()
+    // a single-char prefix with >1 completion exercises the ranking
+    val pre = vocab.map(_.term.take(1)).groupBy(identity)
+      .maxBy { case (c, g) => (g.length, c) }._1
+    val want = vocab.filter(_.term.startsWith(pre))
+      .sortBy(e => (-e.df, e.term)).map(e => e.term -> e.df)
+    assert(want.length > 1, "fixture must have a multi-completion prefix")
+    assert(searcher.complete(pre, vocab.length).toSeq == want.toSeq)
+    // the k-cut keeps the best-ranked prefix matches
+    assert(searcher.complete(pre, 2).toSeq == want.take(2).toSeq)
+    // operand normalizes like PREFIX: split chars keep the LAST piece
+    assert(searcher.complete(s"get_$pre", 2).toSeq ==
+      searcher.complete(pre, 2).toSeq)
+    assert(searcher.complete(s"${pre.toUpperCase}*", 2).toSeq ==
+      searcher.complete(pre, 2).toSeq)
+    // bare `*` / empty prefix must not rank the whole dictionary
+    assert(searcher.complete("*", 5).isEmpty)
+    assert(searcher.complete("  ", 5).isEmpty)
+    assert(searcher.complete("zzqx", 5).isEmpty)
+  }
+
+  test("serving tier completes identically") {
+    val serving = new ServingSearcher(spark, seg)
+    val pre = seg.dict.collect().head.term.take(1)
+    assert(serving.complete(pre, 10).toSeq == searcher.complete(pre, 10).toSeq)
+    serving.close()
+  }
 }
