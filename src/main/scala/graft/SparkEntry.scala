@@ -405,6 +405,13 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "AND", "key AND value AND hash", 20)),
     "ft_bm25_or" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "OR", "scan OR window OR batch", 20)),
+    // batched multi-query execution (msearch): three queries, ONE job,
+    // one union-pushdown scan — per query bit-identical to rankedHits
+    "ft_msearch" -> ((s, dir) =>
+      DocsIndex.msearchRankedHits(s, dir, Seq(
+        (1L, "FREE", "fast merge sort"),
+        (2L, "AND", "key AND value AND hash"),
+        (3L, "OR", "stream OR table")), 10)),
     "ft_phrase" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "PHRASE", "\"part filter\"", 20)),
     "ft_phrase3" -> ((s, dir) =>
@@ -837,6 +844,19 @@ object SparkEntry {
     "ft_bm25_topk" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
     "ft_bm25_and" -> bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
+    // msearch twin: each batched query is its own bm25 subquery (the
+    // exact per-query oracle), tagged with its qid and unioned
+    "ft_msearch" ->
+      s"""SELECT qid, doc_id, score, rank FROM (
+         |  SELECT CAST(1 AS BIGINT) AS qid, * FROM (
+         |${bm25Sql(Seq("fast", "merge", "sort"), conjunctive = false, 10)})
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS qid, * FROM (
+         |${bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 10)})
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT) AS qid, * FROM (
+         |${bm25Sql(Seq("stream", "table"), conjunctive = false, 10)})
+         |) ORDER BY qid, rank""".stripMargin,
     "ft_phrase" -> phraseSql(Seq("part", "filter"), 20),
     "ft_phrase3" -> phraseSql(Seq("big", "order", "scan"), 10),
     "ft_near" -> nearSql("merge", "sort", 3, 20),

@@ -82,6 +82,25 @@ object DocsIndex {
     rank(spark, sfDir, searcher.hits(kind, text, k + 50), k)
   }
 
+  /** Batched multi-query rankedHits (msearch): every query of the batch
+    * answered in ONE job over ONE union-pushdown postings scan
+    * (Searcher.batchHits), each re-ranked by the same rounded contract
+    * as [[rankedHits]]. The ≤|batch|·(k+50)-row hit set BROADCASTS into
+    * the docmap join (the Q9 side discipline). */
+  def msearchRankedHits(spark: SparkSession, sfDir: String,
+                        queries: Seq[(Long, String, String)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (seg, searcher, _) = get(spark, sfDir)
+    broadcast(searcher.batchHits(queries, k + 50).toDF())
+      .join(withDocId(seg), Seq("docId"))
+      .select(col("qid"), col("doc_id"), round(col("score"), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** rankedHits restricted to one source/repo: the (repo, path, commit)
     * sort order makes a repo a CONTIGUOUS docId range, so the scope is a
     * cursor-range view + bucket pruning, not a filter pass. Scores keep

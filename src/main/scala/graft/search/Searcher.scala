@@ -432,6 +432,110 @@ final class Searcher(spark: SparkSession, segment: Segment,
   def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = false)
 
+  /** Batched multi-query execution ("msearch" — the offline query-log
+    * shape: replay an eval set, mine hard negatives for 10k training
+    * queries): N queries answered in ONE job over ONE postings scan.
+    *
+    * Per query the result is BIT-IDENTICAL to `hits` (MsearchSpec); what
+    * batching changes is the plan: the scan's pushed predicate is the
+    * UNION of every query's termIds and each touched bucket is visited
+    * once, with every query's walk run against the bucket's lists —
+    * versus N independent jobs each paying its own scan, shuffle, and
+    * scheduling. At 10k queries the union-termId scan reads each posting
+    * list ONCE for all queries that share the term (cursor decode is
+    * per-query, the bytes and I/O are amortized).
+    *
+    * Supports the term-entry kinds (FREE/OR/AND and the PREFIX/REGEX/
+    * FUZZY expansions) with boosts; a query with no satisfiable entries
+    * contributes no rows, exactly like `hits`. Positional and boolean
+    * kinds keep their dedicated walks — batch those through
+    * [[graft.pipeline.Percolator]] when the corpus side is the stream.
+    *
+    * Scale: per (query, bucket) the walk emits ≤k rows, so the post-walk
+    * exchange carries ≤ |queries|·k rows per bucket into a per-query
+    * window rank — never corpus-sized. Query plans resolve driver-side
+    * against the cached dict (the ServingSearcher discipline). */
+  def batchHits(queries: Seq[(Long, String, String)], k: Int): Dataset[Hit] = {
+    require(queries.nonEmpty, "batchHits needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "batchHits qids must be unique")
+    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "FUZZY")
+    // per-query plan: ascending termIds, idf, boost, conjunctive flag
+    val plans: Array[(Long, Array[Long], Map[Long, Double], Map[Long, Double], Boolean, Int)] =
+      queries.iterator.flatMap { case (qid, kind, text) =>
+        require(allowed.contains(kind),
+          s"batchHits supports ${allowed.mkString("/")}, got $kind")
+        val terms = QueryParser.termsFor(kind, text)
+        val entries = entriesFor(kind, text)
+        val conj = kind == "AND"
+        if (entries.isEmpty || (conj && entries.length < terms.distinct.length))
+          None // unsatisfiable: contributes no rows, like hits()
+        else {
+          val idf = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+          val boosts = Searcher.toTidBoosts(entries, QueryParser.boosts(kind, text))
+          Some((qid, entries.map(_.termId), idf,
+            if (boosts == null) Map.empty[Long, Double] else boosts,
+            conj, entries.length))
+        }
+      }.toArray
+    if (plans.isEmpty) return spark.emptyDataset[Hit]
+    val unionTids = plans.flatMap(_._2).distinct.sorted
+    val pls = segment.postings
+      .filter($"termId".isin(unionTids.map(Long.box): _*)).as[PostingList]
+    // locals only — the Searcher itself must not be captured
+    val positional = segment.params.positional
+    val avgdl = stats.avgDocLen
+    val kk = k
+    val plansL = plans
+
+    def walk(plIt: Iterator[PostingList], firstDocId: Long,
+             lens: Array[Int]): Iterator[(Long, Long, Double)] = {
+      val plByTid = plIt.map(pl => pl.termId -> pl).toMap
+      plansL.iterator.flatMap { case (qid, tids, idf, boosts, conj, nTerms) =>
+        val present = tids.flatMap(plByTid.get)
+        if (present.isEmpty || (conj && present.length < nTerms))
+          Iterator.empty
+        else {
+          val cursors = present.map(pl =>
+            new Wand.TermCursor(pl.termId, idf(pl.termId), pl, positional,
+              0L, Long.MaxValue, boosts.getOrElse(pl.termId, 1.0)))
+          val res =
+            if (conj) Wand.topKAnd(cursors, lens, firstDocId, avgdl, kk, null, null)
+            else Wand.topK(cursors, lens, firstDocId, avgdl, kk, null, null)
+          res.iterator.map(s => (qid, s.docId, s.score))
+        }
+      }
+    }
+
+    val raw = doclenResident match {
+      case Some(bc) =>
+        pls.groupByKey(_.bucket).flatMapGroups { (bucket, plIt) =>
+          bc.value.get(bucket) match {
+            case Some((first, lens)) => walk(plIt, first, lens)
+            case None => Iterator.empty
+          }
+        }
+      case None =>
+        val dlb = segment.doclens
+          .join(broadcast(pls.select($"bucket").distinct()), Seq("bucket"), "left_semi")
+          .as[DocLenBlock]
+        pls.groupByKey(_.bucket).cogroup(dlb.groupByKey(_.bucket)) {
+          (_, plIt, dlIt) =>
+            if (!dlIt.hasNext || !plIt.hasNext) Iterator.empty
+            else {
+              val dl = dlIt.next()
+              walk(plIt, dl.firstDocId, dl.lens)
+            }
+        }
+    }
+    raw.toDF("qid", "docId", "score")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"score".desc, $"docId".asc)))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"docId", $"score").as[Hit]
+  }
+
   /** Top-k restricted to the docId range `[lo, hi)` — scoped search
     * (e.g. one repo, one repo prefix: contiguous by the P4 sort order).
     * Scores keep GLOBAL corpus statistics (idf/avgdl), the standard
