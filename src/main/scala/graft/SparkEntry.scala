@@ -590,6 +590,15 @@ object SparkEntry {
       Dedup.simhashPairs(DocsIndex.documents(s, dir), 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")),
+    // semantic dedup (SemDeDup): k-means cells + within-cell cosine
+    // pairs, lowest-centroid-cos survivor per group (no SQL twin:
+    // clustering is approximate by design — within-cell pair exactness,
+    // the keep rule, drop counting, and determinism are pinned in
+    // SemDedupSpec)
+    "dedup_semantic" -> ((s, dir) =>
+      graft.pipeline.SemDedup.prune(s, embeddings(s, dir),
+        graft.pipeline.SemDedup.Params(nlist = 16, iters = 10, dim = 64,
+          tau = 0.4))), // the corpus's near-dup regime (the dedup_embed tau)
     "dedup_embed" -> ((s, dir) =>
       Ann.nearDupPairs(embeddings(s, dir), 0.4).orderBy("doc_a", "doc_b")),
     // the scale path: persisted LSH buckets + exact-cosine verify — same
