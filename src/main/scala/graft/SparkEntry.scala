@@ -155,6 +155,23 @@ object SparkEntry {
 
   private val tokCtes: String = tokCtesOver("documents")
 
+  /** The S-stemmer (Harman 1991) as a SQL CASE over expression `x` —
+    * rule-for-rule identical to graft.search.Stem.sStem (which is WHY
+    * the engine uses the S-stemmer and not Porter: these three rules
+    * have a portable SQL form, Porter's measure conditions do not). */
+  private def sStemSql(x: String): String =
+    s"""CASE
+       |  WHEN length($x) > 3 AND $x LIKE '%ies'
+       |       AND $x NOT LIKE '%eies' AND $x NOT LIKE '%aies'
+       |    THEN substr($x, 1, length($x) - 3) || 'y'
+       |  WHEN length($x) > 2 AND $x LIKE '%es'
+       |       AND $x NOT LIKE '%aes' AND $x NOT LIKE '%ees' AND $x NOT LIKE '%oes'
+       |    THEN substr($x, 1, length($x) - 1)
+       |  WHEN length($x) > 1 AND $x LIKE '%s'
+       |       AND $x NOT LIKE '%us' AND $x NOT LIKE '%ss'
+       |    THEN substr($x, 1, length($x) - 1)
+       |  ELSE $x END""".stripMargin
+
   /** BM25 top-k twin: free-text/OR = any term; AND requires all terms.
     * `exclude` filters result docs WITHOUT touching the statistics CTEs
     * (the live-delete twin); `docsSrc` narrows the corpus itself so the
@@ -427,6 +444,11 @@ object SparkEntry {
     // expansion — sow~1 matches docs with 'row' or 'slow'
     "ft_fuzzy" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "FUZZY", "sow~1", 20)),
+    // stemmed retrieval (kind STEM): 'queries' S-stems to 'query' and
+    // expands to every vocabulary term sharing that stem — inflection-
+    // tolerant matching over the UNSTEMMED index
+    "ft_stem" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "STEM", "stem:queries", 15)),
     "ft_scoped" -> ((s, dir) =>
       DocsIndex.scopedRankedHits(s, dir, "FREE", "fast merge sort", 10, "src7")),
     "ft_regex" -> ((s, dir) =>
@@ -916,6 +938,24 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // stemmed retrieval: the S-stemmer (Harman 1991) as ONE SQL CASE —
+    // the exact same rules graft.search.Stem.sStem applies, so the twin
+    // selects the identical expansion, OR-scored with each term's stats
+    "ft_stem" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE ${sStemSql("tf.term")} = ${sStemSql("'queries'")}
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "ft_regex" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

@@ -171,6 +171,18 @@ object Percolator {
           math.abs(t.length - w.length) <= d &&
             graft.search.Searcher.editDistance(t, w, d) <= d)
       Compiled(qid, kind, p, Array.empty, Array.empty)
+    case "STEM" =>
+      val w = graft.search.QueryParser.termsFor(kind, text).head
+      // empty operand matches NOTHING, the FUZZY reading: sStem("")
+      // equals "" which every empty check would otherwise pass
+      val p: Map[String, Array[Int]] => Boolean =
+        if (w.isEmpty) _ => false
+        else {
+          val target = graft.search.Stem.sStem(w)
+          pos => pos.keysIterator.exists(t =>
+            graft.search.Stem.sStem(t) == target)
+        }
+      Compiled(qid, kind, p, Array.empty, Array.empty)
     case "BOOL" =>
       // NOTE: pure-negative boolean queries — rejected by the index walk
       // (corpus-sized complement) — are fine here: percolation evaluates

@@ -85,6 +85,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
       case "REGEX" => searchers.map(_.dictLookupRegex(terms.head))
       case "FUZZY" => searchers.map(
         _.dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text)))
+      case "STEM" => searchers.map(_.dictLookupStem(terms.head))
       case _ => searchers.map(_.dictLookup(distinctTerms))
     }
     // global df per term string

@@ -37,6 +37,8 @@ object QueryParser {
       ("ONEAR", termsFor("ONEAR", t))
     else if (t.startsWith("re:")) // before PREFIX: a pattern may end in *
       ("REGEX", Array(t.stripPrefix("re:").trim))
+    else if (t.startsWith("stem:")) // stemmed match: expansion kind STEM
+      ("STEM", termsFor("STEM", t))
     else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
       ("PREFIX", termsFor("PREFIX", t))
     else if (FuzzyRe.matches(t)) // one bare word + ~d (Lucene FuzzyQuery)
@@ -168,6 +170,12 @@ object QueryParser {
       val body = text.trim.replaceAll("~[0-9]\\s*$", "")
       val pieces = Tokenizer.tokenizeUnfiltered(body)
       Array(if (pieces.isEmpty) "" else pieces.last)
+    case "STEM" =>
+      // PREFIX/FUZZY normalization: the operand must be a post-split
+      // lowercase piece before it can stem against dictionary terms
+      val body = text.trim.stripPrefix("stem:")
+      val pieces = Tokenizer.tokenizeUnfiltered(body)
+      Array(if (pieces.isEmpty) "" else pieces.last)
     case "BOOL" => BoolQuery.terms(BoolQuery.parse(text))
     case _ => Tokenizer.queryTerms(text)
   }
@@ -251,6 +259,25 @@ final class Searcher(spark: SparkSession, segment: Segment,
         .collect().iterator
     }
     Searcher.fuzzyExpand(vocab, w, maxDist, maxExpansion)
+  }
+
+  /** Stemmed expansion (kind STEM): vocabulary terms sharing the
+    * operand's S-stem, capped like every expansion. A dictionary-sized
+    * scan (the vocabulary is the small artifact by design); the uncached
+    * path can prune to terms within 3 chars of the stem's length — an
+    * S-stem changes length by at most 2. */
+  def dictLookupStem(word: String,
+                     maxExpansion: Int = Searcher.MaxExpansion): Array[DictEntry] = {
+    val w = word.trim.toLowerCase
+    if (w.isEmpty) return Array.empty
+    val target = Stem.sStem(w)
+    val vocab = dictCache match {
+      case Some(m) => m.valuesIterator
+      case None => segment.dict
+        .filter(abs(length($"term") - lit(target.length)) <= 3)
+        .collect().iterator
+    }
+    Stem.expand(vocab, w, maxExpansion)
   }
 
   /** "Did you mean": vocabulary terms within `maxDist` Levenshtein edit
@@ -459,7 +486,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
     require(queries.nonEmpty, "batchHits needs at least one query")
     require(queries.map(_._1).distinct.size == queries.size,
       "batchHits qids must be unique")
-    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "FUZZY")
+    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "FUZZY", "STEM")
     // per-query plan: ascending termIds, idf, boost, conjunctive flag
     val plans: Array[(Long, Array[Long], Map[Long, Double], Map[Long, Double], Boolean, Int)] =
       queries.iterator.flatMap { case (qid, kind, text) =>
@@ -913,6 +940,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
       case "PREFIX" => dictLookupPrefix(terms.head)
       case "REGEX" => dictLookupRegex(terms.head)
       case "FUZZY" => dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text))
+      case "STEM" => dictLookupStem(terms.head)
       case "BOOL" =>
         boolPlan(BoolQuery.parse(text)).map(_.entries)
           .getOrElse(Array.empty[DictEntry])

@@ -151,6 +151,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val entries =
       if (kind == "BOOL") boolEntries(text)
       else if (kind == "FUZZY") fuzzyEntries(terms.head, QueryParser.fuzzyDist(text))
+      else if (kind == "STEM") stemEntries(terms.head)
       else entriesFor(kind, terms)
     val needAll = kind == "AND" || kind == "PHRASE" || kind == "NEAR" ||
       kind == "ONEAR"
@@ -181,6 +182,12 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     * tier, so bit-parity cannot drift through a second copy. */
   private[search] def fuzzyEntries(word: String, maxDist: Int): Array[DictEntry] =
     Searcher.fuzzyExpand(dictCache.valuesIterator, word, maxDist)
+
+  /** Stemmed expansion over the resident dictionary — the SAME shared
+    * core as the relational tier (Stem.expand), so bit-parity cannot
+    * drift through a second copy. */
+  private[search] def stemEntries(word: String): Array[DictEntry] =
+    Stem.expand(dictCache.valuesIterator, word)
 
   /** Dictionary resolution for a query's terms under this segment's own
     * vocabulary — shared with the multi-segment tier, which re-derives
@@ -374,6 +381,7 @@ final class MultiServingSearcher(spark: SparkSession, segments: Seq[Segment]) {
       if (kind == "BOOL") servers.map(_.boolEntries(text))
       else if (kind == "FUZZY") servers.map(
         _.fuzzyEntries(terms.head, QueryParser.fuzzyDist(text)))
+      else if (kind == "STEM") servers.map(_.stemEntries(terms.head))
       else servers.map(_.entriesFor(kind, terms))
     val dfByTerm: Map[String, Long] = perSeg.flatten
       .groupBy(_.term).map { case (t, es) => t -> es.map(_.df).sum }
