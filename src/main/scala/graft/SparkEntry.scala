@@ -721,6 +721,12 @@ object SparkEntry {
     // row-identical to the broadcast-weight-map path in CurationSpec
     "quality_model" -> ((s, dir) =>
       Curation.hashedQuality(DocsIndex.documents(s, dir)).orderBy("doc_id")),
+    // CCNet-style LM perplexity filter: unigram JM-smoothed corpus LM,
+    // keep = perplexity ≤ 29.2 (the corpus median sits at ~29.1, so the
+    // flag genuinely splits the table)
+    "lm_perplexity" -> ((s, dir) =>
+      Curation.lmPerplexity(DocsIndex.documents(s, dir), 0.9, 29.2)
+        .orderBy("doc_id")),
     "strat_sample" -> ((s, dir) =>
       Curation.stratifiedSample(DocsIndex.documents(s, dir),
         Seq("en" -> 50, "de" -> 100, "fr" -> 25), 10).orderBy("doc_id")),
@@ -1749,6 +1755,31 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN s USING (doc_id)
         |)
         |SELECT doc_id, quality, (quality > 0.0) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // unigram JM-smoothed LM perplexity over the token stream (repeats
+    // included — the LM convention); Σ ln carries ~1e-15 relative error
+    // (the bm25-twin regime), far inside the 6-dp round
+    "lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, term FROM tok WHERE length(term) >= 2
+        |), lm AS (
+        |  SELECT term, count(*)::BIGINT AS cf FROM tok2 GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(cf) * 1.0 AS total, count(*) * 1.0 AS v FROM lm
+        |), sc AS (
+        |  SELECT t.doc_id,
+        |         sum(-ln(0.9 * lm.cf / tot.total + 0.1 / tot.v)) AS s,
+        |         count(*)::BIGINT AS n
+        |  FROM tok2 t JOIN lm USING (term) CROSS JOIN tot
+        |  GROUP BY t.doc_id
+        |), q AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN sc.n IS NULL THEN 1.0 ELSE round(exp(sc.s / sc.n), 6) END AS perplexity
+        |  FROM documents d LEFT JOIN sc USING (doc_id)
+        |)
+        |SELECT doc_id, perplexity, (perplexity <= 29.2) AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
     "strat_sample" ->
       """SELECT doc_id, lang, bucket FROM (

@@ -284,6 +284,53 @@ object Curation {
       .withColumn("keep", col("quality") > 0.0)
   }
 
+  /** Language-model perplexity scoring — the CCNet filter (Wenzek et
+    * al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC 2020; also GPT-3/Gopher data work): score every
+    * document by its perplexity under a unigram corpus LM with
+    * Jelinek-Mercer smoothing, keep = perplexity ≤ `keepBelow`
+    * (low-perplexity text is fluent/typical; gibberish and boilerplate
+    * blow up). p̂(t) = λ·cf(t)/total + (1−λ)/V; perplexity =
+    * exp(−(1/dl)·Σ ln p̂(t_i)) over the token STREAM (repeats included —
+    * the LM convention, unlike the presence semantics of search).
+    *
+    * Scale posture: the LM is the vocabulary-sized (term → cf) table —
+    * ONE (term)-keyed hash agg (partial+final, skew is bounded by vocab
+    * cardinality) collected and BROADCAST, exactly the trained-artifact
+    * posture of [[linearQuality]]; scoring is then one narrow pass. At
+    * 100 TB you'd train the LM once and reuse it across runs — the
+    * broadcast shape is identical.
+    *
+    * Cross-engine: Σ ln over ≤dl doubles carries ~1e-15 relative error
+    * (the bm25-twin regime), far inside the 6-dp rounding; empty docs
+    * score exp(0) = 1. */
+  def lmPerplexity(docs: DataFrame, lambda: Double = 0.9,
+                   keepBelow: Double = 30.0): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(filter(split(col("text"), " "),
+      t => length(t) >= 2)).as("term"))
+    val cfRows = toks.groupBy("term").agg(count(lit(1)).as("cf")).collect()
+    val total = cfRows.map(_.getLong(1)).sum.toDouble
+    val v = cfRows.length.toDouble
+    val cf = cfRows.map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val bc = spark.sparkContext.broadcast(cf)
+    val pp = udf { text: String =>
+      val m = bc.value
+      val ts = Option(text).getOrElse("").split(" ").filter(_.length >= 2)
+      if (ts.isEmpty) 1.0
+      else {
+        var s = 0.0
+        ts.foreach { t =>
+          val p = lambda * m.getOrElse(t, 0.0) / total + (1.0 - lambda) / v
+          s += -math.log(p)
+        }
+        math.exp(s / ts.length)
+      }
+    }
+    docs.select(col("doc_id"), round(pp(col("text")), 6).as("perplexity"))
+      .withColumn("keep", col("perplexity") <= keepBelow)
+  }
+
   /** The md5-portable stand-in weight for a term: 6 hex chars of
     * md5(term) → [−1000, 1000] scaled by 2^-10 — every weight is a
     * multiple of 2^-10 (exactly representable, so token sums are EXACT

@@ -179,6 +179,34 @@ class CurationSpec extends SparkSpec {
     assert(got(15L)._1 == 0.125)
   }
 
+  test("lmPerplexity matches a brute-force JM-smoothed unigram LM") {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = rows.flatMap(_._2.split(" ")).filter(_.length >= 2)
+    val cf = stream.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val total = stream.length.toDouble
+    val v = cf.size.toDouble
+    val lambda = 0.75
+    val got = Curation.lmPerplexity(docs, lambda, keepBelow = 12.0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    rows.foreach { case (id, text) =>
+      val ts = text.split(" ").filter(_.length >= 2)
+      val want =
+        if (ts.isEmpty) 1.0
+        else {
+          val s = ts.map(t => -math.log(lambda * cf(t) / total + (1 - lambda) / v)).sum
+          math.exp(s / ts.length)
+        }
+      assert(math.abs(got(id)._1 - want) < 1e-5, s"doc $id: ${got(id)._1} vs $want")
+      assert(got(id)._2 == (got(id)._1 <= 12.0), s"keep flag doc $id")
+    }
+    // the repetitive doc is LOW perplexity (fluent under its own LM);
+    // the empty doc scores exactly 1
+    assert(got(15L)._1 == 1.0)
+    assert(got(14L)._1 < got(12L)._1,
+      "repetitive text must be less perplexing than all-fresh text")
+  }
+
   test("hashedQuality (inline codegen weights) == linearQuality(hashWeights(vocab))") {
     val vocab = docs.select("text").collect().flatMap(_.getString(0).split(" "))
       .filter(_.length >= 2).distinct.toSeq
