@@ -422,6 +422,11 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "AND", "key AND value AND hash", 20)),
     "ft_bm25_or" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "OR", "scan OR window OR batch", 20)),
+    // query relaxation: 'zzznovel' is out-of-vocabulary, so the AND
+    // relaxes to (fast AND merge) — the zero-hit recovery ladder; the
+    // oracle scores exactly that rung, so a wrong rung choice hash-fails
+    "ft_relax" -> ((s, dir) =>
+      DocsIndex.relaxedRankedHits(s, dir, "fast AND merge AND zzznovel", 10)),
     // batched multi-query execution (msearch): three queries, ONE job,
     // one union-pushdown scan — per query bit-identical to rankedHits
     "ft_msearch" -> ((s, dir) =>
@@ -881,6 +886,10 @@ object SparkEntry {
     "ft_bm25_topk" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
     "ft_bm25_and" -> bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
+    // relaxation twin: the ladder deterministically lands on
+    // (fast AND merge) for this corpus — scoring THAT rung; if the
+    // engine relaxed differently the hashes would disagree
+    "ft_relax" -> bm25Sql(Seq("fast", "merge"), conjunctive = true, 10),
     // msearch twin: each batched query is its own bm25 subquery (the
     // exact per-query oracle), tagged with its qid and unioned
     "ft_msearch" ->

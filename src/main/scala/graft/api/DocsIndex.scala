@@ -82,6 +82,15 @@ object DocsIndex {
     rank(spark, sfDir, searcher.hits(kind, text, k + 50), k)
   }
 
+  /** rankedHits through the zero-hit relaxation ladder
+    * (Searcher.relaxedHits): OOV terms drop, then highest-df terms,
+    * until the conjunction matches. */
+  def relaxedRankedHits(spark: SparkSession, sfDir: String, text: String,
+                        k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.relaxedHits(text, k + 50), k)
+  }
+
   /** Batched multi-query rankedHits (msearch): every query of the batch
     * answered in ONE job over ONE union-pushdown postings scan
     * (Searcher.batchHits), each re-ranked by the same rounded contract

@@ -459,6 +459,40 @@ final class Searcher(spark: SparkSession, segment: Segment,
   def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = false)
 
+  /** Query relaxation (the zero-hit recovery ladder of e-commerce /
+    * enterprise search; Lucene's minimum_should_match family): a
+    * conjunctive query that matches NOTHING relaxes stepwise until it
+    * matches —
+    *   1. out-of-vocabulary terms drop first (they make the AND
+    *      unsatisfiable outright);
+    *   2. while the AND is empty and ≥2 terms remain, the LEAST
+    *      informative term drops: highest df, ties by term asc —
+    *      deterministic, so both engines pick the same rung.
+    * Returns the final rung's conjunctive hits (global stats, the
+    * filter-doesn't-rescale rule). Each rung probe costs one k=1 job;
+    * the ladder is ≤|q| rungs — query-sized, never corpus-sized. */
+  def relaxedHits(text: String, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    val plan = relaxPlan(text)
+    if (plan.isEmpty) spark.emptyDataset[Hit]
+    else hits("AND", plan.mkString(" AND "), k, qid)
+  }
+
+  /** The rung [[relaxedHits]] lands on — the relaxed query's surviving
+    * terms (sorted), for callers that surface "showing results for …"
+    * and for the spec's brute force. Empty = every term was OOV. */
+  def relaxPlan(text: String): Array[String] = {
+    val terms = QueryParser.termsFor("AND", text)
+    var kept = dictLookup(terms.distinct) // OOV terms drop here
+    if (kept.isEmpty) return Array.empty
+    def andText(es: Array[DictEntry]): String =
+      es.map(_.term).sorted.mkString(" AND ")
+    while (kept.length > 1 && hits("AND", andText(kept), 1).isEmpty) {
+      val drop = kept.minBy(e => (-e.df, e.term)) // highest df, term asc
+      kept = kept.filterNot(_.termId == drop.termId)
+    }
+    kept.map(_.term).sorted
+  }
+
   /** Batched multi-query execution ("msearch" — the offline query-log
     * shape: replay an eval set, mine hard negatives for 10k training
     * queries): N queries answered in ONE job over ONE postings scan.
