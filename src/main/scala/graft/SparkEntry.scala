@@ -340,6 +340,55 @@ object SparkEntry {
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jac FROM jpairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MMR twin: the greedy selection unrolled as k chained CTE stages —
+    * stage i picks the (rounded-mmr desc, doc_id) argmax among the
+    * window docs not yet selected, with the max-cosine penalty computed
+    * against the running selection. Exact: rel and every cosine round
+    * to 6 dp before combining, exactly as DocsIndex.mmrRankedHits. */
+  private def mmrSql(terms: Seq[String], window: Int, k: Int,
+                     lambda: Double): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val lam = lambda
+    val om = 1.0 - lambda
+    val sb = new StringBuilder
+    sb.append(
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ($inList)
+         |  GROUP BY tf.doc_id
+         |), we AS (
+         |  SELECT w.doc_id, w.rel, e.embedding::DOUBLE[] AS v
+         |  FROM (SELECT doc_id, round(score, 6) AS rel
+         |        FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT $window) w
+         |  JOIN embeddings e ON e.vec_id = w.doc_id
+         |), s1 AS (
+         |  SELECT doc_id, round($lam * rel, 6) AS mmr,
+         |         CAST(1 AS BIGINT) AS rank, v
+         |  FROM we ORDER BY rel DESC, doc_id LIMIT 1
+         |), sel1 AS (SELECT * FROM s1)""".stripMargin)
+    (2 to k).foreach { i =>
+      sb.append(
+        s""", s$i AS (
+           |  SELECT c.doc_id,
+           |         round($lam * c.rel - $om * (
+           |           SELECT max(round(list_cosine_similarity(c.v, s.v), 6))
+           |           FROM sel${i - 1} s), 6) AS mmr,
+           |         CAST($i AS BIGINT) AS rank, c.v
+           |  FROM we c
+           |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+           |  ORDER BY mmr DESC, c.doc_id LIMIT 1
+           |), sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin)
+    }
+    sb.append(s"\nSELECT doc_id, mmr, rank FROM sel$k ORDER BY rank")
+    sb.toString
+  }
+
   private val embedDupSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -422,6 +471,11 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "AND", "key AND value AND hash", 20)),
     "ft_bm25_or" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "OR", "scan OR window OR batch", 20)),
+    // MMR diversification: BM25 top-20 window re-ordered greedily by
+    // λ·rel − (1−λ)·max-cos-to-selected (λ=0.75), top-5 out
+    "ft_mmr" -> ((s, dir) =>
+      DocsIndex.mmrRankedHits(s, dir, "FREE", "fast merge sort table",
+        5, 20)),
     // query relaxation: 'zzznovel' is out-of-vocabulary, so the AND
     // relaxes to (fast AND merge) — the zero-hit recovery ladder; the
     // oracle scores exactly that rung, so a wrong rung choice hash-fails
@@ -886,6 +940,8 @@ object SparkEntry {
     "ft_bm25_topk" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
     "ft_bm25_and" -> bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
+    // MMR twin: the greedy unrolled as 5 chained argmax stages
+    "ft_mmr" -> mmrSql(Seq("fast", "merge", "sort", "table"), 20, 5, 0.75),
     // relaxation twin: the ladder deterministically lands on
     // (fast AND merge) for this corpus — scoring THAT rung; if the
     // engine relaxed differently the hashes would disagree

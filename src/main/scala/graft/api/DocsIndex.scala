@@ -424,6 +424,58 @@ object DocsIndex {
     * (WAND walk; broadcast-query cosine pass — swap in AnnIndex for the
     * LSH leg at corpus scale); the fusion joins two ≤kEach-row sides —
     * driver-trivial, broadcast by size. C = 60, the paper's constant. */
+  /** MMR-diversified results (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR'98 — the standard result-diversification re-rank):
+    * the BM25 top-`window` re-orders greedily by
+    * mmr = λ·rel − (1−λ)·max cos-similarity to the already-selected set,
+    * so near-duplicate hits stop crowding the first page.
+    *
+    * The corpus-scale walk stays pure BM25 (WAND-prunable — MMR's
+    * pairwise term has no per-list upper bound, which is exactly why
+    * production diversification is WINDOWED, the X30 rescore argument);
+    * the greedy loop touches ≤window rows driver-side with ≤window²
+    * rounded cosines. Deterministic and cross-engine-reproducible: rel
+    * is the rounded BM25 score, every cosine rounds to 6 dp before
+    * combining (both engines provably agree there — the ann oracles),
+    * λ = 0.75 exactly representable, selection compares (rounded mmr
+    * desc, doc_id asc). */
+  def mmrRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                    text: String, k: Int, window: Int,
+                    lambda: Double = 0.75): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    require(k <= window, s"k=$k must fit the rescore window=$window")
+    val top = rankedHits(spark, sfDir, kind, text, window)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
+    val ids = top.map(_._1)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id").isin(ids.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap
+    val r6 = graft.search.Searcher.round6 _
+    val remaining = scala.collection.mutable.LinkedHashMap(top.map {
+      case (id, rel) => id -> rel
+    }: _*)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    while (sel.length < math.min(k, top.length) && remaining.nonEmpty) {
+      val scored = remaining.iterator.map { case (id, rel) =>
+        val mmr =
+          if (sel.isEmpty) r6(lambda * rel)
+          else {
+            val maxCos = sel.iterator.map { case (sid, _, _) =>
+              r6(graft.pipeline.Ann.cosine(vecs(id), vecs(sid)))
+            }.max
+            r6(lambda * rel - (1.0 - lambda) * maxCos)
+          }
+        (id, mmr)
+      }.toArray
+      val (bid, bmmr) = scored.minBy { case (id, m) => (-m, id) }
+      sel += ((bid, bmmr, sel.length + 1L))
+      remaining.remove(bid)
+    }
+    sel.toSeq.toDF("doc_id", "mmr", "rank")
+  }
+
   def hybridRankedHits(spark: SparkSession, sfDir: String, kind: String,
                        text: String, seedVecId: Long, kEach: Int,
                        k: Int): DataFrame = {
