@@ -340,6 +340,39 @@ object SparkEntry {
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jac FROM jpairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Hard-negative-mining twin: one MLT-style subquery per seed (the
+    * ft_mlt oracle shape + the exact-copy text exclusion), unioned with
+    * the seed id — each subquery carries its own WITH scope, the
+    * ft_msearch embedding pattern. */
+  private def mineNegSql(seeds: Seq[Long], m: Int, k: Int): String = {
+    val parts = seeds.map { id =>
+      s"""SELECT CAST($id AS BIGINT) AS seed_id, doc_id, score, rank FROM (
+         |$tokCtes, seedtf AS (SELECT term, tf FROM tf WHERE doc_id = $id),
+         |sel AS (SELECT s.term FROM seedtf s JOIN df USING (term)
+         |        ORDER BY s.tf * 1.0 / df DESC, s.term LIMIT $m),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> $id
+         |  GROUP BY tf.doc_id
+         |), ex AS (
+         |  SELECT sc.doc_id, sc.score FROM sc
+         |  JOIN docs_src d ON d.doc_id = sc.doc_id
+         |  WHERE d.text <> (SELECT text FROM docs_src WHERE doc_id = $id)
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM ex ORDER BY score DESC, doc_id LIMIT $k)""".stripMargin
+    }
+    parts.mkString("SELECT seed_id, doc_id, score, rank FROM (\n",
+      "\nUNION ALL\n", "\n) ORDER BY seed_id, rank")
+  }
+
   /** MMR twin: the greedy selection unrolled as k chained CTE stages —
     * stage i picks the (rounded-mmr desc, doc_id) argmax among the
     * window docs not yet selected, with the max-cosine penalty computed
@@ -619,6 +652,10 @@ object SparkEntry {
     // disjunction over the corpus minus the seed itself
     "ft_mlt" -> ((s, dir) =>
       DocsIndex.mltRankedHits(s, dir, 7L, 5, 15)),
+    // hard-negative mining (DPR/ANCE BM25 negatives): three seeds, one
+    // batched job, exact-copy candidates excluded per seed
+    "mine_negatives" -> ((s, dir) =>
+      DocsIndex.mineNegatives(s, dir, Seq(7L, 42L, 100L), 5, 10)),
     // result collapsing: best hit per source, top-8 sources
     "ft_collapse" -> ((s, dir) =>
       DocsIndex.collapsedRankedHits(s, dir, "FREE", "fast merge sort table", 8)),
@@ -942,6 +979,8 @@ object SparkEntry {
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
     // MMR twin: the greedy unrolled as 5 chained argmax stages
     "ft_mmr" -> mmrSql(Seq("fast", "merge", "sort", "table"), 20, 5, 0.75),
+    // hard-negative twin: per-seed MLT subqueries + copy exclusion
+    "mine_negatives" -> mineNegSql(Seq(7L, 42L, 100L), 5, 10),
     // relaxation twin: the ladder deterministically lands on
     // (fast AND merge) for this corpus — scoring THAT rung; if the
     // engine relaxed differently the hashes would disagree

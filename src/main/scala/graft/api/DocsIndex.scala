@@ -424,6 +424,64 @@ object DocsIndex {
     * (WAND walk; broadcast-query cosine pass — swap in AnnIndex for the
     * LSH leg at corpus scale); the fusion joins two ≤kEach-row sides —
     * driver-trivial, broadcast by size. C = 60, the paper's constant. */
+  /** Hard-negative mining — the BM25-negatives recipe of contrastive
+    * retrieval training (DPR, Karpukhin et al. EMNLP 2020; ANCE): for
+    * every seed document, the top-k documents that score high under the
+    * seed's most-informative terms (the MLT selection) but are NOT the
+    * seed and NOT an exact duplicate of it — lexically close non-copies,
+    * the negatives that actually teach an embedding model.
+    *
+    * Scale posture: ALL seeds run through ONE batched job
+    * (Searcher.batchHits — union-termId pushdown scan, the X38 shape),
+    * so mining 10k seeds costs one scan, not 10k jobs; the exclusion
+    * join touches only the ≤|seeds|·(k+51) candidate rows (broadcast
+    * into the docmap/text joins), and duplicate detection is TEXT
+    * equality against the broadcast seed texts (the D1 exact-dup
+    * criterion, evaluated candidate-side — no corpus-scale dedup run).
+    * Output (seed_id, doc_id, score, rank), the rounded contract. */
+  def mineNegatives(spark: SparkSession, sfDir: String, seedIds: Seq[Long],
+                    m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (seg, searcher, _) = get(spark, sfDir)
+    val seeds: Map[Long, String] = documents(spark, sfDir)
+      .filter(col("doc_id").isin(seedIds.map(Long.box): _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val queries = seedIds.flatMap { id =>
+      val sel = searcher.mltTerms(seeds.getOrElse(id, ""), m)
+      if (sel.isEmpty) None else Some((id, "FREE", sel.mkString(" ")))
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seed_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType))))
+    if (queries.isEmpty) return empty
+    val bcSeeds = spark.sparkContext.broadcast(seeds)
+    val isSeedCopy = udf { (qid: Long, text: String) =>
+      bcSeeds.value.get(qid).contains(text)
+    }
+    broadcast(searcher.batchHits(queries, k + 51).toDF())
+      .join(withDocId(seg), Seq("docId"))
+      .join(documents(spark, sfDir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .filter(col("qid") =!= col("doc_id"))
+      .filter(!isSeedCopy(col("qid"), col("text")))
+      .select(col("qid").as("seed_id"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("seed_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("seed_id"), col("rank"))
+  }
+
   /** MMR-diversified results (Maximal Marginal Relevance, Carbonell &
     * Goldstein SIGIR'98 — the standard result-diversification re-rank):
     * the BM25 top-`window` re-orders greedily by

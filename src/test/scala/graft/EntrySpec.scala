@@ -16,8 +16,8 @@ class EntrySpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
     // rows-only (un-oracled) queries are the deliberately approximate ops
-    assert(q.diff(o) == Set("dedup_simhash", "ann_lsh", "ann_pq"),
-      q.diff(o).toString)
+    assert(q.diff(o) == Set("dedup_simhash", "ann_lsh", "ann_pq",
+      "ann_ivfpq", "dedup_semantic"), q.diff(o).toString)
   }
 
   test("all queries run and return rows on sf0.001") {
