@@ -340,6 +340,63 @@ object SparkEntry {
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jac FROM jpairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Ranking-evaluation twin: one metrics subquery per eval query —
+    * rankings via the standard bm25 CTE, qrels = conjunctive containment
+    * (HAVING count == |terms|), IDCG over a range() series. The ln(2)
+    * constant is INJECTED as the engine's own double literal so both
+    * engines divide by bit-identical numerators; Σln rides the bm25-twin
+    * 1e-15 regime inside the explicit floor round. */
+  private def rankEvalSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val ln2 = math.log(2.0)
+    val parts = queries.map { case (id, ts) =>
+      val dts = ts.distinct
+      val termList = dts.map(t => s"'$t'").mkString(", ")
+      s"""SELECT CAST($id AS BIGINT) AS qid, n_rel, prec, rr, ndcg FROM (
+         |$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ($termList)
+         |  GROUP BY tf.doc_id
+         |), ranked AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id,
+         |           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |    FROM sc)
+         |  WHERE rank <= $k
+         |), rel AS (
+         |  SELECT doc_id FROM tf WHERE term IN ($termList)
+         |  GROUP BY doc_id HAVING count(*) = ${dts.length}
+         |), rstat AS (
+         |  SELECT count(*)::BIGINT AS n_rel FROM rel
+         |), idcgv AS (
+         |  -- constant range bound: DuckDB table functions reject
+         |  -- subquery arguments, so the min(R, k) cut moves into a CASE
+         |  SELECT coalesce(sum(CASE WHEN i <= least(n_rel, $k)
+         |                       THEN $ln2 / ln(i + 1) END), 0.0) AS idcg
+         |  FROM range(1, $k + 1) t(i) CROSS JOIN rstat
+         |), m AS (
+         |  SELECT count(CASE WHEN r.doc_id IS NOT NULL THEN 1 END) * 1.0 / $k AS prec_raw,
+         |         max(CASE WHEN r.doc_id IS NOT NULL THEN 1.0 / rank END) AS rr_raw,
+         |         sum(CASE WHEN r.doc_id IS NOT NULL THEN $ln2 / ln(rank + 1) END) AS dcg_raw
+         |  FROM ranked LEFT JOIN rel r USING (doc_id)
+         |)
+         |SELECT (SELECT n_rel FROM rstat) AS n_rel,
+         |       floor(prec_raw * 1e6 + 0.5) / 1e6 AS prec,
+         |       floor(coalesce(rr_raw, 0.0) * 1e6 + 0.5) / 1e6 AS rr,
+         |       floor((CASE WHEN idcg > 0 THEN coalesce(dcg_raw, 0.0) / idcg
+         |              ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS ndcg
+         |FROM m CROSS JOIN idcgv
+         |)""".stripMargin
+    }
+    parts.mkString("SELECT qid, n_rel, prec, rr, ndcg FROM (\n",
+      "\nUNION ALL\n", "\n) ORDER BY qid")
+  }
+
   /** Hard-negative-mining twin: one MLT-style subquery per seed (the
     * ft_mlt oracle shape + the exact-copy text exclusion), unioned with
     * the seed id — each subquery carries its own WITH scope, the
@@ -545,6 +602,18 @@ object SparkEntry {
       DocsIndex.scopedRankedHits(s, dir, "FREE", "fast merge sort", 10, "src7")),
     "ft_regex" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "REGEX", "re:(fast|slow|merge)", 20)),
+    // general wildcard (Lucene WildcardQuery): `s?a*` expands to
+    // {scan, small, spark} — both glob metachars, mid-word constraint
+    "ft_wildcard" -> ((s, dir) =>
+      DocsIndex.rankedHits(s, dir, "WILD", "s?a*", 20)),
+    // minimum_should_match: ≥2 of the 4 terms — the recall/precision
+    // dial between OR (1) and AND (all)
+    "ft_msm" -> ((s, dir) =>
+      DocsIndex.msmRankedHits(s, dir, "fast merge sort table", 2, 20)),
+    // significant terms: what is UNUSUAL about docs matching the query,
+    // JLH-scored against the corpus background
+    "ft_sigterms" -> ((s, dir) =>
+      DocsIndex.significantTerms(s, dir, "FREE", "fast merge", 15)),
     "ft_bool_nested" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "BOOL", "(fast OR slow) AND merge", 20)),
     "ft_bool_not" -> ((s, dir) =>
@@ -656,6 +725,15 @@ object SparkEntry {
     // batched job, exact-copy candidates excluded per seed
     "mine_negatives" -> ((s, dir) =>
       DocsIndex.mineNegatives(s, dir, Seq(7L, 42L, 100L), 5, 10)),
+    // ranking evaluation (ES rank_eval / trec_eval): prec@10, RR, nDCG@10
+    // against conjunctive-containment qrels. q2-q4 carry the needle term
+    // `dup` (df ~40x below the rest), so their small qrel sets force
+    // FRACTIONAL metrics (a constant-output bug cannot pass); q5's
+    // qrels are empty (OOV in the conjunction) — the zero-metrics edge
+    "ft_rankeval" -> ((s, dir) =>
+      DocsIndex.rankEval(s, dir, Seq(
+        1L -> "fast merge sort", 2L -> "dup merge sort", 3L -> "dup key value",
+        4L -> "dup scan", 5L -> "zzz merge"), 10)),
     // result collapsing: best hit per source, top-8 sources
     "ft_collapse" -> ((s, dir) =>
       DocsIndex.collapsedRankedHits(s, dir, "FREE", "fast merge sort table", 8)),
@@ -981,6 +1059,11 @@ object SparkEntry {
     "ft_mmr" -> mmrSql(Seq("fast", "merge", "sort", "table"), 20, 5, 0.75),
     // hard-negative twin: per-seed MLT subqueries + copy exclusion
     "mine_negatives" -> mineNegSql(Seq(7L, 42L, 100L), 5, 10),
+    // rank-eval twin: per-query bm25 ranking + containment qrels + metrics
+    "ft_rankeval" -> rankEvalSql(Seq(
+      1L -> Seq("fast", "merge", "sort"), 2L -> Seq("dup", "merge", "sort"),
+      3L -> Seq("dup", "key", "value"), 4L -> Seq("dup", "scan"),
+      5L -> Seq("zzz", "merge")), 10),
     // relaxation twin: the ladder deterministically lands on
     // (fast AND merge) for this corpus — scoring THAT rung; if the
     // engine relaxed differently the hashes would disagree
@@ -1081,6 +1164,63 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // wildcard twin: the glob as a LIKE pattern (`?`→`_`, `*`→`%`) —
+    // BM25 OR over the expansion, the ft_regex shape
+    "ft_wildcard" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term LIKE 's_a%'
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // minimum_should_match twin: BM25 over matched terms, HAVING the
+    // distinct-match count meet the threshold (tf is one row per
+    // (doc, term), so count(*) IS the distinct clause count)
+    "ft_msm" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |  HAVING count(*) >= 2
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // significant-terms twin: JLH over the FREE match set (any query
+    // term) vs the corpus background; the explicit floor tie rule —
+    // these ratios of small integers DO land on exact 6-dp halves
+    "ft_sigterms" ->
+      s"""$tokCtes, fg AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), fgn AS (
+         |  SELECT count(*)::BIGINT AS fgn FROM fg
+         |), fgdf AS (
+         |  SELECT term, count(*)::BIGINT AS fg_df
+         |  FROM tf WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY 1
+         |), scored AS (
+         |  SELECT term, fg_df, df AS bg_df,
+         |         floor((fg_df * 1.0 / fgn - df * 1.0 / n) *
+         |               ((fg_df * 1.0 / fgn) / (df * 1.0 / n)) * 1e6 + 0.5)
+         |           / 1e6 AS sig
+         |  FROM fgdf JOIN df USING (term) CROSS JOIN fgn CROSS JOIN stats
+         |  WHERE fg_df * 1.0 / fgn > df * 1.0 / n
+         |)
+         |SELECT term, fg_df, bg_df, sig
+         |FROM scored ORDER BY sig DESC, term LIMIT 15""".stripMargin,
     "ft_bool_nested" -> boolSql(Seq("fast", "slow", "merge"),
       "(p_fast = 1 OR p_slow = 1) AND p_merge = 1", 20),
     "ft_bool_not" -> boolSql(Seq("merge", "slow"),

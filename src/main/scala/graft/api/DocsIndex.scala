@@ -482,6 +482,143 @@ object DocsIndex {
       .orderBy(col("seed_id"), col("rank"))
   }
 
+  /** Ranking evaluation (the Elasticsearch Ranking Evaluation API /
+    * trec_eval offline loop): per-query precision@k, reciprocal rank,
+    * and nDCG@k for an eval set, judged against DETERMINISTIC qrels —
+    * relevant(q, d) ⇔ d contains ALL of q's terms (conjunctive
+    * containment: the exact-match documents a disjunctive BM25 ranking
+    * is supposed to surface first). No external judgments needed, so
+    * the whole loop is reproducible and oracle-checkable.
+    *
+    * Scale posture: the rankings come from ONE batched union-pushdown
+    * job (the X38 msearch shape — 10k eval queries cost one scan); the
+    * qrels are per-query conjunctive presence walks (query-set-sized
+    * job count, each with termId pushdown); metrics aggregate ≤|q|·k
+    * ranked rows joined against the qrel marks — never corpus-sized.
+    * IDCG is computed driver-side per query (≤k ln terms). Binary
+    * gains; Σln sums ride the bm25-twin 1e-15 regime, far inside the
+    * explicit floor(x·1e6+0.5)/1e6 round. */
+  def rankEval(spark: SparkSession, sfDir: String,
+               queries: Seq[(Long, String)], k: Int): DataFrame = {
+    require(queries.nonEmpty && k >= 1, "rankEval needs queries and k >= 1")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val ln2 = math.log(2.0)
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val ranked = msearchRankedHits(spark, sfDir,
+      queries.map { case (id, t) => (id, "FREE", t) }, k)
+    // qrels: one (qid, doc_id) frame over the per-query AND match sets
+    val qrelDfs = queries.flatMap { case (id, t) =>
+      searcher.matchDocIds("AND", t).map(df =>
+        df.join(withDocId(seg), Seq("docId"))
+          .select(lit(id).as("qid"), col("doc_id")))
+    }
+    val rByQid: Map[Long, Long] =
+      if (qrelDfs.isEmpty) Map.empty
+      else qrelDfs.reduce(_.union(_)).groupBy(col("qid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def idcg(r: Long): Double = {
+      var s = 0.0
+      var i = 1L
+      val lim = math.min(r, k.toLong)
+      while (i <= lim) { s += ln2 / math.log(i + 1.0); i += 1 }
+      s
+    }
+    import spark.implicits._
+    val meta = queries.map { case (id, _) =>
+      val r = rByQid.getOrElse(id, 0L)
+      (id, r, idcg(r))
+    }.toDF("qid", "n_rel", "idcg")
+    val rels =
+      if (qrelDfs.isEmpty)
+        meta.select(col("qid"), col("n_rel").as("doc_id")).limit(0)
+      else qrelDfs.reduce(_.union(_))
+    val marked = ranked
+      .join(rels.withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val agg = marked.groupBy(col("qid")).agg(
+      (sum(col("rel")) / lit(k.toDouble)).as("prec_raw"),
+      max(when(col("rel") === 1, lit(1.0) / col("rank"))).as("rr_raw"),
+      sum(when(col("rel") === 1,
+        lit(ln2) / log(col("rank") + lit(1.0)))).as("dcg_raw"))
+    meta.join(agg, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        rnd6(coalesce(col("prec_raw"), lit(0.0))).as("prec"),
+        rnd6(coalesce(col("rr_raw"), lit(0.0))).as("rr"),
+        rnd6(when(col("idcg") > 0,
+          coalesce(col("dcg_raw"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0))).as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
+  /** Minimum-should-match ranked surface: top-k docs matching at least
+    * `minMatch` distinct query terms (Searcher.msmHits), rounded-rank
+    * contract. */
+  def msmRankedHits(spark: SparkSession, sfDir: String, text: String,
+                    minMatch: Int, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.msmHits(text, minMatch, k + 50), k)
+  }
+
+  /** Significant-terms aggregation (the Elasticsearch `significant_terms`
+    * surface — "what is unusual about the documents matching this
+    * query"): terms over-represented in the query's match set
+    * (foreground) relative to the whole corpus (background), scored by
+    * JLH = (fgPct − bgPct) · (fgPct / bgPct) and capped at `topN`.
+    *
+    * Scale posture: the foreground pass re-tokenizes ONLY the matched
+    * documents (match-set-sized, never corpus-sized — the narrow join
+    * hits → docmap → text), the per-term aggregation is vocabulary-
+    * bounded (partial+final hash agg), and the background df arrives
+    * from the dictionary — the already-built small artifact. At 100 TB
+    * a broad query would be wrapped in a sampler (the ES posture); the
+    * aggregation itself never materializes more than (fg vocabulary)
+    * rows. Rounding uses the explicit floor(x·1e6+0.5)/1e6 tie rule
+    * (ratios of small integers DO land on exact 6-dp halves, where
+    * Spark rounds half-up and DuckDB half-even). */
+  def significantTerms(spark: SparkSession, sfDir: String, kind: String,
+                       text: String, topN: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("fg_df",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bg_df",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.DoubleType))))
+    searcher.matchDocIds(kind, text) match {
+      case None => emptyOut
+      case Some(fg) =>
+        val fgIds = fg.join(withDocId(seg), Seq("docId")).select(col("doc_id"))
+        val fgN = fgIds.count()
+        if (fgN == 0L) return emptyOut
+        val bgN = seg.stats.numDocs
+        import spark.implicits._
+        val fgTerms = fgIds
+          .join(documents(spark, sfDir).select(col("doc_id"), col("text")),
+            Seq("doc_id"))
+          .select(col("text")).as[String]
+          .flatMap(t => graft.tokenize.Tokenizer.tokenize(t).distinct)
+          .toDF("term")
+          .groupBy(col("term")).agg(count(lit(1)).as("fg_df"))
+        fgTerms
+          .join(seg.dict.select(col("term"), col("df").as("bg_df")), Seq("term"))
+          .withColumn("fg_pct", col("fg_df") / lit(fgN.toDouble))
+          .withColumn("bg_pct", col("bg_df") / lit(bgN.toDouble))
+          .filter(col("fg_pct") > col("bg_pct"))
+          .withColumn("sig", floor((col("fg_pct") - col("bg_pct")) *
+            (col("fg_pct") / col("bg_pct")) * 1e6 + 0.5) / 1e6)
+          .select(col("term"), col("fg_df"), col("bg_df"), col("sig"))
+          .orderBy(col("sig").desc, col("term").asc)
+          .limit(topN)
+          .orderBy(col("sig").desc, col("term").asc)
+    }
+  }
+
   /** MMR-diversified results (Maximal Marginal Relevance, Carbonell &
     * Goldstein SIGIR'98 — the standard result-diversification re-rank):
     * the BM25 top-`window` re-orders greedily by

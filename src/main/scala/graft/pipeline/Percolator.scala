@@ -154,7 +154,7 @@ object Percolator {
       val p = graft.search.QueryParser.termsFor(kind, text).head
       Compiled(qid, kind, pos => pos.keysIterator.exists(_.startsWith(p)),
         Array.empty, Array.empty)
-    case "REGEX" =>
+    case "REGEX" | "WILD" => // WILD's termsFor already ran globToRegex
       val raw = graft.search.QueryParser.termsFor(kind, text).head
       val re = java.util.regex.Pattern.compile(raw)
       Compiled(qid, kind, pos => pos.keysIterator.exists(t => re.matcher(t).matches()),

@@ -392,12 +392,19 @@ object BoolQuery {
             case _ => (w0, 1.0)
           }
           val leaf =
-            if (w.length > 1 && w.endsWith("*") && !w.dropRight(1).contains("*")) {
+            if (w.length > 1 && w.endsWith("*") && !w.dropRight(1).contains("*")
+              && !w.contains("?")) {
               // same operand normalization as the PREFIX kind: the LAST
               // unfiltered tokenizer piece is the live prefix
               val pieces = Tokenizer.tokenizeUnfiltered(w.stripSuffix("*"))
               if (pieces.isEmpty) And(Nil) else Pattern(pieces.last, isRegex = false)
-            } else Tokenizer.tokenize(w).toList match {
+            } else if (w.exists(c => c == '*' || c == '?') &&
+              w.exists(c => c != '*' && c != '?'))
+              // general wildcard atom (`f*st`, `te?t`): desugars to a
+              // regex Pattern leaf — every tier's regex expansion serves
+              // it; an all-wildcard token drops like an empty leaf
+              Pattern(QueryParser.globToRegex(w.toLowerCase), isRegex = true)
+            else Tokenizer.tokenize(w).toList match {
               case Nil => And(Nil) // drops out of the enclosing AND
               case t :: Nil => Term(t)
               case ts => And(ts.map(Term(_)))

@@ -82,7 +82,8 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
     // literal terms
     val perSeg: Seq[Array[DictEntry]] = kind match {
       case "PREFIX" => searchers.map(_.dictLookupPrefix(terms.head))
-      case "REGEX" => searchers.map(_.dictLookupRegex(terms.head))
+      case "REGEX" | "WILD" => // WILD arrives glob→regex-translated
+        searchers.map(_.dictLookupRegex(terms.head))
       case "FUZZY" => searchers.map(
         _.dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text)))
       case "STEM" => searchers.map(_.dictLookupStem(terms.head))

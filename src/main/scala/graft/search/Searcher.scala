@@ -39,8 +39,15 @@ object QueryParser {
       ("REGEX", Array(t.stripPrefix("re:").trim))
     else if (t.startsWith("stem:")) // stemmed match: expansion kind STEM
       ("STEM", termsFor("STEM", t))
-    else if (t.endsWith("*") && !t.dropRight(1).contains("*") && !t.contains(" "))
+    else if (t.endsWith("*") && !t.dropRight(1).contains("*") &&
+      !t.contains("?") && !t.contains(" "))
       ("PREFIX", termsFor("PREFIX", t))
+    else if (!t.contains(" ") && t.exists(c => c == '*' || c == '?') &&
+      t.exists(c => c != '*' && c != '?'))
+      // general wildcard (Lucene WildcardQuery): `f*st`, `te?t`, `*fix` —
+      // any glob that isn't the PREFIX fast path; an all-wildcard token
+      // (`*`, `??`) falls through to free text (no whole-dict expansion)
+      ("WILD", termsFor("WILD", t))
     else if (FuzzyRe.matches(t)) // one bare word + ~d (Lucene FuzzyQuery)
       ("FUZZY", termsFor("FUZZY", t))
     else if (BoolQuery.isNested(t))
@@ -164,6 +171,14 @@ object QueryParser {
       val pieces = Tokenizer.tokenizeUnfiltered(text.trim.stripSuffix("*"))
       Array(if (pieces.isEmpty) "" else pieces.last)
     case "REGEX" => Array(text.trim.stripPrefix("re:").trim)
+    case "WILD" =>
+      // wildcard desugars to an anchored regex (Lucene WildcardQuery runs
+      // the same automaton as RegexpQuery over the translated glob):
+      // `*` → `.*`, `?` → `.`, everything else quoted. The operand stays
+      // raw-lowercase like REGEX — glob metachars make tokenizer-boundary
+      // normalization ambiguous, so the pattern matches post-split
+      // dictionary terms as written.
+      Array(QueryParser.globToRegex(text.trim.toLowerCase))
     case "FUZZY" =>
       // same normalization rule as PREFIX: dictionary terms are
       // post-split lowercase pieces, so the operand must be one too
@@ -178,6 +193,22 @@ object QueryParser {
       Array(if (pieces.isEmpty) "" else pieces.last)
     case "BOOL" => BoolQuery.terms(BoolQuery.parse(text))
     case _ => Tokenizer.queryTerms(text)
+  }
+
+  /** Glob → anchored-regex translation: `*` → `.*`, `?` → `.`, every
+    * other character regex-quoted. One shared rewrite so WILD rides the
+    * REGEX machinery identically on every read tier (relational,
+    * serving, multi-segment, percolator, boolean atoms). */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder(glob.length + 8)
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\^$.|+()[]{}".indexOf(c.toInt) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 }
 
@@ -493,6 +524,43 @@ final class Searcher(spark: SparkSession, segment: Segment,
     kept.map(_.term).sorted
   }
 
+  /** Minimum-should-match (Lucene/Elasticsearch `minimum_should_match`):
+    * top-k documents matching at least `minMatch` DISTINCT query terms,
+    * BM25-scored over the terms each document matches. `minMatch = 1` is
+    * the disjunction, `minMatch = |terms|` the conjunction; everything
+    * between is the recall/precision dial a disjunctive query exposes.
+    * An out-of-vocabulary term counts as an unmatchable clause (it can
+    * never be present) — the Lucene reading — so a query whose in-dict
+    * terms number fewer than `minMatch` is provably empty without a job.
+    *
+    * Runs the compiled-presence walk (the BOOL machinery) with the
+    * predicate "popcount ≥ minMatch" over ascending-termId slots —
+    * document-at-a-time per bucket, same termId pushdown and bucket
+    * pruning as every other kind, ≤k rows leave each bucket. */
+  def msmHits(text: String, minMatch: Int, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")
+    val entries = dictLookup(QueryParser.termsFor("OR", text).distinct)
+    if (entries.isEmpty || entries.length < minMatch)
+      return spark.emptyDataset[Hit]
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val eval: Array[Boolean] => Boolean = p => {
+      var c = 0
+      var i = 0
+      while (i < p.length) { if (p(i)) c += 1; i += 1 }
+      c >= minMatch
+    }
+    rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive = false, k, pruned = false, entries.length, boolEval = eval)
+      .toDF("docId", "score"), k, qid)
+  }
+
+  /** The query's full match set as (docId) rows under the kind's own
+    * semantics — the FOREGROUND set for aggregations that need more than
+    * facet counts (significant terms). None = provably empty. */
+  def matchDocIds(kind: String, text: String): Option[DataFrame] =
+    matchSet(kind, text)
+
   /** Batched multi-query execution ("msearch" — the offline query-log
     * shape: replay an eval set, mine hard negatives for 10k training
     * queries): N queries answered in ONE job over ONE postings scan.
@@ -520,7 +588,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
     require(queries.nonEmpty, "batchHits needs at least one query")
     require(queries.map(_._1).distinct.size == queries.size,
       "batchHits qids must be unique")
-    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "FUZZY", "STEM")
+    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "WILD",
+      "FUZZY", "STEM")
     // per-query plan: ascending termIds, idf, boost, conjunctive flag
     val plans: Array[(Long, Array[Long], Map[Long, Double], Map[Long, Double], Boolean, Int)] =
       queries.iterator.flatMap { case (qid, kind, text) =>
@@ -972,7 +1041,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
     val terms = QueryParser.termsFor(kind, text)
     kind match {
       case "PREFIX" => dictLookupPrefix(terms.head)
-      case "REGEX" => dictLookupRegex(terms.head)
+      // WILD arrives pre-translated (termsFor ran globToRegex), so the
+      // regex expansion path serves both kinds unchanged
+      case "REGEX" | "WILD" => dictLookupRegex(terms.head)
       case "FUZZY" => dictLookupFuzzy(terms.head, QueryParser.fuzzyDist(text))
       case "STEM" => dictLookupStem(terms.head)
       case "BOOL" =>

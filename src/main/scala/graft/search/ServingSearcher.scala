@@ -198,7 +198,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
         if (terms.head.isEmpty) Array.empty[DictEntry] // `*` alone: no expansion
         else dictCache.valuesIterator.filter(_.term.startsWith(terms.head))
           .toArray.sortBy(_.termId).take(Searcher.MaxExpansion)
-      case "REGEX" =>
+      case "REGEX" | "WILD" => // WILD arrives glob→regex-translated
         val re = java.util.regex.Pattern.compile(terms.head)
         dictCache.valuesIterator.filter(e => re.matcher(e.term).matches())
           .toArray.sortBy(_.termId).take(Searcher.MaxExpansion)

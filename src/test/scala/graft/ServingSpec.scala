@@ -10,12 +10,12 @@ import graft.search.ServingSearcher
   * serving path's latency as the engine's query latency. */
 class ServingSpec extends SparkSpec {
 
-  test("QUERIES.tsv parses: 57 queries, all kinds present") {
+  test("QUERIES.tsv parses: 59 queries, all kinds present") {
     val qs = QuerySet.load()
-    assert(qs.size == 57)
+    assert(qs.size == 59)
     assert(Set("FREE", "AND", "OR", "PHRASE", "NEAR", "ONEAR", "PREFIX",
-      "REGEX", "BOOL", "FUZZY", "STEM").subsetOf(qs.map(_.kind).toSet))
-    assert(qs.map(_.qid).distinct.size == 57)
+      "REGEX", "BOOL", "FUZZY", "STEM", "WILD").subsetOf(qs.map(_.kind).toSet))
+    assert(qs.map(_.qid).distinct.size == 59)
   }
 
   test("serving hits are bit-identical to the relational path on the full query set") {
