@@ -725,6 +725,10 @@ object SparkEntry {
     // batched job, exact-copy candidates excluded per seed
     "mine_negatives" -> ((s, dir) =>
       DocsIndex.mineNegatives(s, dir, Seq(7L, 42L, 100L), 5, 10)),
+    // pseudo-relevance feedback (Rocchio / MoreLikeThis interesting
+    // terms): top-5 feedback docs, 3 expansion terms at weight 0.5
+    "ft_prf" -> ((s, dir) =>
+      DocsIndex.prfRankedHits(s, dir, "dup scan", 5, 3, 15)),
     // ranking evaluation (ES rank_eval / trec_eval): prec@10, RR, nDCG@10
     // against conjunctive-containment qrels. q2-q4 carry the needle term
     // `dup` (df ~40x below the rest), so their small qrel sets force
@@ -1059,6 +1063,55 @@ object SparkEntry {
     "ft_mmr" -> mmrSql(Seq("fast", "merge", "sort", "table"), 20, 5, 0.75),
     // hard-negative twin: per-seed MLT subqueries + copy exclusion
     "mine_negatives" -> mineNegSql(Seq(7L, 42L, 100L), 5, 10),
+    // PRF twin: feedback set by rounded rank, expansion by EXACT
+    // Σtf·idf products (integer cf × one ln — order-independent),
+    // boosted re-query with the ft_boosted CASE shape
+    "ft_prf" ->
+      s"""$tokCtes, sc0 AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('dup', 'scan')
+         |  GROUP BY tf.doc_id
+         |), fb AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+         |    FROM sc0)
+         |  WHERE rnk <= 5
+         |), cf AS (
+         |  SELECT term, sum(tf)::BIGINT AS cfv FROM tf
+         |  WHERE doc_id IN (SELECT doc_id FROM fb)
+         |    AND term NOT IN ('dup', 'scan')
+         |  GROUP BY term
+         |), sel AS (
+         |  SELECT term FROM (
+         |    SELECT cf.term,
+         |           floor(cfv * ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6 + 0.5)
+         |             / 1e6 AS w
+         |    FROM cf JOIN df USING (term) CROSS JOIN stats)
+         |  ORDER BY w DESC, term LIMIT 3
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum((CASE WHEN tf.term IN ('dup', 'scan') THEN 1.0
+         |              ELSE 0.5 END)
+         |             * ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('dup', 'scan')
+         |     OR tf.term IN (SELECT term FROM sel)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // rank-eval twin: per-query bm25 ranking + containment qrels + metrics
     "ft_rankeval" -> rankEvalSql(Seq(
       1L -> Seq("fast", "merge", "sort"), 2L -> Seq("dup", "merge", "sort"),

@@ -482,6 +482,53 @@ object DocsIndex {
       .orderBy(col("seed_id"), col("rank"))
   }
 
+  /** Pseudo-relevance feedback (Rocchio SMART 1971; the Lucene
+    * MoreLikeThis interesting-terms selection; the blind-feedback family
+    * RM3 belongs to): run the query, take the top `fbDocs` under the
+    * rounded contract, select the `fbTerms` most interesting NEW terms
+    * from those docs by cfFb(t)·idf(t) — cfFb = Σtf over the feedback
+    * docs, an INTEGER, so each selection weight is ONE exact product
+    * (order-independent across engines; floor-rounded, term-asc ties) —
+    * then re-run expanded: original terms at weight 1, expansion terms
+    * at weight 0.5 (exactly representable), through the X24 boost
+    * machinery.
+    *
+    * Scale posture: the feedback set is fbDocs-sized (driver-trivial);
+    * term extraction re-tokenizes ONLY those docs; the expanded query is
+    * (|q|+fbTerms)-termed — one more WAND walk, never a corpus pass. */
+  def prfRankedHits(spark: SparkSession, sfDir: String, text: String,
+                    fbDocs: Int, fbTerms: Int, k: Int): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0 && k >= 1, "prf params must be positive")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val orig = graft.search.QueryParser.termsFor("FREE", text).distinct
+    val fbIds = rank(spark, sfDir, searcher.hits("FREE", text, fbDocs + 50),
+      fbDocs).select(col("doc_id")).collect().map(_.getLong(0))
+    if (fbIds.isEmpty)
+      return rank(spark, sfDir, spark.emptyDataset[graft.model.Hit], k)
+    val fbTexts = documents(spark, sfDir)
+      .filter(col("doc_id").isin(fbIds.map(Long.box): _*))
+      .select(col("text")).as[String].collect()
+    val cfFb = scala.collection.mutable.Map.empty[String, Long]
+    fbTexts.foreach { txt =>
+      graft.tokenize.Tokenizer.tokenize(txt).foreach { t =>
+        if (!orig.contains(t)) cfFb.update(t, cfFb.getOrElse(t, 0L) + 1L)
+      }
+    }
+    val n = seg.stats.numDocs
+    val expansion = searcher.dictLookup(cfFb.keys.toArray.sorted)
+      .map { e =>
+        val w = math.floor(cfFb(e.term) *
+          graft.model.BM25.idf(n, e.df) * 1e6 + 0.5) / 1e6
+        (w, e.term)
+      }
+      .sortBy { case (w, t) => (-w, t) }
+      .take(fbTerms).map(_._2)
+    val expanded = (orig ++ expansion.map(t => s"$t^0.5")).mkString(" ")
+    rank(spark, sfDir, searcher.hits("FREE", expanded, k + 50), k)
+  }
+
   /** Ranking evaluation (the Elasticsearch Ranking Evaluation API /
     * trec_eval offline loop): per-query precision@k, reciprocal rank,
     * and nDCG@k for an eval set, judged against DETERMINISTIC qrels —
