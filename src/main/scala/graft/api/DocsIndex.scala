@@ -580,8 +580,15 @@ object DocsIndex {
       if (qrelDfs.isEmpty)
         meta.select(col("qid"), col("n_rel").as("doc_id")).limit(0)
       else qrelDfs.reduce(_.union(_))
+    // the qrel set is corpus-sized for a weak conjunction; the ranked set
+    // is ≤|q|·k rows — semi-join rels down through a BROADCAST of the
+    // bounded side first, so no corpus-scale shuffle reaches the mark join
+    val relHits = rels.join(
+      broadcast(ranked.select(col("qid"), col("doc_id"))),
+      Seq("qid", "doc_id"), "left_semi")
     val marked = ranked
-      .join(rels.withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
+      .join(broadcast(relHits.withColumn("rel", lit(1))),
+        Seq("qid", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
     val agg = marked.groupBy(col("qid")).agg(
       (sum(col("rel")) / lit(k.toDouble)).as("prec_raw"),

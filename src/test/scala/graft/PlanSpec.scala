@@ -103,6 +103,18 @@ class PlanSpec extends SparkSpec {
       s"rescore window must broadcast:\n$rPlan")
   }
 
+  test("rankEval marks qrels through broadcast joins, never a corpus shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.api.DocsIndex
+      .rankEval(spark, sf, Seq(1L -> "dup scan", 2L -> "fast merge"), 10)
+      .queryExecution.executedPlan.toString
+    // the semi-join filter and the mark join carry the bounded (≤|q|·k)
+    // ranked side as a broadcast (the qrel DERIVATION itself may join
+    // corpus-sized sets — that mapping is inherent to counting R)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"qrel mark must broadcast the ranked side:\n$plan")
+  }
+
   test("TPC-H style join picks broadcast for the small dimension") {
     val sf = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_join_rev")(spark, sf)
