@@ -635,6 +635,11 @@ object SparkEntry {
       DocsIndex.rankedHits(s, dir, "BOOL", "(\"fast merge\"^2 OR slow) AND table", 20)),
     "ft_highlight" -> ((s, dir) =>
       DocsIndex.highlights(s, dir, "FREE", "fast merge", 10)),
+    // snippet fragments: each matched position of the top-8 docs with
+    // its ±2-token window over the filtered token stream (the ES
+    // highlighter fragment surface)
+    "ft_snippets" -> ((s, dir) =>
+      DocsIndex.snippets(s, dir, "FREE", "slow table", 8, 2)),
     "ft_facets" -> ((s, dir) => {
       val (_, searcher, _) = DocsIndex.get(s, dir)
       searcher.facets("FREE", "fast merge", "lang").orderBy("lang")
@@ -696,6 +701,14 @@ object SparkEntry {
       DocsIndex.fieldedRankedHits(s, dir, "lang:fr fast merge sort", 20)),
     "ft_fielded_combo" -> ((s, dir) =>
       DocsIndex.fieldedRankedHits(s, dir, "repo:src3 lang:en fast merge sort", 10)),
+    // numeric range atom: docLen constrained to [40, 120] via the
+    // generalized predicate bitset (one probe inside the walks)
+    "ft_fielded_range" -> ((s, dir) =>
+      DocsIndex.fieldedRankedHits(s, dir, "len:40..120 fast merge sort", 20)),
+    // common-terms query: 'dup' (df 25/500) is required at cutoff 0.3,
+    // 'the'/'merge' (df ~0.8N) are optional but score when present
+    "ft_common_terms" -> ((s, dir) =>
+      DocsIndex.commonTermsRankedHits(s, dir, "the dup merge", 0.3, 20)),
     "ft_deleted" -> ((s, dir) =>
       DocsIndex.deletedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
     "ft_purged" -> ((s, dir) =>
@@ -708,6 +721,17 @@ object SparkEntry {
       val (_, searcher, _) = DocsIndex.get(s, dir)
       val rows = searcher.suggest("mrege", 5, maxDist = 2)
       s.createDataFrame(rows.toSeq).toDF("term", "df")
+    }),
+    // phrase suggester: per-token edit-distance candidates (df desc,
+    // term asc, top 3) → cartesian phrases ranked by the JM-smoothed
+    // unigram LM likelihood — multi-word "did you mean"
+    "ft_suggest_phrase" -> ((s, dir) => {
+      val (_, searcher, _) = DocsIndex.get(s, dir)
+      val rows = searcher.suggestPhrase("past tabl", 5)
+      import org.apache.spark.sql.expressions.Window
+      s.createDataFrame(rows.toSeq).toDF("suggestion", "score")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("suggestion").asc)).cast("long"))
     }),
     // autocomplete: top-5 completions of prefix "s" by (df desc, term) —
     // the typeahead surface; 6 vocabulary terms start with "s", so the
@@ -911,6 +935,12 @@ object SparkEntry {
     "seq_pack" -> ((s, dir) =>
       Curation.packSequences(s, DocsIndex.documents(s, dir), 128)
         .orderBy("seq_id", "doc_id")),
+    // DSIR importance resampling (Xie et al. NeurIPS 2023): hashed-
+    // unigram importance weights of every raw doc under the src0-target
+    // feature LM over the raw feature LM; keep = rounded weight > 0
+    "dsir_sample" -> ((s, dir) =>
+      Curation.dsirWeights(DocsIndex.documents(s, dir), "src0", 64, 0.0)
+        .orderBy("doc_id")),
     // GloVe-style co-occurrence table: ordered in-doc pairs within a
     // 2-token window, corpus-wide counts, floor 5
     "cooc_pairs" -> ((s, dir) =>
@@ -997,6 +1027,18 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("cnt"), col("sum_qty"))
         .orderBy("rf", "ls")),
+    // exact percentiles (sort-based Spark `percentile`, the linear-
+    // interpolation definition DuckDB's quantile_cont shares); the
+    // sketch rung — approx_percentile (Greenwald-Khanna) — is gated
+    // against this exact path in SketchSpec, the ann_lsh posture for
+    // approximate operators
+    "q_percentile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .orderBy("l_returnflag")),
     "q_window_frame" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -1253,6 +1295,30 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // common-terms twin: requiredness computed from df IN SQL (df <
+    // 0.3·N — the same cutoff rule as the engine), scoring over every
+    // present query term, required or not
+    "ft_common_terms" ->
+      s"""$tokCtes, req AS (
+         |  SELECT term FROM df CROSS JOIN stats
+         |  WHERE term IN ('the', 'dup', 'merge') AND df < 0.3 * n
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('the', 'dup', 'merge')
+         |  GROUP BY tf.doc_id
+         |  HAVING count(DISTINCT CASE WHEN tf.term IN (SELECT term FROM req)
+         |                             THEN tf.term END)
+         |         = (SELECT count(*) FROM req)
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // significant-terms twin: JLH over the FREE match set (any query
     // term) vs the corpus background; the explicit floor tie rule —
     // these ratios of small integers DO land on exact 6-dp halves
@@ -1397,6 +1463,39 @@ object SparkEntry {
          |FROM tokp t
          |WHERE t.term IN ('fast', 'merge') AND t.doc_id IN (SELECT doc_id FROM topd)
          |ORDER BY doc_id, term, pos""".stripMargin,
+    // snippet fragments: the highlight twin plus a per-doc token list;
+    // the fragment is the 1-based inclusive [pos-2, pos+2] slice of the
+    // filtered stream — the exact window DocsIndex.snippets cuts
+    "ft_snippets" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('slow', 'table')
+         |  GROUP BY tf.doc_id
+         |), topd AS (
+         |  SELECT doc_id FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 8
+         |), la AS (
+         |  SELECT doc_id, list(term ORDER BY pos) AS l FROM tokp
+         |  WHERE doc_id IN (SELECT doc_id FROM topd) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.term, t.pos::BIGINT AS pos,
+         |       array_to_string(
+         |         l[greatest(1, t.pos - 2):least(len(l), t.pos + 2)], ' ') AS snippet
+         |FROM tokp t JOIN la USING (doc_id)
+         |WHERE t.term IN ('slow', 'table') AND t.doc_id IN (SELECT doc_id FROM topd)
+         |ORDER BY doc_id, term, pos""".stripMargin,
     // sparse tf-idf doc vectors: same idf form the engine pins (BM25
     // Robertson–Spärck-Jones smoothed), ranked on the ROUNDED value
     // with a term tie-break so both engines pick identical rows
@@ -1494,6 +1593,12 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // numeric range atom len:40..120 — docLen == the dl CTE (ft_doclen
+    // pins the equality); statistics stay global (filter-doesn't-rescale)
+    "ft_fielded_range" ->
+      bm25Sql(Seq("fast", "merge", "sort"), conjunctive = false, k = 20,
+        exclude =
+          "AND tf.doc_id IN (SELECT doc_id FROM alldl WHERE dl BETWEEN 40 AND 120)"),
     // live deletes: result docs filtered, statistics CTEs untouched —
     // the filter-doesn't-rescale contract of Searcher.deletedHits
     "ft_deleted" ->
@@ -1836,6 +1941,27 @@ object SparkEntry {
          |SELECT term, df FROM df
          |WHERE levenshtein(term, 'mrege') <= 2
          |ORDER BY df DESC, term LIMIT 5""".stripMargin,
+    // phrase suggester: identical per-token candidate rule and unigram
+    // LM; Σcf == Σdl (the build invariant), V = vocabulary size
+    "ft_suggest_phrase" ->
+      s"""$tokCtes, tot AS (
+         |  SELECT sum(cf) * 1.0 AS total, count(*) * 1.0 AS v FROM df
+         |), c0 AS (
+         |  SELECT term, cf FROM df WHERE levenshtein(term, 'past') <= 1
+         |  ORDER BY df DESC, term LIMIT 3
+         |), c1 AS (
+         |  SELECT term, cf FROM df WHERE levenshtein(term, 'tabl') <= 1
+         |  ORDER BY df DESC, term LIMIT 3
+         |)
+         |SELECT suggestion, score,
+         |       row_number() OVER (ORDER BY score DESC, suggestion) AS rank
+         |FROM (
+         |  SELECT c0.term || ' ' || c1.term AS suggestion,
+         |         floor((ln(0.9 * c0.cf / tot.total + 0.1 / tot.v)
+         |              + ln(0.9 * c1.cf / tot.total + 0.1 / tot.v)) * 1e6 + 0.5)
+         |           / 1e6 AS score
+         |  FROM c0 CROSS JOIN c1 CROSS JOIN tot)
+         |ORDER BY score DESC, suggestion LIMIT 5""".stripMargin,
     // autocomplete: prefix completions ranked by popularity (df desc,
     // term asc) — the deterministic typeahead contract
     "ft_complete" ->
@@ -2078,6 +2204,39 @@ object SparkEntry {
         |)
         |SELECT doc_id, perplexity, (perplexity <= 29.2) AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
+    // DSIR: same md5 feature hash, same add-one smoothing; the twin sums
+    // per token where the engine sums per bucket — identical values, and
+    // the ~1e-15 ln drift sits far inside the 6-dp floor round
+    "dsir_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, source, term FROM tok WHERE length(term) >= 2
+        |), tb AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(term), 1, 6))::BIGINT % 64 AS b
+        |  FROM tok2
+        |), tgt AS (
+        |  SELECT b, count(*)::BIGINT AS c FROM tb WHERE source = 'src0' GROUP BY 1
+        |), rawc AS (
+        |  SELECT b, count(*)::BIGINT AS c FROM tb WHERE source <> 'src0' GROUP BY 1
+        |), tots AS (
+        |  SELECT (SELECT coalesce(sum(c), 0) FROM tgt) + 64.0 AS tt,
+        |         (SELECT coalesce(sum(c), 0) FROM rawc) + 64.0 AS tr
+        |), lam AS (
+        |  SELECT bs.b, ln((coalesce(tgt.c, 0) + 1.0) / tots.tt)
+        |             - ln((coalesce(rawc.c, 0) + 1.0) / tots.tr) AS l
+        |  FROM (SELECT unnest(range(0, 64)) AS b) bs
+        |  LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b) CROSS JOIN tots
+        |), sc AS (
+        |  SELECT tb.doc_id, sum(lam.l) AS s, count(*)::BIGINT AS n
+        |  FROM tb JOIN lam USING (b) WHERE tb.source <> 'src0' GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(sc.n, 0)::BIGINT AS n_toks,
+        |       floor(coalesce(sc.s, 0.0) * 1e6 + 0.5) / 1e6 AS weight,
+        |       (floor(coalesce(sc.s, 0.0) * 1e6 + 0.5) / 1e6 > 0.0) AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |WHERE d.source <> 'src0' ORDER BY doc_id""".stripMargin,
     "strat_sample" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,
@@ -2166,6 +2325,14 @@ object SparkEntry {
         |       count(*)::BIGINT AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    // exact percentiles: Spark `percentile` and DuckDB quantile_cont
+    // share the linear-interpolation definition over the sorted values
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_frame" ->
       """SELECT o_orderkey, o_custkey,
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey

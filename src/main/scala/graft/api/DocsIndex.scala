@@ -143,6 +143,28 @@ object DocsIndex {
     val (fields, rest) = QueryParser.parseFields(query)
     val (kind, _) = QueryParser.parse(rest)
     val (seg, searcher, _) = get(spark, sfDir)
+    // numeric range atom `len:lo..hi` (inclusive, over the docmap's
+    // docLen): one bitset probe via the generalized predicate filter;
+    // lang:/repo: constraints fold into the same predicate (one bitset,
+    // filters compose by conjunction)
+    val LenRe = """(\d+)\.\.(\d+)""".r
+    fields.get("len") match {
+      case Some(LenRe(lo, hi)) =>
+        var pred = col("docLen") >= lo.toLong && col("docLen") <= hi.toLong
+        var tag = s"len:$lo..$hi"
+        fields.get("lang").foreach { l =>
+          pred = pred && col("lang") === l; tag += s"|lang:$l"
+        }
+        fields.get("repo").foreach { r =>
+          pred = pred && col("repo") === r; tag += s"|repo:$r"
+        }
+        return rank(spark, sfDir,
+          searcher.predFieldedHits(kind, rest, k + 50, tag, pred), k)
+      case Some(bad) =>
+        throw new IllegalArgumentException(
+          s"len: atom must be lo..hi (inclusive), got 'len:$bad'")
+      case None => ()
+    }
     (fields.get("repo"), fields.get("lang")) match {
       case (None, None) => rankedHits(spark, sfDir, kind, rest, k)
       case (None, Some(l)) =>
@@ -196,6 +218,36 @@ object DocsIndex {
     searcher.matchedPositions(entries, idByDocId.keys.toArray)
       .map { case (d, tid, p) => (bId.value(d), termByTid(tid), (p + 1).toLong) }
       .toDF("doc_id", "term", "pos")
+      .orderBy("doc_id", "term", "pos")
+  }
+
+  /** Snippet/fragment extraction — the Elasticsearch highlighter's
+    * fragment surface: for every matched position of [[highlights]], the
+    * ±`w`-token window of the document's (filtered) token stream around
+    * the match, joined back into a display string. One row per
+    * (doc, term, position) with its fragment.
+    *
+    * Scale posture: the position set is bounded by the top-k docs (the
+    * highlight regime — galloping cursor decode, never a full-list
+    * decode); fragment assembly re-tokenizes ONLY those ≤k documents,
+    * via a broadcast of the ≤k-doc position rows into a pushdown-pruned
+    * read of their texts. Window slicing happens executor-side per row;
+    * nothing corpus-sized moves. */
+  def snippets(spark: SparkSession, sfDir: String, kind: String,
+               text: String, k: Int, w: Int): DataFrame = {
+    require(w >= 0, "snippet window must be non-negative")
+    val hl = highlights(spark, sfDir, kind, text, k)
+    val frag = udf { (txt: String, pos: Long) =>
+      val toks = graft.tokenize.Tokenizer.tokenize(Option(txt).getOrElse(""))
+      val lo = math.max(0, pos.toInt - 1 - w)
+      val hi = math.min(toks.length, pos.toInt + w)
+      toks.slice(lo, hi).mkString(" ")
+    }
+    broadcast(hl)
+      .join(documents(spark, sfDir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("term"), col("pos"),
+        frag(col("text"), col("pos")).as("snippet"))
       .orderBy("doc_id", "term", "pos")
   }
 
@@ -612,6 +664,15 @@ object DocsIndex {
                     minMatch: Int, k: Int): DataFrame = {
     val (_, searcher, _) = get(spark, sfDir)
     rank(spark, sfDir, searcher.msmHits(text, minMatch, k + 50), k)
+  }
+
+  /** Common-terms ranked surface (Searcher.commonTermsHits): rare terms
+    * required, common terms optional-but-scoring, rounded-rank
+    * contract. */
+  def commonTermsRankedHits(spark: SparkSession, sfDir: String, text: String,
+                            maxDfFrac: Double, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.commonTermsHits(text, maxDfFrac, k + 50), k)
   }
 
   /** Significant-terms aggregation (the Elasticsearch `significant_terms`

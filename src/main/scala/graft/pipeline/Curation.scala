@@ -364,4 +364,86 @@ object Curation {
         (floor(x * 1e6 + 0.5) / 1e6).as("quality"))
       .withColumn("keep", col("quality") > 0.0)
   }
+
+  // ── DSIR importance resampling ───────────────────────────────────────
+
+  /** Hashed-unigram feature bucket of a term: first 6 hex chars of
+    * md5(term) mod `buckets` — the md5-portable hash convention of
+    * [[stratifiedSample]]/[[hashWeight]], so DuckDB computes the
+    * identical bucket from the identical hex. */
+  def dsirBucket(term: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 6)
+    java.lang.Integer.parseInt(hex, 16) % buckets
+  }
+
+  /** Data Selection with Importance Resampling (DSIR — Xie et al.,
+    * NeurIPS 2023), the hashed-n-gram form: score every RAW document
+    * (source ≠ `targetSource`) by its log importance weight under two
+    * bag-of-hashed-unigram feature LMs — the target distribution
+    * (estimated from the `targetSource` partition) over the raw
+    * distribution (the rest of the corpus):
+    *
+    *   w(doc) = Σ_tokens  ln p̂_tgt(bucket(t)) − ln p̂_raw(bucket(t))
+    *
+    * with add-one smoothing p̂_x(b) = (cnt_x(b)+1)/(total_x+B). High
+    * weight = looks like the target domain; `keep` selects docs with
+    * rounded weight > `tau` (the deterministic top-slice variant of the
+    * paper's importance resampling — no RNG, so the SAME rows survive in
+    * every engine at every parallelism, the [[stratifiedSample]] rule).
+    *
+    * Scale posture: the feature space is `buckets`-sized by
+    * construction (the paper's point — hashed features keep both LMs in
+    * memory at any corpus size), so training is ONE bucket-keyed hash
+    * agg (partial+final, key space ≤ B) collected and broadcast as two
+    * Double arrays; scoring is one narrow pass per doc with per-doc
+    * bucket counts accumulated locally and the Σ taken in ascending
+    * bucket order (deterministic float order). Zero corpus-scale joins.
+    * Σ-of-ln drift vs the SQL twin is ~1e-15 relative (the
+    * [[lmPerplexity]] regime), far inside the 6-dp round. */
+  def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64,
+                  tau: Double = 0.0): DataFrame = {
+    require(buckets >= 1, "dsir needs at least one feature bucket")
+    val spark = docs.sparkSession
+    val bucketCol = conv(substring(md5(col("term")), 1, 6), 16, 10)
+      .cast("long").cast("int") % buckets
+    val counts = docs
+      .select(col("source"), explode(filter(split(col("text"), " "),
+        t => length(t) >= 2)).as("term"))
+      .select((col("source") === targetSource).as("is_tgt"), bucketCol.as("b"))
+      .groupBy(col("is_tgt"), col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    val tgtCnt = new Array[Long](buckets)
+    val rawCnt = new Array[Long](buckets)
+    counts.foreach { r =>
+      val arr = if (r.getBoolean(0)) tgtCnt else rawCnt
+      arr(r.getInt(1)) = r.getLong(2)
+    }
+    val tgtTot = tgtCnt.sum.toDouble + buckets
+    val rawTot = rawCnt.sum.toDouble + buckets
+    val lambda = Array.tabulate(buckets)(b =>
+      math.log((tgtCnt(b) + 1.0) / tgtTot) - math.log((rawCnt(b) + 1.0) / rawTot))
+    val bcLambda = spark.sparkContext.broadcast(lambda)
+    val weight = udf { text: String =>
+      val lam = bcLambda.value
+      val cnt = new Array[Long](buckets)
+      Option(text).getOrElse("").split(" ").foreach { t =>
+        if (t.length >= 2) cnt(dsirBucket(t, buckets)) += 1L
+      }
+      var s = 0.0
+      var n = 0L
+      var b = 0
+      while (b < buckets) {
+        if (cnt(b) > 0) { s += cnt(b) * lam(b); n += cnt(b) }
+        b += 1
+      }
+      (n, math.floor(s * 1e6 + 0.5) / 1e6)
+    }
+    docs.filter(col("source") =!= targetSource)
+      .select(col("doc_id"), weight(col("text")).as("w"))
+      .select(col("doc_id"), col("w._1").as("n_toks"),
+        col("w._2").as("weight"))
+      .withColumn("keep", col("weight") > tau)
+  }
 }

@@ -63,7 +63,7 @@ object QueryParser {
     else ("FREE", Tokenizer.queryTerms(t))
   }
 
-  private val FieldRe = "^(lang|repo):(\\S+)$".r
+  private val FieldRe = "^(lang|repo|len):(\\S+)$".r
 
   /** Extract fielded atoms (`lang:v`, `repo:v`) from a query; returns
     * (fields, remaining query text). `repo:` maps to the contiguous
@@ -317,7 +317,11 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * (the vocabulary is the small artifact by design); a length band
     * prunes before any distance is computed, and the DP itself
     * early-exits when a row's minimum exceeds the bound. */
-  def suggest(word: String, k: Int, maxDist: Int = 1): Array[(String, Long)] = {
+  def suggest(word: String, k: Int, maxDist: Int = 1): Array[(String, Long)] =
+    suggestEntries(word, k, maxDist).map(e => e.term -> e.df)
+
+  private def suggestEntries(word: String, k: Int,
+                             maxDist: Int): Array[DictEntry] = {
     val w = word.trim.toLowerCase
     if (w.isEmpty) return Array.empty
     val band = (e: DictEntry) => math.abs(e.term.length - w.length) <= maxDist
@@ -326,7 +330,55 @@ final class Searcher(spark: SparkSession, segment: Segment,
       case None => segment.dict
         .filter(abs(length($"term") - lit(w.length)) <= maxDist).collect()
     }).filter(e => Searcher.editDistance(e.term, w, maxDist) <= maxDist)
-    cands.sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
+    cands.sortBy(e => (-e.df, e.term)).take(k)
+  }
+
+  /** Total corpus token count Σcf — equal to ΣdocLen by the build
+    * invariant, computed exactly (Long) from the dictionary. */
+  private lazy val totalCf: Long = dictCache match {
+    case Some(m) => m.valuesIterator.map(_.cf).sum
+    case None => segment.dict.agg(sum($"cf")).collect().head.getLong(0)
+  }
+
+  /** Phrase suggester (the Elasticsearch phrase-suggest surface —
+    * multi-word "did you mean"): per query token, the top `perTok`
+    * vocabulary candidates within edit distance `maxDist` ranked by the
+    * [[suggest]] contract (df desc, term asc; a token with no candidate
+    * survives as itself — the JM smoothing prices its absence); the
+    * cartesian candidate phrases are then ranked by their log-likelihood
+    * under the Jelinek-Mercer-smoothed unigram corpus LM (the
+    * Curation.lmPerplexity model over the INDEX dictionary's cf):
+    * score = Σ ln(λ·cf(t)/Σcf + (1−λ)/V), floor-rounded at 6 dp, ties
+    * broken by suggestion text. Everything is dictionary-sized
+    * driver-side work — the X22 suggest regime; the candidate space is
+    * bounded by perTok^|q| (|q| capped at 8, perTok at 4).
+    *
+    * The edit metric is DuckDB's `levenshtein` and the LM is portable
+    * arithmetic over exact integers, so the twin is exact. */
+  def suggestPhrase(text: String, n: Int, maxDist: Int = 1,
+                    perTok: Int = 3, lambda: Double = 0.9)
+      : Array[(String, Double)] = {
+    require(perTok >= 1 && perTok <= 4 && n >= 1, "phrase-suggest bounds")
+    val toks = Tokenizer.tokenize(text)
+    if (toks.isEmpty) return Array.empty
+    require(toks.length <= 8,
+      s"phrase suggestions are for short queries (got ${toks.length} tokens)")
+    val total = totalCf.toDouble
+    val v = segment.stats.numTerms.toDouble
+    def lnP(cf: Long): Double =
+      math.log(lambda * cf / total + (1.0 - lambda) / v)
+    val cands: Array[Array[(String, Long)]] = toks.map { t =>
+      val es = suggestEntries(t, perTok, maxDist)
+      if (es.isEmpty) Array(t -> 0L) else es.map(e => e.term -> e.cf)
+    }
+    val phrases = cands.foldLeft(Array(("", 0.0))) { (acc, cs) =>
+      for { (p, s) <- acc; (t, cf) <- cs }
+        yield (if (p.isEmpty) t else s"$p $t", s + lnP(cf))
+    }
+    phrases
+      .map { case (p, s) => (p, math.floor(s * 1e6 + 0.5) / 1e6) }
+      .sortBy { case (p, s) => (-s, p) }
+      .take(n)
   }
 
   /** Autocomplete (the search-box typeahead surface): vocabulary terms
@@ -386,6 +438,27 @@ final class Searcher(spark: SparkSession, segment: Segment,
       : org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] =
     filterCache.getOrElseUpdate((field, value),
       bitsetBlocks(segment.docs.filter(col(field) === value).select($"docId").as[Long]))
+
+  /** Bitset filter over an arbitrary docmap predicate, cached by `tag`
+    * (callers must make the tag a faithful key for the predicate) — the
+    * generalization of [[docFilter]] behind numeric range atoms
+    * (`len:lo..hi`) and composed field constraints. Same residency
+    * regime as docFilter. */
+  private[search] def docFilterWhere(tag: String,
+                                     pred: org.apache.spark.sql.Column)
+      : org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] =
+    filterCache.getOrElseUpdate(("__where", tag),
+      bitsetBlocks(segment.docs.filter(pred).select($"docId").as[Long]))
+
+  /** Top-k restricted to docs whose docmap row satisfies `pred` —
+    * fielded queries generalized to arbitrary (e.g. numeric range)
+    * constraints. Scores keep GLOBAL corpus statistics, the filter is a
+    * bitset probe inside the walks, exactly like [[fieldedHits]]. */
+  def predFieldedHits(kind: String, text: String, k: Int, tag: String,
+                      pred: org.apache.spark.sql.Column,
+                      qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true,
+      acceptB = docFilterWhere(tag, pred))
 
   /** Per-bucket bitset blocks over an arbitrary docId set — the shared
     * mechanism behind field filters and tombstones. Bucket-local bitsets
@@ -550,6 +623,47 @@ final class Searcher(spark: SparkSession, segment: Segment,
       while (i < p.length) { if (p(i)) c += 1; i += 1 }
       c >= minMatch
     }
+    rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive = false, k, pruned = false, entries.length, boolEval = eval)
+      .toDF("docId", "score"), k, qid)
+  }
+
+  /** Common-terms query (the Lucene CommonTermsQuery surface — the
+    * scale-era answer to stopword lists): query terms split by document
+    * frequency at `maxDfFrac`·N — RARE terms (df strictly below the
+    * cutoff) are required (conjunctive), COMMON terms are optional but
+    * still score when present. A stopword-heavy query thus stays as
+    * selective as its informative terms while "the"-class terms only
+    * nudge ranking. When every term is common the query degrades to the
+    * plain disjunction (the Lucene rule: nothing left to require).
+    *
+    * Same machinery as [[msmHits]]: the compiled-presence walk with a
+    * required-slot mask over ascending-termId slots; scoring is BM25
+    * over ALL present distinct terms (required and optional alike). OOV
+    * terms are unmatchable and ignored — they are neither required nor
+    * scorable. */
+  def commonTermsHits(text: String, maxDfFrac: Double, k: Int,
+                      qid: Long = 0L): Dataset[Hit] = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val entries = dictLookup(QueryParser.termsFor("OR", text).distinct)
+    if (entries.isEmpty) return spark.emptyDataset[Hit]
+    val cutoff = maxDfFrac * stats.numDocs
+    val required: Array[Boolean] = entries.map(_.df < cutoff)
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val eval: Array[Boolean] => Boolean =
+      if (!required.exists(identity)) { p =>
+        var any = false
+        var i = 0
+        while (i < p.length) { if (p(i)) any = true; i += 1 }
+        any
+      } else { p =>
+        var ok = true
+        var i = 0
+        while (i < p.length) { if (required(i) && !p(i)) ok = false; i += 1 }
+        ok
+      }
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive = false, k, pruned = false, entries.length, boolEval = eval)
       .toDF("docId", "score"), k, qid)

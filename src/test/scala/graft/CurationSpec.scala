@@ -220,4 +220,45 @@ class CurationSpec extends SparkSpec {
       assert(w == math.rint(w) && math.abs(w) <= 1000.0, s"$t -> $w")
     }
   }
+
+  test("dsirWeights matches brute-force importance weights; target excluded") {
+    val buckets = 16
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(3)))
+    def toks(t: String) = t.split(" ").filter(_.length >= 2)
+    // train the two feature LMs exactly as the engine does
+    val tgtCnt = new Array[Long](buckets)
+    val rawCnt = new Array[Long](buckets)
+    rows.foreach { case (_, text, src) =>
+      val arr = if (src == "bench") tgtCnt else rawCnt
+      toks(text).foreach(t => arr(Curation.dsirBucket(t, buckets)) += 1L)
+    }
+    val tt = tgtCnt.sum.toDouble + buckets
+    val tr = rawCnt.sum.toDouble + buckets
+    val lam = Array.tabulate(buckets)(b =>
+      math.log((tgtCnt(b) + 1.0) / tt) - math.log((rawCnt(b) + 1.0) / tr))
+    def weightOf(text: String): (Long, Double) = {
+      val cnt = new Array[Long](buckets)
+      toks(text).foreach(t => cnt(Curation.dsirBucket(t, buckets)) += 1L)
+      var s = 0.0; var n = 0L
+      (0 until buckets).foreach { b =>
+        if (cnt(b) > 0) { s += cnt(b) * lam(b); n += cnt(b) }
+      }
+      (n, math.floor(s * 1e6 + 0.5) / 1e6)
+    }
+    val got = Curation.dsirWeights(docs, "bench", buckets, 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val rawRows = rows.filter(_._3 != "bench")
+    assert(got.keySet == rawRows.map(_._1).toSet) // target docs excluded
+    rawRows.foreach { case (id, text, _) =>
+      val (n, w) = weightOf(text)
+      assert(got(id) == ((n, w, w > 0.0)), s"doc $id: ${got(id)} vs ($n,$w)")
+    }
+    // the exact-copy doc (10L) must look MORE like the target than the
+    // fresh doc (12L) — the selection signal the operator exists for
+    assert(got(10L)._2 > got(12L)._2)
+    // the empty doc carries no features: weight exactly 0, dropped at tau 0
+    assert(got(15L) == ((0L, 0.0, false)))
+  }
 }

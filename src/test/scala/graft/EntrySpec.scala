@@ -20,6 +20,26 @@ class EntrySpec extends SparkSpec {
       "ann_ivfpq", "dedup_semantic"), q.diff(o).toString)
   }
 
+  test("snippets cut the exact ±2-token window around each matched position") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val textById = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.api.DocsIndex.snippets(spark, sf, "FREE", "slow table", 8, 2)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, term, pos, snip) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+      val toks = graft.tokenize.Tokenizer.tokenize(textById(d))
+      assert(toks(pos.toInt - 1) == term, s"doc $d pos $pos")
+      val want = toks.slice(math.max(0, pos.toInt - 3),
+        math.min(toks.length, pos.toInt + 2)).mkString(" ")
+      assert(snip == want, s"doc $d pos $pos: '$snip' vs '$want'")
+    }
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf

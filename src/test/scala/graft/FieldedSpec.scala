@@ -26,6 +26,29 @@ class FieldedSpec extends SparkSpec {
     assert(QueryParser.parseFields("fast merge") == (Map.empty, "fast merge"))
     // unknown fields stay query text
     assert(QueryParser.parseFields("size:3 fast")._2 == "size:3 fast")
+    // numeric range atom
+    assert(QueryParser.parseFields("len:40..120 fast") ==
+      (Map("len" -> "40..120"), "fast"))
+  }
+
+  test("len: range atom == filtered global ranking (predicate bitset)") {
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val q = s"${terms(0)} ${terms(1)}"
+    // pick a band that keeps a strict, non-empty subset of the corpus
+    val lens = seg.docs.select(col("docLen")).collect().map(_.getInt(0)).sorted
+    val (lo, hi) = (lens(lens.length / 4).toLong, lens(3 * lens.length / 4).toLong)
+    val inRange = seg.docs
+      .filter(col("docLen") >= lo && col("docLen") <= hi)
+      .select(col("docId")).collect().map(_.getLong(0)).toSet
+    assert(inRange.nonEmpty && inRange.size < seg.stats.numDocs)
+    val got = searcher.predFieldedHits("FREE", q, 10, s"len:$lo..$hi",
+        col("docLen") >= lo && col("docLen") <= hi)
+      .collect().map(h => (h.docId, h.score)).toSeq
+    val want = searcher.hitsExhaustive("FREE", q, seg.stats.numDocs.toInt)
+      .collect().filter(h => inRange(h.docId))
+      .sortBy(h => (-h.score, h.docId)).take(10)
+      .map(h => (h.docId, h.score)).toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("fielded hits == filtered global ranking (same global stats)") {

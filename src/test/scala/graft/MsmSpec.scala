@@ -71,4 +71,33 @@ class MsmSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       searcher.msmHits(q, 0, 10)).getMessage.contains("minMatch"))
   }
+
+  test("commonTerms endpoints: all-rare == AND, all-common == OR, bit-identical") {
+    // every planted term has df < N, so cutoff 1.0 requires them all
+    val and = searcher.hits("AND", "fast AND merge AND sort AND table", 10)
+      .collect().toSeq
+    assert(searcher.commonTermsHits(q, 1.0, 10).collect().toSeq == and)
+    // a cutoff below 1/N leaves nothing required: plain disjunction
+    val or = searcher.hits("OR", "fast OR merge OR sort OR table", 10)
+      .collect().toSeq
+    assert(searcher.commonTermsHits(q, 1e-9, 10).collect().toSeq == or)
+  }
+
+  test("commonTerms middle cutoff: rare terms required, common ones score") {
+    // dfs on the planted corpus (7 docs): fast 4, merge 4, sort 4, table 3
+    // cutoff 4/7: only 'table' (df 3) is required; the others are common
+    val cutoff = 4.0 / 7.0
+    val got = searcher.commonTermsHits(q, cutoff, 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    // brute force: the OR ranking filtered to docs containing 'table'
+    val tableDocs = searcher.hits("AND", "table", 10).collect()
+      .map(_.docId).toSet
+    val want = searcher.hits("OR", "fast OR merge OR sort OR table", 10)
+      .collect().filter(h => tableDocs(h.docId))
+      .sortBy(h => (-h.score, h.docId)).map(h => (h.docId, h.score)).toSeq
+    assert(got.map(_._1).toSet == tableDocs)
+    assert(got == want, s"got=$got want=$want")
+    // required-term docs are a strict subset of the disjunction
+    assert(got.size == 3)
+  }
 }

@@ -107,4 +107,42 @@ class SuggestSpec extends SparkSpec {
     assert(serving.complete(pre, 10).toSeq == searcher.complete(pre, 10).toSeq)
     serving.close()
   }
+
+  test("suggestPhrase == brute-force candidate product under the unigram LM") {
+    val vocab = seg.dict.collect()
+    val total = vocab.map(_.cf).sum.toDouble
+    val v = vocab.length.toDouble
+    def lnP(cf: Long) = math.log(0.9 * cf / total + 0.1 / v)
+    def candsOf(tok: String): Array[(String, Long)] = {
+      val cs = vocab.filter(e => lev(e.term, tok) <= 1)
+        .sortBy(e => (-e.df, e.term)).take(3).map(e => e.term -> e.cf)
+      if (cs.isEmpty) Array(tok -> 0L) else cs
+    }
+    val Array(t0, t1) = vocab.sortBy(e => (-e.df, e.term)).take(2).map(_.term)
+    val q = s"${t0.drop(1)} ${t1.drop(1)}" // two distance-1 typos
+    val want = (for {
+      (a, cfa) <- candsOf(t0.drop(1))
+      (b, cfb) <- candsOf(t1.drop(1))
+    } yield (s"$a $b",
+        math.floor((lnP(cfa) + lnP(cfb)) * 1e6 + 0.5) / 1e6))
+      .sortBy { case (p, s) => (-s, p) }.take(5)
+    val got = searcher.suggestPhrase(q, 5)
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq} want ${want.toSeq}")
+    // the corrected phrase is among the suggestions
+    assert(got.map(_._1).contains(s"$t0 $t1"))
+  }
+
+  test("suggestPhrase keeps an uncorrectable token, priced by smoothing") {
+    val vocab = seg.dict.collect()
+    val top = vocab.maxBy(_.df).term
+    val got = searcher.suggestPhrase(s"zzzzzqq ${top.drop(1)}", 3)
+    assert(got.nonEmpty)
+    // every suggestion keeps the OOV token verbatim in slot 0
+    assert(got.forall(_._1.startsWith("zzzzzqq ")))
+    // empty and overlong queries are rejected cleanly
+    assert(searcher.suggestPhrase("", 3).isEmpty)
+    intercept[IllegalArgumentException] {
+      searcher.suggestPhrase("aa bb cc dd ee ff gg hh ii", 3)
+    }
+  }
 }
