@@ -899,6 +899,12 @@ object SparkEntry {
       TextStats.tokenCounts(DocsIndex.documents(s, dir)).orderBy("doc_id")),
     "fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(DocsIndex.documents(s, dir)).orderBy("doc_id")),
+    // winnowing fingerprints (MOSS): 4-word shingles, window 5, min-hash
+    // per window with the rightmost tie rule — position-aware dedup
+    // fingerprints with the k+w-1 shared-substring detection guarantee
+    "winnow" -> ((s, dir) =>
+      TextStats.winnow(DocsIndex.documents(s, dir), 4, 5)
+        .orderBy("doc_id", "pos")),
 
     // ── curation layer: decontamination / PII / repetition / mixing ──
     // benchmark partition = source 'src0'; 3-gram overlap >= 0.5 flags
@@ -2097,6 +2103,34 @@ object SparkEntry {
         |    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS min_word_hash,
         |  sha256(text) AS text_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing twin: same md5-48-bit gram hash; per window-start the
+    // min hash, rightmost occurrence on ties (max pos among minima)
+    "winnow" ->
+      """WITH w2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, p,
+        |         ('0x' || substr(md5(array_to_string(ws[p:p+3], ' ')), 1, 12))::BIGINT AS h
+        |  FROM w2, unnest(range(1, len(ws) - 4 + 2)) t(p)
+        |  WHERE len(ws) >= 4
+        |), nstart AS (
+        |  SELECT doc_id, greatest(1, max(p) - 5 + 1) AS lastp FROM g GROUP BY 1
+        |), mn AS (
+        |  SELECT g.doc_id, g.p AS s, min(g2.h) AS mh
+        |  FROM g
+        |  JOIN nstart USING (doc_id)
+        |  JOIN g g2 ON g2.doc_id = g.doc_id AND g2.p BETWEEN g.p AND g.p + 4
+        |  WHERE g.p <= nstart.lastp
+        |  GROUP BY g.doc_id, g.p
+        |), sel AS (
+        |  SELECT m.doc_id, max(g.p) AS pos, m.mh AS h
+        |  FROM mn m
+        |  JOIN g ON g.doc_id = m.doc_id AND g.p BETWEEN m.s AND m.s + 4
+        |        AND g.h = m.mh
+        |  GROUP BY m.doc_id, m.s, m.mh
+        |)
+        |SELECT DISTINCT doc_id, pos::BIGINT AS pos, h FROM sel
+        |ORDER BY doc_id, pos""".stripMargin,
     "decontam" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |g AS (

@@ -138,6 +138,23 @@ final class LsmIndex(spark: SparkSession, val indexDir: String,
     deleteIds(ids)
   }
 
+  /** Delete-by-query (the Elasticsearch `_delete_by_query` surface):
+    * tombstone every live document matching `(kind, text)` under the
+    * kind's FULL semantics — boolean grammar, phrase/proximity atoms,
+    * pattern expansions included. The match set comes from each
+    * segment's own presence walk (termId pushdown + bucket pruning —
+    * never a corpus scan; per-segment pattern expansion keeps the X23
+    * cross-segment df rule); already-tombstoned ids dedupe through the
+    * same delete-log append as [[delete]]. Returns newly deleted docs. */
+  def deleteByQuery(kind: String, text: String): Long = {
+    val (segs, _) = reader()
+    val sets = segs.flatMap { seg =>
+      new graft.search.Searcher(spark, seg).matchDocIds(kind, text)
+        .map(_.select($"docId").as[Long])
+    }
+    if (sets.isEmpty) 0L else deleteIds(sets.reduce(_ union _))
+  }
+
   private def deleteIds(ids: Dataset[Long]): Long = {
     val already = IndexStorage.readTombstones(spark, indexDir)
     val fresh = ids.except(already)

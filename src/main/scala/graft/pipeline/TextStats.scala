@@ -87,4 +87,63 @@ object TextStats {
         w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")))
         .as("min_word_hash"),
       sha2(col("text"), 256).as("text_sha"))
+
+  /** The 48-bit md5-portable hash of a k-word shingle — shared by the
+    * Spark and brute-force winnow paths (DuckDB computes the identical
+    * value from the identical hex). */
+  def gramHash(gram: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(gram.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every k-word shingle, slide a window of
+    * `w` consecutive hashes, and select each window's MINIMUM hash
+    * (rightmost occurrence on ties — the paper's robust-winnowing rule);
+    * the distinct selected (position, hash) pairs are the document's
+    * fingerprints. Guarantees at least one fingerprint per w-gram run,
+    * so any shared substring of k+w−1 words is always detected — the
+    * position-aware complement of the one-permutation [[fingerprint]].
+    *
+    * A document shorter than one full window (fewer than w grams, but at
+    * least one) yields the min over all its grams. Positions are 1-based
+    * gram indices.
+    *
+    * Scale posture: a doc's text is ONE row, so gram hashing and the
+    * window sweep run inside a single narrow pass (per-doc local arrays,
+    * no window shuffle, no explode before selection); output is
+    * fingerprint-sized (≈ 2/(w+1) of gram count in expectation). The
+    * hash is md5-portable, so the DuckDB twin is exact. */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, "winnow needs k >= 1, w >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = udf { text: String =>
+      val ws = Option(text).getOrElse("").split(" ", -1)
+      val n = ws.length - k + 1
+      if (ws.length == 1 && ws(0).isEmpty) Array.empty[(Long, Long)]
+      else if (n < 1) Array.empty[(Long, Long)]
+      else {
+        val h = Array.tabulate(n)(i => gramHash(ws.slice(i, i + k).mkString(" ")))
+        val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+        val lastStart = math.max(0, n - w)
+        var s = 0
+        while (s <= lastStart) {
+          var best = s
+          var j = s + 1
+          val end = math.min(s + w, n)
+          while (j < end) { if (h(j) <= h(best)) best = j; j += 1 }
+          out += (((best + 1).toLong, h(best)))
+          s += 1
+        }
+        out.toArray
+      }
+    }
+    // per-doc distinctness is enforced by the LinkedHashSet inside the
+    // pass — no corpus-scale distinct() shuffle is needed after explode
+    docs.select(col("doc_id"), explode(fp(col("text"))).as("f"))
+      .select(col("doc_id"), col("f._1").as("pos"), col("f._2").as("h"))
+  }
 }

@@ -88,6 +88,40 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       .sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
   }
 
+  /** Phrase suggester at serving latency — the Searcher.suggestPhrase
+    * contract (per-token levenshtein candidates ranked df desc/term asc,
+    * candidate phrases ranked by the JM-smoothed unigram LM) over the
+    * resident dictionary, zero Spark jobs. */
+  def suggestPhrase(text: String, n: Int, maxDist: Int = 1,
+                    perTok: Int = 3, lambda: Double = 0.9)
+      : Array[(String, Double)] = {
+    require(perTok >= 1 && perTok <= 4 && n >= 1, "phrase-suggest bounds")
+    val toks = graft.tokenize.Tokenizer.tokenize(text)
+    if (toks.isEmpty) return Array.empty
+    require(toks.length <= 8,
+      s"phrase suggestions are for short queries (got ${toks.length} tokens)")
+    val total = dictCache.valuesIterator.map(_.cf).sum.toDouble
+    val v = stats.numTerms.toDouble
+    def lnP(cf: Long): Double =
+      math.log(lambda * cf / total + (1.0 - lambda) / v)
+    val cands: Array[Array[(String, Long)]] = toks.map { t =>
+      val w = t.trim.toLowerCase
+      val es = dictCache.valuesIterator
+        .filter(e => math.abs(e.term.length - w.length) <= maxDist &&
+          Searcher.editDistance(e.term, w, maxDist) <= maxDist)
+        .toArray.sortBy(e => (-e.df, e.term)).take(perTok)
+      if (es.isEmpty) Array(t -> 0L) else es.map(e => e.term -> e.cf)
+    }
+    val phrases = cands.foldLeft(Array(("", 0.0))) { (acc, cs) =>
+      for { (p, s) <- acc; (t, cf) <- cs }
+        yield (if (p.isEmpty) t else s"$p $t", s + lnP(cf))
+    }
+    phrases
+      .map { case (p, s) => (p, math.floor(s * 1e6 + 0.5) / 1e6) }
+      .sortBy { case (p, s) => (-s, p) }
+      .take(n)
+  }
+
   /** Autocomplete at serving latency — same normalization and ranking
     * contract as Searcher.complete over the resident dictionary. */
   def complete(prefix: String, k: Int): Array[(String, Long)] = {

@@ -91,6 +91,29 @@ class LsmIndexSpec extends SparkSpec {
     assert(fielded == after.filter(h => langDocs(h._1)) && fielded.nonEmpty)
   }
 
+  test("deleteByQuery tombstones exactly the kind's match set, durably") {
+    import spark.implicits._
+    val (idx, dir) = freshLsm()
+    val terms = topTerms(idx, 2)
+    val q = terms.mkString(" ")
+    val before = idx.hits("FREE", q, 200).collect().map(h => (h.docId, h.score)).toSeq
+    // conjunctive delete: every doc containing BOTH top terms goes
+    val andQ = s"${terms(0)} AND ${terms(1)}"
+    val matchIds = idx.hits("AND", andQ, 10000).collect().map(_.docId).toSet
+    assert(matchIds.nonEmpty)
+    val n = idx.deleteByQuery("AND", andQ)
+    assert(n == matchIds.size, s"deleted $n of ${matchIds.size}")
+    // idempotent: the same query deletes nothing new
+    assert(idx.deleteByQuery("AND", andQ) == 0L)
+    // the surviving ranking = pre-delete ranking minus the match set,
+    // scores unchanged (merge-on-read keeps pre-purge statistics)
+    val after = idx.hits("FREE", q, 200).collect().map(h => (h.docId, h.score)).toSeq
+    assert(after == before.filterNot(h => matchIds(h._1)) && after.nonEmpty)
+    // durable across handles
+    val idx2 = new LsmIndex(spark, dir, params)
+    assert(idx2.hits("AND", andQ, 10).isEmpty)
+  }
+
   test("upsert replaces by natural key; maintain purges and converges") {
     import spark.implicits._
     val (idx, dir) = freshLsm()

@@ -194,4 +194,41 @@ class PipelineSpec extends SparkSpec {
     val f2 = TextStats.fingerprint(docs).collect().map(_.toSeq).toSeq
     assert(f1 == f2)
   }
+
+  test("winnow == brute-force robust winnowing; shared substrings collide") {
+    val (k, w) = (3, 4)
+    def brute(text: String): Set[(Long, Long)] = {
+      val ws = text.split(" ", -1)
+      val n = ws.length - k + 1
+      if (n < 1) Set.empty
+      else {
+        val h = Array.tabulate(n)(i =>
+          TextStats.gramHash(ws.slice(i, i + k).mkString(" ")))
+        (0 to math.max(0, n - w)).map { s =>
+          val end = math.min(s + w, n)
+          // rightmost minimum of the window
+          val best = (s until end).maxBy(j => (-h(j), j))
+          ((best + 1).toLong, h(best))
+        }.toSet
+      }
+    }
+    val rows = TextStats.winnow(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rows are distinct WITHOUT a post-explode shuffle (per-doc set)
+    assert(rows.length == rows.toSet.size)
+    val got = rows.groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSet }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == texts.keySet.filter(id => brute(texts(id)).nonEmpty))
+    got.foreach { case (id, fps) =>
+      assert(fps == brute(texts(id)), s"doc $id")
+    }
+    // the exact-dup pair (0, 200) shares its full fingerprint HASH set —
+    // the detection property the operator exists for
+    val h0 = got(0L).map(_._2)
+    assert(h0.nonEmpty && h0 == got(200L).map(_._2))
+    // a near-dup (one mutated word) still shares most hashes
+    val shared = got(1L).map(_._2).intersect(got(101L).map(_._2))
+    assert(shared.size * 2 > got(1L).size)
+  }
 }

@@ -132,6 +132,16 @@ class SuggestSpec extends SparkSpec {
     assert(got.map(_._1).contains(s"$t0 $t1"))
   }
 
+  test("serving tier suggests phrases identically") {
+    val serving = new ServingSearcher(spark, seg)
+    val vocab = seg.dict.collect()
+    val Array(t0, t1) = vocab.sortBy(e => (-e.df, e.term)).take(2).map(_.term)
+    val q = s"${t0.drop(1)} ${t1.drop(1)}"
+    assert(serving.suggestPhrase(q, 5).toSeq ==
+      searcher.suggestPhrase(q, 5).toSeq)
+    serving.close()
+  }
+
   test("suggestPhrase keeps an uncorrectable token, priced by smoothing") {
     val vocab = seg.dict.collect()
     val top = vocab.maxBy(_.df).term
