@@ -709,6 +709,14 @@ object SparkEntry {
     // 'the'/'merge' (df ~0.8N) are optional but score when present
     "ft_common_terms" -> ((s, dir) =>
       DocsIndex.commonTermsRankedHits(s, dir, "the dup merge", 0.3, 20)),
+    // auto-correct flow: "past tabl" matches nothing as typed (both
+    // tokens OOV), so the phrase suggester's top candidate runs instead
+    "ft_autocorrect" -> ((s, dir) =>
+      DocsIndex.autocorrectRankedHits(s, dir, "past tabl", 20)),
+    // histogram aggregation: the FREE match set bucketed by docLen in
+    // 10-token bins — the numeric sibling of the lang facets
+    "ft_len_hist" -> ((s, dir) =>
+      DocsIndex.lenHistogram(s, dir, "FREE", "fast merge", 10)),
     "ft_deleted" -> ((s, dir) =>
       DocsIndex.deletedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
     "ft_purged" -> ((s, dir) =>
@@ -1301,6 +1309,51 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // auto-correct twin: SELF-DERIVING — the correction is chosen in SQL
+    // by the same per-token candidate rule + LM ranking as the phrase
+    // suggester, then the corrected terms feed the ordinary BM25 CTEs
+    "ft_autocorrect" ->
+      s"""$tokCtes, tot AS (
+         |  SELECT sum(cf) * 1.0 AS total, count(*) * 1.0 AS v FROM df
+         |), c0 AS (
+         |  SELECT term, cf FROM df WHERE levenshtein(term, 'past') <= 1
+         |  ORDER BY df DESC, term LIMIT 3
+         |), c1 AS (
+         |  SELECT term, cf FROM df WHERE levenshtein(term, 'tabl') <= 1
+         |  ORDER BY df DESC, term LIMIT 3
+         |), best AS (
+         |  SELECT c0.term AS t0, c1.term AS t1
+         |  FROM c0 CROSS JOIN c1 CROSS JOIN tot
+         |  ORDER BY floor((ln(0.9 * c0.cf / tot.total + 0.1 / tot.v)
+         |                + ln(0.9 * c1.cf / tot.total + 0.1 / tot.v)) * 1e6 + 0.5)
+         |             / 1e6 DESC,
+         |           c0.term || ' ' || c1.term
+         |  LIMIT 1
+         |), qt AS (
+         |  SELECT t0 AS term FROM best UNION SELECT t1 FROM best
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN (SELECT term FROM qt)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // histogram twin: the FREE match set (any query term) joined to the
+    // shared dl CTE, integer-divided into 10-token bins
+    "ft_len_hist" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |)
+         |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
+         |FROM m JOIN alldl USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // common-terms twin: requiredness computed from df IN SQL (df <
     // 0.3·N — the same cutoff rule as the engine), scoring over every
     // present query term, required or not

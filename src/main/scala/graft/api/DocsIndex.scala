@@ -91,6 +91,56 @@ object DocsIndex {
     rank(spark, sfDir, searcher.relaxedHits(text, k + 50), k)
   }
 
+  /** Auto-correcting search (the "search instead for …" flow): run the
+    * FREE query as typed; if it matches nothing, correct it to the
+    * phrase suggester's top suggestion (Searcher.suggestPhrase — the
+    * deterministic LM-ranked candidate) and run that instead. The
+    * zero-hit probe is one k=1 job; the correction is dictionary-sized
+    * driver work (the X49 regime); the re-query is one ordinary WAND
+    * walk — never a corpus pass. */
+  def autocorrectRankedHits(spark: SparkSession, sfDir: String, text: String,
+                            k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    val asTyped = searcher.hits("FREE", text, 1)
+    if (!asTyped.isEmpty)
+      return rank(spark, sfDir, searcher.hits("FREE", text, k + 50), k)
+    val corrected = searcher.suggestPhrase(text, 1).headOption
+    corrected match {
+      case Some((phrase, _)) =>
+        rank(spark, sfDir, searcher.hits("FREE", phrase, k + 50), k)
+      case None =>
+        val spark2 = spark
+        import spark2.implicits._
+        rank(spark, sfDir, spark.emptyDataset[graft.model.Hit], k)
+    }
+  }
+
+  /** Numeric histogram aggregation over a query's FULL match set (the
+    * ES histogram-agg shape, the numeric sibling of facets): matching
+    * docs bucketed by docLen in `width`-token bins, one count per
+    * non-empty bin. The match set comes from the kind's own presence
+    * walk (Searcher.matchDocIds — pushdown-filtered, docId-only decode);
+    * the docmap join + hash agg touch match-set-sized data only. */
+  def lenHistogram(spark: SparkSession, sfDir: String, kind: String,
+                   text: String, width: Int): DataFrame = {
+    require(width >= 1, "histogram bin width must be positive")
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bin",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType))))
+      case Some(m) =>
+        m.join(seg.docs.select(col("docId"), col("docLen")), Seq("docId"))
+          .select((floor(col("docLen") / width) * width).cast("long").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_docs"))
+          .orderBy("bin")
+    }
+  }
+
   /** Batched multi-query rankedHits (msearch): every query of the batch
     * answered in ONE job over ONE union-pushdown postings scan
     * (Searcher.batchHits), each re-ranked by the same rounded contract
@@ -236,18 +286,29 @@ object DocsIndex {
   def snippets(spark: SparkSession, sfDir: String, kind: String,
                text: String, k: Int, w: Int): DataFrame = {
     require(w >= 0, "snippet window must be non-negative")
-    val hl = highlights(spark, sfDir, kind, text, k)
-    val frag = udf { (txt: String, pos: Long) =>
-      val toks = graft.tokenize.Tokenizer.tokenize(Option(txt).getOrElse(""))
-      val lo = math.max(0, pos.toInt - 1 - w)
-      val hi = math.min(toks.length, pos.toInt + w)
-      toks.slice(lo, hi).mkString(" ")
+    // bounded by the top-k docs' matched positions — the MMR/rescore
+    // regime: assemble driver-side rather than re-running the highlight
+    // pipeline once per join side
+    val rows = highlights(spark, sfDir, kind, text, k).collect()
+    val ids = rows.map(_.getLong(0)).distinct.toSeq
+    // doc_id IN (≤k ids) pushes into the parquet scan (row-group pruning)
+    val tokensById: Map[Long, Array[String]] =
+      if (ids.isEmpty) Map.empty
+      else documents(spark, sfDir)
+        .filter(col("doc_id").isin(ids.map(Long.box): _*))
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) ->
+          graft.tokenize.Tokenizer.tokenize(r.getString(1))).toMap
+    val out = rows.map { r =>
+      val (d, term, pos) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val toks = tokensById(d)
+      val frag = toks.slice(math.max(0, pos.toInt - 1 - w),
+        math.min(toks.length, pos.toInt + w)).mkString(" ")
+      (d, term, pos, frag)
     }
-    broadcast(hl)
-      .join(documents(spark, sfDir).select(col("doc_id"), col("text")),
-        Seq("doc_id"))
-      .select(col("doc_id"), col("term"), col("pos"),
-        frag(col("text"), col("pos")).as("snippet"))
+    val spark2 = spark
+    import spark2.implicits._
+    out.toSeq.toDF("doc_id", "term", "pos", "snippet")
       .orderBy("doc_id", "term", "pos")
   }
 
@@ -772,8 +833,14 @@ object DocsIndex {
         val mmr =
           if (sel.isEmpty) r6(lambda * rel)
           else {
+            // a doc with no embedding row carries no redundancy signal:
+            // its cosine to anything is 0 (rank purely by relevance) —
+            // embeddings can lag the corpus (sf0.1 covers 2000 of 5000)
             val maxCos = sel.iterator.map { case (sid, _, _) =>
-              r6(graft.pipeline.Ann.cosine(vecs(id), vecs(sid)))
+              (vecs.get(id), vecs.get(sid)) match {
+                case (Some(a), Some(b)) => r6(graft.pipeline.Ann.cosine(a, b))
+                case _ => 0.0
+              }
             }.max
             r6(lambda * rel - (1.0 - lambda) * maxCos)
           }

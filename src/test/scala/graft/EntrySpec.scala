@@ -40,6 +40,35 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("autocorrect is the identity when the query matches as typed") {
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.api.DocsIndex.autocorrectRankedHits(spark, sf, "fast merge", 10)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.api.DocsIndex.rankedHits(spark, sf, "FREE", "fast merge", 10)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    // zero-hit path: both tokens OOV -> corrected query returns rows
+    val c = graft.api.DocsIndex.autocorrectRankedHits(spark, sf, "past tabl", 10)
+    assert(c.count() > 0)
+  }
+
+  test("lenHistogram == brute-force docLen binning of the match set") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.lenHistogram(spark, sf, "FREE", "fast merge", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val want = docs.flatMap { r =>
+      val toks = graft.tokenize.Tokenizer.tokenize(r.getString(1))
+      if (toks.contains("fast") || toks.contains("merge"))
+        Some((toks.length / 10).toLong * 10)
+      else None
+    }.groupBy(identity).map { case (b, xs) => (b, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
