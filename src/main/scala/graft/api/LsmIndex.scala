@@ -138,6 +138,27 @@ final class LsmIndex(spark: SparkSession, val indexDir: String,
     deleteIds(ids)
   }
 
+  /** Matched term positions for the top-k docs of a tombstone-aware
+    * query across every live segment — the highlight surface on the LSM
+    * read path. Each segment expands the kind against ITS OWN vocabulary
+    * (the X23 per-segment expansion rule) and its cursors gallop only to
+    * the hit docs it owns (disjoint docId ranges make foreign ids
+    * no-ops); deleted docs never rank, so they never highlight.
+    * Positions are 1-based over the filtered token stream. */
+  def highlights(kind: String, text: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val top = hits(kind, text, k).collect().map(_.docId)
+    val (segs, _) = reader()
+    val parts = segs.map { seg =>
+      val s = new graft.search.Searcher(spark, seg)
+      val entries = s.entriesFor(kind, text)
+      val bT = spark.sparkContext.broadcast(entries.map(e => e.termId -> e.term).toMap)
+      s.matchedPositions(entries, top)
+        .map { case (d, tid, p) => (d, bT.value(tid), (p + 1).toLong) }
+    }
+    parts.reduce(_ union _).toDF("docId", "term", "pos")
+      .orderBy("docId", "term", "pos")
+  }
+
   /** Delete-by-query (the Elasticsearch `_delete_by_query` surface):
     * tombstone every live document matching `(kind, text)` under the
     * kind's FULL semantics — boolean grammar, phrase/proximity atoms,

@@ -337,12 +337,8 @@ object Curation {
     * and engine-order-independent), and DuckDB computes the identical
     * value from the identical hex. A trained model's weights drop in
     * through [[linearQuality]]'s map without touching the operator. */
-  def hashWeight(term: String): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(term.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 6)
-    (java.lang.Integer.parseInt(hex, 16) % 2001 - 1000) / 1024.0
-  }
+  def hashWeight(term: String): Double =
+    (PortableHash.md5HexPrefixLong(term, 6) % 2001 - 1000) / 1024.0
 
   def hashWeights(vocab: Seq[String]): Map[String, Double] =
     vocab.map(t => t -> hashWeight(t)).toMap
@@ -371,12 +367,8 @@ object Curation {
     * md5(term) mod `buckets` — the md5-portable hash convention of
     * [[stratifiedSample]]/[[hashWeight]], so DuckDB computes the
     * identical bucket from the identical hex. */
-  def dsirBucket(term: String, buckets: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(term.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 6)
-    java.lang.Integer.parseInt(hex, 16) % buckets
-  }
+  def dsirBucket(term: String, buckets: Int): Int =
+    (PortableHash.md5HexPrefixLong(term, 6) % buckets).toInt
 
   /** Data Selection with Importance Resampling (DSIR — Xie et al.,
     * NeurIPS 2023), the hashed-n-gram form: score every RAW document

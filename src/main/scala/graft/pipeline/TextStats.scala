@@ -91,12 +91,7 @@ object TextStats {
   /** The 48-bit md5-portable hash of a k-word shingle — shared by the
     * Spark and brute-force winnow paths (DuckDB computes the identical
     * value from the identical hex). */
-  def gramHash(gram: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(gram.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 12)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  def gramHash(gram: String): Long = PortableHash.md5HexPrefixLong(gram, 12)
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every k-word shingle, slide a window of

@@ -91,6 +91,40 @@ class LsmIndexSpec extends SparkSpec {
     assert(fielded == after.filter(h => langDocs(h._1)) && fielded.nonEmpty)
   }
 
+  test("highlights span segments and honor tombstones") {
+    import spark.implicits._
+    val (idx, _) = freshLsm()
+    val terms = topTerms(idx, 2)
+    val q = terms.mkString(" ")
+    val hitIds = idx.hits("FREE", q, 8).collect().map(_.docId).toSet
+    assert(hitIds.nonEmpty)
+    // docId -> content via the docmap natural key (spans both segments)
+    val byKey = corpus.collect()
+      .map(r => (r.repo, r.path, r.commit) -> r.content).toMap
+    val contentById = idx.liveSegments().flatMap(
+      _.docs.select($"docId", $"repo", $"path", $"commit").collect()
+        .map(r => r.getLong(0) ->
+          byKey((r.getString(1), r.getString(2), r.getString(3))))).toMap
+    val got = idx.highlights("FREE", q, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      d <- hitIds.toSeq
+      (tok, i) <- graft.tokenize.Tokenizer.tokenize(contentById(d)).zipWithIndex
+      if terms.contains(tok)
+    } yield (d, tok, (i + 1).toLong)).toSet
+    assert(got == want,
+      s"missing: ${want.diff(got).take(5)}; extra: ${got.diff(want).take(5)}")
+    // both segments contribute (hit ids from both append batches)
+    val seg1Lo = idx.liveSegments().map(
+      _.docs.agg(min($"docId")).collect().head.getLong(0)).max
+    assert(got.exists(_._1 < seg1Lo) && got.exists(_._1 >= seg1Lo))
+    // tombstoned docs drop out of the highlight set
+    val victim = hitIds.head
+    assert(idx.delete(col("docId") === victim) == 1L)
+    val after = idx.highlights("FREE", q, 8).collect().map(_.getLong(0)).toSet
+    assert(!after.contains(victim))
+  }
+
   test("deleteByQuery tombstones exactly the kind's match set, durably") {
     import spark.implicits._
     val (idx, dir) = freshLsm()

@@ -115,6 +115,25 @@ class PlanSpec extends SparkSpec {
       s"qrel mark must broadcast the ranked side:\n$plan")
   }
 
+  test("dsir scoring and winnow are shuffle-free narrow passes") {
+    val sf = "/root/testdata/sf0.001"
+    // dsirWeights: the feature LMs train eagerly at construction (one
+    // bounded bucket-keyed agg); the RETURNED scoring frame must be a
+    // pure narrow pass — scan → filter → project, zero exchanges
+    val dPlan = graft.pipeline.Curation
+      .dsirWeights(graft.api.DocsIndex.documents(spark, sf), "src0", 64, 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!dPlan.contains("Exchange"),
+      s"dsir scoring must not shuffle:\n$dPlan")
+    // winnow: per-doc window sweep inside one narrow pass; the explode
+    // must not be followed by any distinct/exchange
+    val wPlan = graft.pipeline.TextStats
+      .winnow(graft.api.DocsIndex.documents(spark, sf), 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(!wPlan.contains("Exchange"),
+      s"winnow must not shuffle:\n$wPlan")
+  }
+
   test("TPC-H style join picks broadcast for the small dimension") {
     val sf = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_join_rev")(spark, sf)
