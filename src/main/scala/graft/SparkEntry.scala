@@ -578,6 +578,13 @@ object SparkEntry {
         (1L, "FREE", "fast merge sort"),
         (2L, "AND", "key AND value AND hash"),
         (3L, "OR", "stream OR table")), 10)),
+    // learning-to-rank feature export: per (query, candidate) the
+    // feature vector a ranker trains on — candidates from one batched
+    // job, tf decode from one galloping pass over the union termId set
+    "ltr_features" -> ((s, dir) =>
+      DocsIndex.ltrFeatures(s, dir, Seq(
+        (1L, "fast merge"),
+        (2L, "dup scan")), 10)),
     "ft_phrase" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "PHRASE", "\"part filter\"", 20)),
     "ft_phrase3" -> ((s, dir) =>
@@ -1354,6 +1361,57 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LTR feature twin: per query its own bm25 top-k CTE (the msearch
+    // shape), features aggregated over the matched tf rows; sum_idf on
+    // the floor round (Σ-of-ln rides the 1e-15 regime)
+    "ltr_features" ->
+      s"""$tokCtes, sc1 AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf JOIN df USING (term) JOIN alldl USING (doc_id) CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge') GROUP BY tf.doc_id
+         |), r1 AS (
+         |  SELECT doc_id, round(score, 6) AS score,
+         |         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM sc1 ORDER BY score DESC, doc_id LIMIT 10
+         |), f1 AS (
+         |  SELECT 1::BIGINT AS qid, r.doc_id, r.rank, r.score AS bm25,
+         |         count(*)::BIGINT AS n_matched, sum(tf.tf)::BIGINT AS sum_tf,
+         |         min(dl)::BIGINT AS dl,
+         |         floor(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))) * 1e6 + 0.5)
+         |           / 1e6 AS sum_idf_matched
+         |  FROM r1 r
+         |  JOIN tf ON tf.doc_id = r.doc_id AND tf.term IN ('fast', 'merge')
+         |  JOIN df USING (term)
+         |  JOIN alldl ON alldl.doc_id = r.doc_id
+         |  CROSS JOIN stats
+         |  GROUP BY r.doc_id, r.rank, r.score
+         |), sc2 AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf JOIN df USING (term) JOIN alldl USING (doc_id) CROSS JOIN stats
+         |  WHERE tf.term IN ('dup', 'scan') GROUP BY tf.doc_id
+         |), r2 AS (
+         |  SELECT doc_id, round(score, 6) AS score,
+         |         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM sc2 ORDER BY score DESC, doc_id LIMIT 10
+         |), f2 AS (
+         |  SELECT 2::BIGINT AS qid, r.doc_id, r.rank, r.score AS bm25,
+         |         count(*)::BIGINT AS n_matched, sum(tf.tf)::BIGINT AS sum_tf,
+         |         min(dl)::BIGINT AS dl,
+         |         floor(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))) * 1e6 + 0.5)
+         |           / 1e6 AS sum_idf_matched
+         |  FROM r2 r
+         |  JOIN tf ON tf.doc_id = r.doc_id AND tf.term IN ('dup', 'scan')
+         |  JOIN df USING (term)
+         |  JOIN alldl ON alldl.doc_id = r.doc_id
+         |  CROSS JOIN stats
+         |  GROUP BY r.doc_id, r.rank, r.score
+         |)
+         |SELECT * FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+         |ORDER BY qid, rank""".stripMargin,
     // common-terms twin: requiredness computed from df IN SQL (df <
     // 0.3·N — the same cutoff rule as the engine), scoring over every
     // present query term, required or not

@@ -718,6 +718,67 @@ object DocsIndex {
       .orderBy(col("qid"))
   }
 
+  /** Learning-to-rank feature export (the ES LTR-plugin / offline
+    * ranker-training surface): one row per (eval query, top-k candidate
+    * doc) with the feature vector a ranker trains on — the BM25 score
+    * and rank, the number of matched query terms, the total matched tf,
+    * the doc length, and the summed idf of the matched terms
+    * (floor-rounded; Σ taken in ascending termId order).
+    *
+    * Scale posture: candidates come from ONE batched union-pushdown job
+    * (the X38 msearch shape — 10k training queries cost one scan); the
+    * tf decode is ONE [[graft.search.Searcher.matchedTfs]] job over the
+    * UNION of the batch's termIds, galloping only to the ≤|Q|·k
+    * candidate docs' buckets; feature assembly touches ≤|Q|·k·|q| rows
+    * — never corpus-sized. */
+  def ltrFeatures(spark: SparkSession, sfDir: String,
+                  queries: Seq[(Long, String)], k: Int): DataFrame = {
+    require(queries.nonEmpty && k >= 1, "ltrFeatures needs queries and k >= 1")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val ranked = msearchRankedHits(spark, sfDir,
+        queries.map { case (id, t) => (id, "FREE", t) }, k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val spark2 = spark
+    import spark2.implicits._
+    if (ranked.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Long, Long, Long, Double)]
+        .toDF("qid", "doc_id", "rank", "bm25", "n_matched", "sum_tf", "dl",
+          "sum_idf_matched")
+    val extIds = ranked.map(_._2).distinct.toSeq
+    val docRows = seg.docs
+      .select(col("docId"), col("path").cast("long").as("doc_id"), col("docLen"))
+      .filter(col("doc_id").isin(extIds.map(Long.box): _*)).collect()
+    val intByExt = docRows.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val dlByExt = docRows.map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val entriesByQid = queries.map { case (id, t) =>
+      id -> searcher.dictLookup(
+        graft.search.QueryParser.termsFor("FREE", t).distinct.sorted)
+    }.toMap
+    val allEntries = entriesByQid.values.flatten.toArray
+      .distinctBy(_.termId).sortBy(_.termId)
+    val n = seg.stats.numDocs
+    // ONE galloping decode job for the whole batch
+    val tfByIntTid: Map[(Long, Long), Int] =
+      searcher.matchedTfs(allEntries, intByExt.values.toArray).collect()
+        .map { case (d, tid, tf) => (d, tid) -> tf }.toMap
+    val out = ranked.map { case (qid, ext, bm25, rank) =>
+      val internal = intByExt(ext)
+      val matched = entriesByQid(qid)
+        .filter(e => tfByIntTid.contains((internal, e.termId)))
+      var sumIdf = 0.0
+      matched.foreach(e => sumIdf += graft.model.BM25.idf(n, e.df))
+      val sumTf = matched.map(e =>
+        tfByIntTid((internal, e.termId)).toLong).sum
+      (qid, ext, rank, bm25, matched.length.toLong, sumTf,
+        dlByExt(ext).toLong, math.floor(sumIdf * 1e6 + 0.5) / 1e6)
+    }
+    out.toSeq.toDF("qid", "doc_id", "rank", "bm25", "n_matched", "sum_tf",
+        "dl", "sum_idf_matched")
+      .orderBy("qid", "rank")
+  }
+
   /** Minimum-should-match ranked surface: top-k docs matching at least
     * `minMatch` distinct query terms (Searcher.msmHits), rounded-rank
     * contract. */

@@ -69,6 +69,38 @@ class EntrySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ltrFeatures == brute-force features; candidates == the ranking") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.ltrFeatures(spark, sf, Seq(1L -> "fast merge"), 10)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(got.length == 10)
+    // candidates, ranks and bm25 == the per-query ranked surface
+    val ranked = graft.api.DocsIndex.rankedHits(spark, sf, "FREE", "fast merge", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(1))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == ranked)
+    // brute-force features from the raw texts
+    val texts = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .toMap
+    val n = texts.size.toLong
+    def df(t: String) = texts.values.count(_.contains(t)).toLong
+    val idf = Map("fast" -> graft.model.BM25.idf(n, df("fast")),
+      "merge" -> graft.model.BM25.idf(n, df("merge")))
+    got.foreach { case (id, _, _, nm, stf, dl, sidf) =>
+      val toks = texts(id)
+      val m = Seq("fast", "merge").filter(toks.contains)
+      assert(nm == m.length.toLong, s"doc $id n_matched")
+      assert(stf == m.map(t => toks.count(_ == t).toLong).sum, s"doc $id sum_tf")
+      assert(dl == toks.length.toLong, s"doc $id dl")
+      val want = math.floor(m.map(idf).sum * 1e6 + 0.5) / 1e6
+      assert(sidf == want, s"doc $id sum_idf")
+    }
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
