@@ -724,6 +724,10 @@ object SparkEntry {
     // 10-token bins — the numeric sibling of the lang facets
     "ft_len_hist" -> ((s, dir) =>
       DocsIndex.lenHistogram(s, dir, "FREE", "fast merge", 10)),
+    // field-sorted results: the AND match set ordered longest-first
+    // instead of by BM25 (the ES sort surface)
+    "ft_sortby" -> ((s, dir) =>
+      DocsIndex.sortedMatches(s, dir, "AND", "fast merge", 15)),
     "ft_deleted" -> ((s, dir) =>
       DocsIndex.deletedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
     "ft_purged" -> ((s, dir) =>
@@ -850,6 +854,14 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       graft.pipeline.Components.connectedComponents(
         Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5))
+        .orderBy("doc_id")),
+    // the materialized dedup: the corpus minus every non-canonical
+    // near-dup (survivor = min doc_id per cluster) — what a training
+    // pipeline actually feeds downstream
+    "dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupedCorpus(
+          DocsIndex.documents(s, dir).select(col("doc_id"), col("lang")),
+          Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5))
         .orderBy("doc_id")),
 
     // ── similarity search ──
@@ -1352,6 +1364,14 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // field-sorted twin: the conjunctive match set ordered by dl desc
+    "ft_sortby" ->
+      s"""$tokCtes, m AS (
+         |  SELECT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |  GROUP BY doc_id HAVING count(*) = 2
+         |)
+         |SELECT m.doc_id, dl FROM m JOIN alldl USING (doc_id)
+         |ORDER BY dl DESC, doc_id LIMIT 15""".stripMargin,
     // histogram twin: the FREE match set (any query term) joined to the
     // shared dl CTE, integer-divided into 10-token bins
     "ft_len_hist" ->
@@ -2158,6 +2178,25 @@ object SparkEntry {
          |)
          |SELECT u AS doc_id, least(u, min(v))::BIGINT AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // materialized dedup twin: the cluster closure's non-canonical
+    // members anti-joined out of the corpus
+    "dedup_corpus" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |losers AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+         |)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_embed" -> embedDupSql,
     // the LSH path is exact-verified, and at these parameters its recall
     // on the testdata is total — so it shares the exact oracle, the same

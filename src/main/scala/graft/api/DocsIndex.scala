@@ -115,6 +115,34 @@ object DocsIndex {
     }
   }
 
+  /** Field-sorted results (the ES `sort` surface): the query's match
+    * set ordered by a docmap field instead of BM25 — "newest first" /
+    * "longest first" result views. Matching uses the kind's presence
+    * walk (pushdown-filtered, docId-only decode, no scoring); the sort
+    * is a top-k over match-set-sized rows — Catalyst plans
+    * TakeOrderedAndProject (per-partition partial top-k + driver
+    * merge), never a full sort. Tie-break doc_id asc. */
+  def sortedMatches(spark: SparkSession, sfDir: String, kind: String,
+                    text: String, k: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dl",
+            org.apache.spark.sql.types.LongType))))
+      case Some(m) =>
+        m.join(withDocId(seg).join(
+            seg.docs.select(col("docId"), col("docLen")), Seq("docId")),
+            Seq("docId"))
+          .select(col("doc_id"), col("docLen").cast("long").as("dl"))
+          .orderBy(col("dl").desc, col("doc_id").asc)
+          .limit(k)
+    }
+  }
+
   /** Numeric histogram aggregation over a query's FULL match set (the
     * ES histogram-agg shape, the numeric sibling of facets): matching
     * docs bucketed by docLen in `width`-token bins, one count per

@@ -277,4 +277,22 @@ object Dedup {
         frac.as("dup_frac"),
         (frac <= theta).as("keep"))
   }
+
+  /** Materialized deduplication — the operator every flag/pair/cluster
+    * op above feeds: the corpus with every NON-CANONICAL near-duplicate
+    * removed. Duplicate groups come from [[Components.connectedComponents]]
+    * over the supplied near-dup `pairs`; each group's survivor is its
+    * minimum doc_id (the canonical rule shared with the cluster oracle).
+    *
+    * Scale posture: the loser set is bounded by the PAIR volume (every
+    * loser appears in at least one pair), which the LSH paths keep
+    * capped and counted — corpus-scale-small, so Catalyst broadcasts it
+    * into a left_anti join (the R2 resume-diff shape); the components
+    * rounds are O(log n) in the pair graph only. */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = Components.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

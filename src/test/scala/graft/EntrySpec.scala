@@ -69,6 +69,23 @@ class EntrySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sortedMatches == the AND match set ordered longest-first") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.sortedMatches(spark, sf, "AND", "fast merge", 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = graft.tokenize.Tokenizer.tokenize(r.getString(1))
+        if (toks.contains("fast") && toks.contains("merge"))
+          Some((r.getLong(0), toks.length.toLong))
+        else None
+      }
+      .sortBy { case (id, dl) => (-dl, id) }.take(15).toSeq
+    assert(got == want && got.size == 15)
+  }
+
   test("ltrFeatures == brute-force features; candidates == the ranking") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

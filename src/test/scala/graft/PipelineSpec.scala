@@ -195,6 +195,29 @@ class PipelineSpec extends SparkSpec {
     assert(f1 == f2)
   }
 
+  test("dedupedCorpus keeps exactly one canonical per duplicate group") {
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.5)
+    val got = Dedup.dedupedCorpus(docs, pairs).collect()
+      .map(_.getLong(0)).toSet
+    // brute-force union-find over the exact pairs
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = docs.collect().map(_.getLong(0)).toSet
+    val want = all.filter(id => find(id) == id)
+    assert(got == want, s"missing ${want.diff(got)}; extra ${got.diff(want)}")
+    // the planted exact copy is gone, its canonical survives
+    assert(got(0L) && !got(200L))
+    assert(got.size < all.size)
+  }
+
   test("winnow == brute-force robust winnowing; shared substrings collide") {
     val (k, w) = (3, 4)
     def brute(text: String): Set[(Long, Long)] = {
