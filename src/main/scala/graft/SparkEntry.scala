@@ -617,6 +617,10 @@ object SparkEntry {
     // dial between OR (1) and AND (all)
     "ft_msm" -> ((s, dir) =>
       DocsIndex.msmRankedHits(s, dir, "fast merge sort table", 2, 20)),
+    // disjunction-max (Lucene dis_max): best single-term contribution
+    // + 0.3 · the rest — rewards the strongest match, not many weak ones
+    "ft_dismax" -> ((s, dir) =>
+      DocsIndex.disMaxRankedHits(s, dir, "fast merge sort table", 0.3, 20)),
     // significant terms: what is UNUSUAL about docs matching the query,
     // JLH-scored against the corpus background
     "ft_sigterms" -> ((s, dir) =>
@@ -1324,6 +1328,27 @@ object SparkEntry {
          |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
          |  GROUP BY tf.doc_id
          |  HAVING count(*) >= 2
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // dis_max twin: per-(doc, term) BM25 contributions combined as
+    // max + tie·(sum − max) instead of the plain sum
+    "ft_dismax" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         max(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) +
+         |         0.3 * (sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |                    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) -
+         |                max(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |                    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
          |)
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank

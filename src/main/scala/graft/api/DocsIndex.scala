@@ -816,6 +816,14 @@ object DocsIndex {
     rank(spark, sfDir, searcher.msmHits(text, minMatch, k + 50), k)
   }
 
+  /** Disjunction-max ranked surface (Searcher.disMaxHits): best
+    * single-term contribution + tie · rest, rounded-rank contract. */
+  def disMaxRankedHits(spark: SparkSession, sfDir: String, text: String,
+                       tie: Double, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.disMaxHits(text, tie, k + 50), k)
+  }
+
   /** Common-terms ranked surface (Searcher.commonTermsHits): rare terms
     * required, common terms optional-but-scoring, rounded-rank
     * contract. */

@@ -628,6 +628,30 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** Disjunction-max query (the Lucene DisjunctionMaxQuery surface —
+    * the "best field" combiner behind Elasticsearch `dis_max` and
+    * `multi_match`): top-k documents under score = best single-term BM25
+    * contribution + `tie` · (sum of the others). Where a plain OR
+    * rewards a doc for matching MANY query terms weakly, dis-max rewards
+    * the STRONGEST single match, with `tie` ∈ [0, 1] dialing between the
+    * two readings (tie = 1 IS the disjunction — asserted bit-identical
+    * in DisMaxSpec). OOV terms drop out exactly as in the disjunction.
+    *
+    * Same execution regime as [[msmHits]]: exhaustive document-at-a-time
+    * walk per bucket with termId pushdown + bucket pruning; only the
+    * per-doc combiner differs (Wand.topKDisMax). */
+  def disMaxHits(text: String, tie: Double, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    require(tie >= 0.0 && tie <= 1.0, s"tie must be in [0, 1], got $tie")
+    val entries = dictLookup(QueryParser.termsFor("OR", text).distinct)
+    if (entries.isEmpty) return spark.emptyDataset[Hit]
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive = false, k, pruned = false, entries.length,
+      dismaxTie = tie)
+      .toDF("docId", "score"), k, qid)
+  }
+
   /** Common-terms query (the Lucene CommonTermsQuery surface — the
     * scale-era answer to stopword lists): query terms split by document
     * frequency at `maxDfFrac`·N — RARE terms (df strictly below the
@@ -961,7 +985,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 acceptB: AcceptB = null,
                                 rejectB: AcceptB = null,
                                 after: Wand.Scored = null,
-                                boostByTid: Map[Long, Double] = null)
+                                boostByTid: Map[Long, Double] = null,
+                                dismaxTie: Double = Double.NaN)
       : Dataset[(Long, Double)] = {
     // query-time term weights: scale each cursor's effective idf AND its
     // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
@@ -1047,7 +1072,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
           // a bucket missing any query term cannot intersect
           if (plArr.length < nTerms) Array.empty[Wand.Scored]
           else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k, accept, after)
-        } else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k, accept, after)
+        } else if (!dismaxTie.isNaN)
+          Wand.topKDisMax(cursors, lens, firstDocId, avgdl, k, dismaxTie, accept, after)
+        else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k, accept, after)
         else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k, accept, after)
       res.iterator.map(s => (s.docId, s.score))
     }

@@ -541,4 +541,46 @@ object Wand {
     }
     topk.result()
   }
+
+  /** Disjunction-max evaluation (the Lucene DisjunctionMaxQuery
+    * combiner): per-doc score = best single-term BM25 contribution plus
+    * `tie` times the sum of the remaining contributions — tie = 0 is the
+    * pure max ("best field" reading), tie = 1 degrades to the plain
+    * disjunctive sum. Exhaustive document-at-a-time walk (same shape as
+    * [[topKOrExhaustive]]); for tie ≤ 1 the dis-max score is bounded by
+    * the plain sum, so the stored block maxima WOULD remain sound
+    * bounds, but the combiner is cheap enough that the exhaustive walk
+    * (the msm / common-terms regime) keeps this path simple.
+    *
+    * Determinism: contributions accumulate in ascending termId order
+    * (`terms` pre-sorted below); max is order-independent. */
+  def topKDisMax(terms: Array[TermCursor], lens: Array[Int],
+                 firstDocId: Long, avgdl: Double, k: Int, tie: Double,
+                 accept: Long => Boolean = null,
+                 after: Scored = null): Array[Scored] = {
+    val topk = new TopK(k, after)
+    val byTermId = terms.sortBy(_.termId)
+    var live = byTermId.filter(!_.exhausted)
+    while (live.nonEmpty) {
+      var d = Long.MaxValue
+      var i = 0
+      while (i < live.length) { if (live(i).docId < d) d = live(i).docId; i += 1 }
+      val dl = lens((d - firstDocId).toInt)
+      var sum = 0.0
+      var best = 0.0
+      i = 0
+      while (i < live.length) {
+        if (live(i).docId == d) {
+          val c = BM25.impact(live(i).idf, live(i).tf, dl, avgdl)
+          sum += c
+          if (c > best) best = c
+          live(i).next()
+        }
+        i += 1
+      }
+      if (accept == null || accept(d)) topk.offer(d, best + tie * (sum - best))
+      live = live.filter(!_.exhausted)
+    }
+    topk.result()
+  }
 }
