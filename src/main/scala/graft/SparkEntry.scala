@@ -817,6 +817,19 @@ object SparkEntry {
       s.createDataFrame(Seq(("and_kvh", and), ("free_fms", free),
         ("zero", none))).toDF("q", "n_docs").orderBy("q")
     }),
+    // capped total hits (ES track_total_hits: N / terminate_after):
+    // exact min(count, cap), per-bucket walks stop at the cap
+    "ft_count_capped" -> ((s, dir) =>
+      DocsIndex.cappedCounts(s, dir, Seq(
+        ("bool_cap40", "BOOL", "(fast OR slow) AND merge", 40L),
+        ("kvh_cap3", "AND", "key AND value AND hash", 3L),
+        ("or_cap25", "FREE", "fast merge sort", 25L),
+        ("or_uncapped", "FREE", "fast merge sort", 1000000L)))),
+    // constant_score filter context: first 25 matches in index order,
+    // every one scoring exactly the boost
+    "ft_const" -> ((s, dir) =>
+      DocsIndex.constRankedHits(s, dir, "BOOL", "(fast OR slow) AND merge",
+        1.5, 25)),
 
     // ── dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) =>
@@ -2146,6 +2159,38 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'zero', 0::BIGINT
          |ORDER BY q""".stripMargin,
+    // capped-count twin: exact counts clamped by least(cap, count) —
+    // the engine's per-bucket early stop provably returns the same
+    "ft_count_capped" ->
+      s"""$tokCtes, boolm AS (
+         |  SELECT DISTINCT doc_id FROM tf
+         |  WHERE term = 'merge'
+         |    AND (doc_id IN (SELECT doc_id FROM tf WHERE term = 'fast')
+         |      OR doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |), kvh AS (
+         |  SELECT doc_id FROM tf WHERE term IN ('key','value','hash')
+         |  GROUP BY doc_id HAVING count(*) = 3
+         |), fms AS (
+         |  SELECT DISTINCT doc_id FROM tf
+         |  WHERE term IN ('fast','merge','sort')
+         |)
+         |SELECT 'bool_cap40' AS q,
+         |       least(40, (SELECT count(*) FROM boolm))::BIGINT AS n_docs
+         |UNION ALL SELECT 'kvh_cap3', least(3, (SELECT count(*) FROM kvh))::BIGINT
+         |UNION ALL SELECT 'or_cap25', least(25, (SELECT count(*) FROM fms))::BIGINT
+         |UNION ALL SELECT 'or_uncapped', (SELECT count(*) FROM fms)::BIGINT
+         |ORDER BY q""".stripMargin,
+    // constant-score twin: the filter context — first 25 matches in
+    // the engine's index order (source, doc_id), all scoring the boost
+    "ft_const" ->
+      s"""$tokCtes
+         |SELECT doc_id, 1.5 AS score FROM (
+         |  SELECT d.doc_id FROM documents d
+         |  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+         |    AND (d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'fast')
+         |      OR d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+         |  ORDER BY d.source, d.doc_id LIMIT 25)
+         |ORDER BY doc_id""".stripMargin,
     "ft_scoped" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,

@@ -816,6 +816,31 @@ object DocsIndex {
     rank(spark, sfDir, searcher.msmHits(text, minMatch, k + 50), k)
   }
 
+  /** Constant-score surface (Searcher.constHits): the first k matching
+    * docs in index order, each scoring exactly `boost` — the filter
+    * context. Index order is (source, doc_id): the build's global
+    * (repo, path, commit) sort with the zero-padded doc_id path. */
+  def constRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                      text: String, boost: Double, k: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.constHits(kind, text, boost, k)
+      .join(withDocId(seg), Seq("docId"))
+      .select(col("doc_id"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Capped total-hits surface (Searcher.matchCountCapped): exact
+    * min(count, cap) with genuinely bounded per-bucket work. */
+  def cappedCounts(spark: SparkSession, sfDir: String,
+                   qs: Seq[(String, String, String, Long)]): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    qs.map { case (tag, kind, text, cap) =>
+      (tag, searcher.matchCountCapped(kind, text, cap))
+    }.toDF("q", "n_docs").orderBy("q")
+  }
+
   /** Disjunction-max ranked surface (Searcher.disMaxHits): best
     * single-term contribution + tie · rest, rounded-rank contract. */
   def disMaxRankedHits(spark: SparkSession, sfDir: String, text: String,

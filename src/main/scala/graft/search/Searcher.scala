@@ -1362,6 +1362,80 @@ final class Searcher(spark: SparkSession, segment: Segment,
   def matchCount(kind: String, text: String): Long =
     matchSet(kind, text).map(_.count()).getOrElse(0L)
 
+  /** Total matching documents with a global cap — the Elasticsearch
+    * `track_total_hits: N` / `terminate_after` surface ("more than N
+    * results"). Returns min(true count, cap) EXACTLY: each bucket's
+    * presence walk stops as soon as it has counted `cap` matches, and
+    * min(Σ per-bucket capped counts, cap) = min(true count, cap) — if
+    * any bucket hit its cap the sum already reached `cap`; otherwise
+    * every bucket counted exactly. Early termination is genuine: work
+    * per bucket is bounded by the cap, not the match-set size.
+    *
+    * Cheaper than [[matchCount]] even when the cap never binds: the
+    * doc-at-a-time union walk dedupes in place, so there is no distinct
+    * shuffle and no doclens join — the only exchange carries one Long
+    * per touched bucket. Supports FREE/OR/AND and the full boolean
+    * grammar (positional atoms included on positional segments). */
+  def matchCountCapped(kind: String, text: String, cap: Long): Long = {
+    require(cap >= 1L, s"cap must be >= 1, got $cap")
+    val ast: BoolQuery.Expr = kind match {
+      case "FREE" | "OR" | "AND" =>
+        QueryParser.termsFor(kind, text).distinct.toList match {
+          case Nil => return 0L
+          case t :: Nil => BoolQuery.Term(t)
+          case ts if kind == "AND" => BoolQuery.And(ts.map(BoolQuery.Term(_)))
+          case ts => BoolQuery.Or(ts.map(BoolQuery.Term(_)))
+        }
+      case "BOOL" => BoolQuery.parse(text)
+      case other => throw new IllegalArgumentException(
+        s"matchCountCapped supports FREE/OR/AND/BOOL, got $other")
+    }
+    boolPlan(ast) match {
+      case None => 0L
+      case Some(plan) =>
+        require(!plan.matchesEmpty,
+          s"pure-negative boolean query '$text' matches a corpus-sized " +
+            "complement; add a positive requirement (a AND NOT x)")
+        val positional = segment.params.positional
+        if (plan.phraseDefs != null)
+          require(positional,
+            "positional atoms need a positional index (BuildParams.positional)")
+        val tids = plan.entries.map(_.termId)
+        val eval = plan.eval
+        val defs = plan.phraseDefs
+        val wins = plan.phraseWins
+        val capL = cap
+        val total = segment.postings
+          .filter($"termId".isin(tids.toSeq: _*)).as[PostingList]
+          .groupByKey(_.bucket)
+          .mapGroups { (_, plIt) =>
+            val plByTid = plIt.map(pl => pl.termId -> pl).toMap
+            val slots = tids.map(tid => plByTid.get(tid)
+              .map(pl => new Wand.TermCursor(tid, 0.0, pl, positional)).orNull)
+            Wand.countMatches(slots, eval, capL, defs, wins)
+          }
+          .toDF("c").agg(coalesce(sum($"c"), lit(0L))).as[Long].head()
+        math.min(total, cap)
+    }
+  }
+
+  /** Constant-score query (Lucene ConstantScoreQuery / the Elasticsearch
+    * `constant_score` filter context): every matching document scores
+    * exactly `boost` — matching is pure filtering, so there is no BM25,
+    * no doclens join, and no per-doc float work at all. Results are the
+    * FIRST k matches in docId order (the only deterministic order when
+    * every score ties); the global top-k is a TakeOrderedAndProject over
+    * the per-bucket match sets. Supports every kind [[matchCount]]
+    * supports (FREE/OR/AND/PHRASE/NEAR/ONEAR/BOOL and pattern kinds). */
+  def constHits(kind: String, text: String, boost: Double, k: Int): DataFrame =
+    matchSet(kind, text) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Double)].toDF("docId", "score")
+      case Some(ds) =>
+        ds.orderBy($"docId".asc).limit(k).withColumn("score", lit(boost))
+    }
+
   /** Result collapsing (the field-collapse / diversified-results surface:
     * Elasticsearch `collapse`, Lucene grouping): the single best hit per
     * repo, for the `kRepos` best repos by their best hit. FREE/AND/OR.

@@ -542,6 +542,63 @@ object Wand {
     topk.result()
   }
 
+  /** Capped presence count over one bucket — the early-termination
+    * primitive behind `terminate_after` / `track_total_hits: N`. Same
+    * document-at-a-time union walk and presence vector as [[topKBool]]
+    * (positional atoms included) but with NO doc lengths and NO scoring,
+    * and the walk RETURNS as soon as `cap` matches are seen — per-bucket
+    * work is bounded by the cap, not by the match-set size. */
+  def countMatches(slots: Array[TermCursor],
+                   eval: Array[Boolean] => Boolean, cap: Long,
+                   phraseDefs: Array[Array[Int]] = null,
+                   phraseWins: Array[Int] = null): Long = {
+    val n = slots.length
+    val nPhrases = if (phraseDefs == null) 0 else phraseDefs.length
+    val present = new Array[Boolean](n + nPhrases)
+    val posArrs = if (nPhrases == 0) null else new Array[Array[Int]](n)
+    var count = 0L
+    var anyLive = slots.exists(c => c != null && !c.exhausted)
+    while (anyLive && count < cap) {
+      var d = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val c = slots(i)
+        if (c != null && !c.exhausted && c.docId < d) d = c.docId
+        i += 1
+      }
+      java.util.Arrays.fill(present, false)
+      i = 0
+      anyLive = false
+      while (i < n) {
+        val c = slots(i)
+        if (c != null && !c.exhausted) {
+          if (c.docId == d) {
+            present(i) = true
+            if (posArrs != null) posArrs(i) = c.positions()
+            c.next()
+          }
+          if (!c.exhausted) anyLive = true
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < nPhrases) {
+        val defn = phraseDefs(j)
+        val win = if (phraseWins == null) 0 else phraseWins(j)
+        var ok = defn.length > 0
+        var x = 0
+        while (ok && x < defn.length) { ok = defn(x) >= 0 && present(defn(x)); x += 1 }
+        present(n + j) = ok && (
+          if (win == 0) stairMatch(posArrs, defn)
+          else if (win < 0) orderedSpan(defn.map(posArrs)) <= -win
+          else minSpan(defn.map(posArrs)) <= win)
+        j += 1
+      }
+      if (eval(present)) count += 1
+    }
+    count
+  }
+
   /** Disjunction-max evaluation (the Lucene DisjunctionMaxQuery
     * combiner): per-doc score = best single-term BM25 contribution plus
     * `tie` times the sum of the remaining contributions — tie = 0 is the
