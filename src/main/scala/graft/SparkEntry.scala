@@ -621,6 +621,10 @@ object SparkEntry {
     // + 0.3 · the rest — rewards the strongest match, not many weak ones
     "ft_dismax" -> ((s, dir) =>
       DocsIndex.disMaxRankedHits(s, dir, "fast merge sort table", 0.3, 20)),
+    // match_phrase_prefix (search-as-you-type): "fast s" = the phrase
+    // fast·<any s-term>, one compiled walk over all variants
+    "ft_phrase_prefix" -> ((s, dir) =>
+      DocsIndex.phrasePrefixRankedHits(s, dir, "fast s", 20)),
     // significant terms: what is UNUSUAL about docs matching the query,
     // JLH-scored against the corpus background
     "ft_sigterms" -> ((s, dir) =>
@@ -1341,6 +1345,38 @@ object SparkEntry {
          |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
          |  GROUP BY tf.doc_id
          |  HAVING count(*) >= 2
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // phrase-prefix twin: variants derived IN SQL (df terms LIKE the
+    // prefix), phrase presence via consecutive positions, scored over
+    // every present expression term (the BOOL contract)
+    "ft_phrase_prefix" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), exp AS (
+         |  SELECT term FROM df WHERE term LIKE 's%'
+         |), phr AS (
+         |  SELECT DISTINCT a0.doc_id FROM tokp a0
+         |  JOIN tokp a1 ON a1.doc_id = a0.doc_id AND a1.pos = a0.pos + 1
+         |  WHERE a0.term = 'fast' AND a1.term IN (SELECT term FROM exp)
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE (tf.term = 'fast' OR tf.term IN (SELECT term FROM exp))
+         |    AND tf.doc_id IN (SELECT doc_id FROM phr)
+         |  GROUP BY tf.doc_id
          |)
          |SELECT doc_id, round(score, 6) AS score,
          |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank

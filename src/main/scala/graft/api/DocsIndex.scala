@@ -816,6 +816,15 @@ object DocsIndex {
     rank(spark, sfDir, searcher.msmHits(text, minMatch, k + 50), k)
   }
 
+  /** Match-phrase-prefix ranked surface (Searcher.phrasePrefixHits):
+    * fixed leading terms + a live-prefix last token, rounded-rank
+    * contract. */
+  def phrasePrefixRankedHits(spark: SparkSession, sfDir: String,
+                             text: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.phrasePrefixHits(text, k + 50), k)
+  }
+
   /** Constant-score surface (Searcher.constHits): the first k matching
     * docs in index order, each scoring exactly `boost` — the filter
     * context. Index order is (source, doc_id): the build's global

@@ -652,6 +652,38 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** Match-phrase-prefix (the Elasticsearch `match_phrase_prefix` /
+    * Lucene MultiPhraseQuery surface — "search-as-you-type" over a
+    * phrase): the LAST token of `text` is a live prefix, expanded
+    * against the vocabulary under the PREFIX normalization rules and
+    * the standard deterministic expansion cap; a document matches when
+    * the fixed leading terms followed by ANY expansion occur
+    * consecutively. Desugars to an OR of phrase atoms over the boolean
+    * grammar, so scoring is the BOOL contract: BM25 over every present
+    * expression term (fixed ∪ expansions), whichever variant matched —
+    * one compiled-presence walk, not one job per variant. */
+  def phrasePrefixHits(text: String, k: Int, qid: Long = 0L,
+                       maxExpansion: Int = Searcher.MaxExpansion): Dataset[Hit] = {
+    val pieces = Tokenizer.tokenizeUnfiltered(text.trim.stripSuffix("*"))
+    if (pieces.isEmpty) return spark.emptyDataset[Hit]
+    val prefix = pieces.last
+    // leading pieces pass the indexer's own token filter (the pieces
+    // are already boundary-split, so only the length/number rules apply)
+    val fixed = pieces.init.filter(p =>
+      p.length >= Tokenizer.MinLen && p.length <= Tokenizer.MaxLen &&
+        !p.forall(_.isDigit)).toList
+    if (fixed.nonEmpty)
+      require(segment.params.positional,
+        "phrase-prefix queries need a positional index (BuildParams.positional)")
+    val expansions = dictLookupPrefix(prefix, maxExpansion)
+    if (expansions.isEmpty) return spark.emptyDataset[Hit]
+    val ast: BoolQuery.Expr = BoolQuery.Or(expansions.map { e =>
+      if (fixed.isEmpty) BoolQuery.Term(e.term): BoolQuery.Expr
+      else BoolQuery.Phrase(fixed :+ e.term): BoolQuery.Expr
+    }.toList)
+    boolHitsAst(ast, text, k, qid)
+  }
+
   /** Common-terms query (the Lucene CommonTermsQuery surface — the
     * scale-era answer to stopword lists): query terms split by document
     * frequency at `maxDfFrac`·N — RARE terms (df strictly below the
@@ -890,8 +922,19 @@ final class Searcher(spark: SparkSession, segment: Segment,
                        lo: Long, hi: Long,
                        acceptB: AcceptB = null,
                        rejectB: AcceptB = null,
-                       after: Wand.Scored = null): Dataset[Hit] = {
-    val ast = BoolQuery.parse(text)
+                       after: Wand.Scored = null): Dataset[Hit] =
+    boolHitsAst(BoolQuery.parse(text), text, k, qid, lo, hi,
+      acceptB, rejectB, after)
+
+  /** [[boolHits]] over a pre-built AST — shared by the text parser path
+    * and surfaces that synthesize boolean expressions directly (e.g.
+    * [[phrasePrefixHits]]). */
+  private def boolHitsAst(ast: BoolQuery.Expr, text: String, k: Int,
+                          qid: Long, lo: Long = 0L,
+                          hi: Long = Long.MaxValue,
+                          acceptB: AcceptB = null,
+                          rejectB: AcceptB = null,
+                          after: Wand.Scored = null): Dataset[Hit] = {
     boolPlan(ast) match {
       case None => spark.emptyDataset[Hit]
       case Some(plan) =>
