@@ -158,6 +158,13 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     }
 
+    // ── one-time static index pruning, its own metric as well ──
+    val pruneBuildSec = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.prebuildPruned(spark, sfDir); secs(t0) }
+      catch { case _: Throwable => -1.0 }
+    }
+
     // ── per-query timings (driver contract) ───────────────────────────
     val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -171,6 +178,7 @@ object Bench {
       s""""ann_build":$annBuildSec,"tri_build":$triBuildSec,""" +
       s""""purge_build":$purgeBuildSec,""" +
       s""""compact_build":$compactBuildSec,""" +
+      s""""prune_build":$pruneBuildSec,""" +
       s""""query_p50_ms":$p50,"query_p95_ms":$p95,""" +
       s""""serving_qps":$servingQps,""" +
       s""""plan_p50_ms":$plan50,"plan_p95_ms":$plan95}""")

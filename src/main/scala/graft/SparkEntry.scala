@@ -127,6 +127,14 @@ object SparkEntry {
     ()
   }
 
+  /** Force the one-time static index pruning NOW — billed by Bench as
+    * `prune_build` so `ft_pruned` times the query over the pruned
+    * postings, not the prune pass itself. */
+  def prebuildPruned(s: SparkSession, dir: String): Unit = {
+    DocsIndex.getPruned(s, dir)
+    ()
+  }
+
   // ───────────────────────── shared SQL fragments ─────────────────────
   /** Tokenize + tf + dl + stats CTEs over `documents` (DuckDB dialect). */
   /** Tokenize + tf + dl + stats CTEs over a documents source (DuckDB
@@ -625,6 +633,13 @@ object SparkEntry {
     // fast·<any s-term>, one compiled walk over all variants
     "ft_phrase_prefix" -> ((s, dir) =>
       DocsIndex.phrasePrefixRankedHits(s, dir, "fast s", 20)),
+    // statically pruned index (Carmel SIGIR'01): same query as
+    // ft_bm25_topk over posting lists cut to their top half by impact —
+    // deliberately approximate at the tail, so no SQL twin; exactness
+    // gates (kept-set brute force, keepFrac=1 identity, recall) live in
+    // IndexPrunerSpec
+    "ft_pruned" -> ((s, dir) =>
+      DocsIndex.prunedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
     // significant terms: what is UNUSUAL about docs matching the query,
     // JLH-scored against the corpus background
     "ft_sigterms" -> ((s, dir) =>

@@ -68,6 +68,31 @@ object DocsIndex {
       (seg, new Searcher(spark, seg), report)
     })
 
+  private val prunedCache = TrieMap.empty[String, (Segment, Searcher)]
+
+  /** Statically pruned view of the sfDir index (IndexPruner, Carmel et
+    * al. SIGIR'01): each posting list keeps its top half by impact
+    * (minKeep 8). One build per sfDir per JVM, cached and counted like
+    * the main segment. Kept postings score exactly as on the full
+    * index; tail recall is the documented trade. */
+  def getPruned(spark: SparkSession, sfDir: String): (Segment, Searcher) =
+    prunedCache.getOrElseUpdate(sfDir, {
+      val (seg, _, _) = get(spark, sfDir)
+      val pseg0 = graft.index.IndexPruner.prune(spark, seg, 0.5, minKeep = 8)
+      val pseg = pseg0.copy(postings = pseg0.postings.repartition(4).cache())
+      pseg.postings.count()
+      (pseg, new Searcher(spark, pseg))
+    })
+
+  /** Ranked top-k over the PRUNED index — same rounded-rank contract as
+    * rankedHits; deliberately approximate at the tail (no SQL twin; the
+    * exactness gates live in IndexPrunerSpec). */
+  def prunedRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                       text: String, k: Int): DataFrame = {
+    val (_, searcher) = getPruned(spark, sfDir)
+    rank(spark, sfDir, searcher.hits(kind, text, k + 50), k)
+  }
+
   /** docId → original doc_id (the zero-padded path round-trips). */
   def withDocId(seg: Segment): DataFrame =
     seg.docs.select(col("docId"), col("path").cast("long").as("doc_id"))
