@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.DocsIndex
-import graft.pipeline.{Ann, AnnIndex, Curation, Dedup, Multimodal, Percolator, TextStats}
+import graft.pipeline.{Ann, AnnIndex, Bpe, Curation, Dedup, Multimodal, Percolator, TextStats}
 import graft.search.ExactScorer
 
 /** Driver contract — SURVEY.md §2.7. Every implemented operator from
@@ -126,6 +126,16 @@ object SparkEntry {
     DocsIndex.compactedRankedHits(s, dir, "FREE", "fast", 1).count()
     ()
   }
+
+  /** Trained BPE merge table, one per sfDir per JVM (the merge loop is
+    * a one-time vocabulary build, not query work). */
+  private val bpeCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def bpeMerges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    bpeCache.getOrElseUpdate(dir, {
+      val m = Bpe.trainOn(s, DocsIndex.documents(s, dir), numMerges = 40).cache()
+      m.count()
+      m
+    })
 
   /** Force the one-time static index pruning NOW — billed by Bench as
     * `prune_build` so `ft_pruned` times the query over the pruned
@@ -1004,6 +1014,17 @@ object SparkEntry {
     "seq_pack" -> ((s, dir) =>
       Curation.packSequences(s, DocsIndex.documents(s, dir), 128)
         .orderBy("seq_id", "doc_id")),
+    // BPE vocabulary training (Sennrich ACL'16, word-frequency-table
+    // form): one corpus shuffle, merges learned driver-side. The merge
+    // loop is iterative — no SQL twin; the hand-computed Sennrich
+    // fixture + parallelism-invariance gates live in BpeSpec
+    "bpe_merges" -> ((s, dir) => bpeMerges(s, dir).orderBy("rank")),
+    // per-doc token counts under the learned BPE vocab — the budget
+    // number a training pipeline plans with (spec-gated like the
+    // trainer; encode is deterministic given the merges)
+    "bpe_tokens" -> ((s, dir) =>
+      Bpe.tokenCounts(s, DocsIndex.documents(s, dir), bpeMerges(s, dir))
+        .orderBy("doc_id")),
     // DSIR importance resampling (Xie et al. NeurIPS 2023): hashed-
     // unigram importance weights of every raw doc under the src0-target
     // feature LM over the raw feature LM; keep = rounded weight > 0
