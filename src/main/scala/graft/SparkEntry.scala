@@ -826,6 +826,12 @@ object SparkEntry {
     "ft_rescore" -> ((s, dir) =>
       DocsIndex.rescoredRankedHits(s, dir, "FREE", "fast merge sort table",
         50, 15, 0.1)),
+    // gaussian decay (ES function_score gauss on n_chars): full score
+    // inside |x| ≤ 100, multiplier 0.5 at distance 100 + 300
+    "ft_decay" -> ((s, dir) =>
+      DocsIndex.decayRankedHits(s, dir, "FREE", "fast merge sort table",
+        50, 15, origin = 0.0, offset = 100.0, scale = 300.0,
+        decayRate = 0.5)),
     // percolation (reverse search): 5 stored queries across the kinds,
     // matched against every document in one narrow pass
     "percolate" -> ((s, dir) => {
@@ -2156,6 +2162,32 @@ object SparkEntry {
          |                  doc_id) AS rank
          |FROM win JOIN documents USING (doc_id)
          |ORDER BY blended DESC, doc_id LIMIT 15""".stripMargin,
+    // gaussian-decay twin: same windowed CTE as ft_rescore, multiplier
+    // exp(−d²/(2σ²)) with 2σ² = scale²/ln 2 (decayRate 0.5, ES form)
+    "ft_decay" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |),
+         |win AS (SELECT doc_id, round(score, 6) AS bm25 FROM (
+         |  SELECT doc_id, score, row_number() OVER (
+         |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 50),
+         |dec AS (
+         |  SELECT doc_id, bm25,
+         |         round(bm25 * exp(-pow(greatest(0.0, abs(n_chars - 0.0) - 100.0), 2)
+         |                          * ln(2) / 90000.0), 6) AS decayed
+         |  FROM win JOIN documents USING (doc_id))
+         |SELECT doc_id, bm25, decayed,
+         |       row_number() OVER (ORDER BY decayed DESC, doc_id) AS rank
+         |FROM dec ORDER BY decayed DESC, doc_id LIMIT 15""".stripMargin,
     // result collapse: per-source best doc by (rounded score desc,
     // doc_id asc), then the top-8 sources by (score desc, source asc)
     "ft_collapse" ->

@@ -1073,6 +1073,44 @@ object DocsIndex {
       .toDF("doc_id", "bm25", "blended", "rank")
   }
 
+  /** Gaussian decay scoring (the Elasticsearch `function_score` decay
+    * family — gauss(origin, offset, scale, decay) over a numeric doc
+    * field, here n_chars): the BM25 top-`window` is re-ordered by
+    * bm25 · exp(−max(0, |x − origin| − offset)² / (2σ²)), with σ² =
+    * scale² / (−2 · ln(decayRate)) so the multiplier equals decayRate
+    * at distance offset + scale — the ES parameterization exactly.
+    * Same windowed shape (and the same reasoning) as
+    * [[rescoredRankedHits]]: a decay multiplier has no per-list upper
+    * bound, so folding it into the walk would disable WAND pruning;
+    * ≤window rows pay it instead, broadcast into the signal join. */
+  def decayRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                      text: String, window: Int, k: Int, origin: Double,
+                      offset: Double, scale: Double,
+                      decayRate: Double): DataFrame = {
+    require(scale > 0.0 && decayRate > 0.0 && decayRate < 1.0,
+      s"need scale > 0 and decayRate in (0,1), got scale=$scale decay=$decayRate")
+    val spark2 = spark
+    import spark2.implicits._
+    val sigma2 = scale * scale / (-2.0 * math.log(decayRate))
+    val base = rankedHits(spark, sfDir, kind, text, window)
+      .select(col("doc_id"), col("score"))
+    val signal = documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val dist = greatest(lit(0.0), abs(col("n_chars") - lit(origin)) - lit(offset))
+    val decayed = round(col("score") *
+      exp((dist * dist) / lit(-2.0 * sigma2)), 6)
+    broadcast(base).join(signal, Seq("doc_id"))
+      .select(col("doc_id"), col("score").as("bm25"), decayed.as("decayed"))
+      .orderBy(col("decayed").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, b, s) => r += 1; (d, b, s, r) }
+      }
+      .toDF("doc_id", "bm25", "decayed", "rank")
+  }
+
   private def rank(spark: SparkSession, sfDir: String,
                    hits: org.apache.spark.sql.Dataset[graft.model.Hit], k: Int): DataFrame = {
     val (seg, _, _) = get(spark, sfDir)

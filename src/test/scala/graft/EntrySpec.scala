@@ -15,9 +15,12 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
-    // rows-only (un-oracled) queries are the deliberately approximate ops
+    // rows-only (un-oracled) queries are the deliberately approximate
+    // ops (murmur3/LSH/PQ signatures, pruned-tail recall) and the two
+    // iterative-trainer surfaces (BPE) — each exact-gated in scalatest
     assert(q.diff(o) == Set("dedup_simhash", "ann_lsh", "ann_pq",
-      "ann_ivfpq", "dedup_semantic"), q.diff(o).toString)
+      "ann_ivfpq", "dedup_semantic", "ft_pruned", "bpe_merges",
+      "bpe_tokens"), q.diff(o).toString)
   }
 
   test("snippets cut the exact ±2-token window around each matched position") {
@@ -115,6 +118,30 @@ class EntrySpec extends SparkSpec {
       assert(dl == toks.length.toLong, s"doc $id dl")
       val want = math.floor(m.map(idf).sum * 1e6 + 0.5) / 1e6
       assert(sidf == want, s"doc $id sum_idf")
+    }
+  }
+
+  test("gaussian decay: identity inside the offset, halved at offset+scale") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val chars = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.api.DocsIndex.decayRankedHits(spark, sf, "FREE",
+      "fast merge sort table", 50, 15, origin = 0.0, offset = 100.0,
+      scale = 300.0, decayRate = 0.5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, bm25, dec) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val x = chars(d).toDouble
+      if (x <= 100.0) assert(dec == bm25, s"doc $d inside offset")
+      else {
+        assert(dec < bm25, s"doc $d must decay")
+        val dist = x - 100.0
+        val want = math.floor(bm25 *
+          math.exp(-dist * dist * math.log(2) / 90000.0) * 1e6 + 0.5) / 1e6
+        assert(math.abs(dec - want) <= 1e-6, s"doc $d: $dec vs $want")
+      }
     }
   }
 
