@@ -497,6 +497,34 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Decay-family twin: the ft_decay CTE stack with the shape's
+    * multiplier expression over dd = max(0, |n_chars − origin| − offset)
+    * spliced in (`DD` is the distance placeholder). */
+  private def decaySql(multSql: String): String =
+    s"""$tokCtes, sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+       |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN alldl USING (doc_id)
+       |  CROSS JOIN stats
+       |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+       |  GROUP BY tf.doc_id
+       |),
+       |win AS (SELECT doc_id, round(score, 6) AS bm25 FROM (
+       |  SELECT doc_id, score, row_number() OVER (
+       |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc)
+       |  WHERE rank <= 50),
+       |dec AS (
+       |  SELECT doc_id, bm25,
+       |         round(bm25 * ${multSql.replace("DD",
+                 "greatest(0.0, abs(n_chars - 0.0) - 100.0)")}, 6) AS decayed
+       |  FROM win JOIN documents USING (doc_id))
+       |SELECT doc_id, bm25, decayed,
+       |       row_number() OVER (ORDER BY decayed DESC, doc_id) AS rank
+       |FROM dec ORDER BY decayed DESC, doc_id LIMIT 15""".stripMargin
+
   private val embedDupSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -745,6 +773,10 @@ object SparkEntry {
     // generalized predicate bitset (one probe inside the walks)
     "ft_fielded_range" -> ((s, dir) =>
       DocsIndex.fieldedRankedHits(s, dir, "len:40..120 fast merge sort", 20)),
+    // path glob atom (the code-search `path:` filter): docmap paths are
+    // zero-padded doc_ids, so this glob selects doc_ids 100..199
+    "ft_fielded_path" -> ((s, dir) =>
+      DocsIndex.fieldedRankedHits(s, dir, "path:0000000001* fast merge sort", 20)),
     // common-terms query: 'dup' (df 25/500) is required at cutoff 0.3,
     // 'the'/'merge' (df ~0.8N) are optional but score when present
     "ft_common_terms" -> ((s, dir) =>
@@ -757,6 +789,10 @@ object SparkEntry {
     // 10-token bins — the numeric sibling of the lang facets
     "ft_len_hist" -> ((s, dir) =>
       DocsIndex.lenHistogram(s, dir, "FREE", "fast merge", 10)),
+    // extended-stats aggregation over the same match set: exact Long
+    // sums, mean/variance/std rounded under the floor tie rule
+    "ft_extstats" -> ((s, dir) =>
+      DocsIndex.lenExtendedStats(s, dir, "FREE", "fast merge")),
     // field-sorted results: the AND match set ordered longest-first
     // instead of by BM25 (the ES sort surface)
     "ft_sortby" -> ((s, dir) =>
@@ -832,6 +868,17 @@ object SparkEntry {
       DocsIndex.decayRankedHits(s, dir, "FREE", "fast merge sort table",
         50, 15, origin = 0.0, offset = 100.0, scale = 300.0,
         decayRate = 0.5)),
+    // the other two ES decay shapes over the same query/window/params —
+    // exp never reaches 0 (long-tail demotion), linear hard-zeroes past
+    // origin+offset+scale/(1-decay)
+    "ft_decay_exp" -> ((s, dir) =>
+      DocsIndex.decayRankedHits(s, dir, "FREE", "fast merge sort table",
+        50, 15, origin = 0.0, offset = 100.0, scale = 300.0,
+        decayRate = 0.5, shape = "exp")),
+    "ft_decay_lin" -> ((s, dir) =>
+      DocsIndex.decayRankedHits(s, dir, "FREE", "fast merge sort table",
+        50, 15, origin = 0.0, offset = 100.0, scale = 300.0,
+        decayRate = 0.5, shape = "linear")),
     // percolation (reverse search): 5 stored queries across the kinds,
     // matched against every document in one narrow pass
     "percolate" -> ((s, dir) => {
@@ -1497,6 +1544,26 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // extended stats: exact integer sums, then single-division doubles
+    // under the explicit floor tie rule — the engine's identical tree
+    "ft_extstats" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), agg AS (
+         |  SELECT count(*)::BIGINT AS n_docs,
+         |         min(dl)::BIGINT AS min_dl, max(dl)::BIGINT AS max_dl,
+         |         sum(dl)::BIGINT AS sum_dl, sum(dl * dl)::BIGINT AS sumsq
+         |  FROM m JOIN alldl USING (doc_id)
+         |)
+         |SELECT n_docs, min_dl, max_dl, sum_dl,
+         |       floor(sum_dl::DOUBLE / n_docs * 1e6 + 0.5) / 1e6 AS avg_dl,
+         |       floor((sumsq::DOUBLE / n_docs -
+         |              (sum_dl::DOUBLE / n_docs) * (sum_dl::DOUBLE / n_docs))
+         |             * 1e6 + 0.5) / 1e6 AS var_dl,
+         |       floor(sqrt(sumsq::DOUBLE / n_docs -
+         |              (sum_dl::DOUBLE / n_docs) * (sum_dl::DOUBLE / n_docs))
+         |             * 1e6 + 0.5) / 1e6 AS std_dl
+         |FROM agg""".stripMargin,
     // LTR feature twin: per query its own bm25 top-k CTE (the msearch
     // shape), features aggregated over the matched tf rows; sum_idf on
     // the floor round (Σ-of-ln rides the 1e-15 regime)
@@ -1852,6 +1919,12 @@ object SparkEntry {
       bm25Sql(Seq("fast", "merge", "sort"), conjunctive = false, k = 20,
         exclude =
           "AND tf.doc_id IN (SELECT doc_id FROM alldl WHERE dl BETWEEN 40 AND 120)"),
+    // path glob: the docmap path is lpad(doc_id, 12, '0'), so the glob
+    // 0000000001* is the LIKE prefix below (doc_ids 100..199)
+    "ft_fielded_path" ->
+      bm25Sql(Seq("fast", "merge", "sort"), conjunctive = false, k = 20,
+        exclude = "AND lpad(CAST(tf.doc_id AS VARCHAR), 12, '0') " +
+          "LIKE '0000000001%'"),
     // live deletes: result docs filtered, statistics CTEs untouched —
     // the filter-doesn't-rescale contract of Searcher.deletedHits
     "ft_deleted" ->
@@ -2164,30 +2237,12 @@ object SparkEntry {
          |ORDER BY blended DESC, doc_id LIMIT 15""".stripMargin,
     // gaussian-decay twin: same windowed CTE as ft_rescore, multiplier
     // exp(−d²/(2σ²)) with 2σ² = scale²/ln 2 (decayRate 0.5, ES form)
-    "ft_decay" ->
-      s"""$tokCtes, sc AS (
-         |  SELECT tf.doc_id,
-         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
-         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
-         |  FROM tf
-         |  JOIN df USING (term)
-         |  JOIN alldl USING (doc_id)
-         |  CROSS JOIN stats
-         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
-         |  GROUP BY tf.doc_id
-         |),
-         |win AS (SELECT doc_id, round(score, 6) AS bm25 FROM (
-         |  SELECT doc_id, score, row_number() OVER (
-         |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc)
-         |  WHERE rank <= 50),
-         |dec AS (
-         |  SELECT doc_id, bm25,
-         |         round(bm25 * exp(-pow(greatest(0.0, abs(n_chars - 0.0) - 100.0), 2)
-         |                          * ln(2) / 90000.0), 6) AS decayed
-         |  FROM win JOIN documents USING (doc_id))
-         |SELECT doc_id, bm25, decayed,
-         |       row_number() OVER (ORDER BY decayed DESC, doc_id) AS rank
-         |FROM dec ORDER BY decayed DESC, doc_id LIMIT 15""".stripMargin,
+    // σ² = 300²/(−2·ln 0.5) ⇒ exp(−d²/(2σ²)) = exp(−d²·ln2/90000)
+    "ft_decay" -> decaySql("exp(-pow(DD, 2) * ln(2) / 90000.0)"),
+    // λ = −ln(0.5)/300 ⇒ exp(−λd) = exp(−d·ln2/300)
+    "ft_decay_exp" -> decaySql("exp(-DD * ln(2) / 300.0)"),
+    // s = 300/(1−0.5) = 600 ⇒ max(0, 1 − d/600)
+    "ft_decay_lin" -> decaySql("greatest(0.0, 1.0 - DD / 600.0)"),
     // result collapse: per-source best doc by (rounded score desc,
     // doc_id asc), then the top-8 sources by (score desc, source asc)
     "ft_collapse" ->

@@ -194,6 +194,51 @@ object DocsIndex {
     }
   }
 
+  /** Extended-stats aggregation over a query's FULL match set (the ES
+    * `extended_stats` agg over a numeric field, here docLen): count,
+    * min, max, sum, mean, population variance, population std-dev.
+    * The match set comes from the kind's presence walk
+    * (Searcher.matchDocIds — pushdown-filtered, docId-only decode); the
+    * docmap join + the single-row agg touch match-set-sized data only,
+    * and the agg itself is partial+final (one row leaves each task).
+    * Cross-engine determinism: sums are EXACT Longs (docLen and its
+    * square), so mean = sum/n and var = sumsq/n − (sum/n)² are each one
+    * IEEE division/multiply from exact integers — no Σ-of-doubles order
+    * drift; both round under the explicit floor(x·1e6+0.5)/1e6 rule
+    * (the sigterms lesson: ratios of small integers DO land on exact
+    * 6-dp halves). */
+  def lenExtendedStats(spark: SparkSession, sfDir: String, kind: String,
+                       text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("n_docs"), lit(null).cast("long").as("min_dl"),
+        lit(null).cast("long").as("max_dl"), lit(0L).as("sum_dl"),
+        lit(null).cast("double").as("avg_dl"),
+        lit(null).cast("double").as("var_dl"),
+        lit(null).cast("double").as("std_dl"))
+      case Some(m) =>
+        val dl = col("docLen").cast("long")
+        val mean = col("sum_dl").cast("double") / col("n_docs")
+        val variance = col("sumsq").cast("double") / col("n_docs") -
+          (col("sum_dl").cast("double") / col("n_docs")) *
+          (col("sum_dl").cast("double") / col("n_docs"))
+        m.join(seg.docs.select(col("docId"), col("docLen")), Seq("docId"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(dl).as("min_dl"),
+            max(dl).as("max_dl"),
+            sum(dl).as("sum_dl"),
+            sum(dl * dl).as("sumsq"))
+          .select(col("n_docs"), col("min_dl"), col("max_dl"), col("sum_dl"),
+            rnd6(mean).as("avg_dl"),
+            rnd6(variance).as("var_dl"),
+            rnd6(sqrt(variance)).as("std_dl"))
+    }
+  }
+
   /** Batched multi-query rankedHits (msearch): every query of the batch
     * answered in ONE job over ONE union-pushdown postings scan
     * (Searcher.batchHits), each re-ranked by the same rounded contract
@@ -247,26 +292,33 @@ object DocsIndex {
     val (kind, _) = QueryParser.parse(rest)
     val (seg, searcher, _) = get(spark, sfDir)
     // numeric range atom `len:lo..hi` (inclusive, over the docmap's
-    // docLen): one bitset probe via the generalized predicate filter;
-    // lang:/repo: constraints fold into the same predicate (one bitset,
-    // filters compose by conjunction)
+    // docLen) and path glob atom `path:src/*`: one bitset probe via the
+    // generalized predicate filter; lang:/repo: constraints fold into
+    // the same predicate (one bitset, filters compose by conjunction)
     val LenRe = """(\d+)\.\.(\d+)""".r
-    fields.get("len") match {
-      case Some(LenRe(lo, hi)) =>
-        var pred = col("docLen") >= lo.toLong && col("docLen") <= hi.toLong
-        var tag = s"len:$lo..$hi"
-        fields.get("lang").foreach { l =>
-          pred = pred && col("lang") === l; tag += s"|lang:$l"
-        }
-        fields.get("repo").foreach { r =>
-          pred = pred && col("repo") === r; tag += s"|repo:$r"
-        }
-        return rank(spark, sfDir,
-          searcher.predFieldedHits(kind, rest, k + 50, tag, pred), k)
-      case Some(bad) =>
-        throw new IllegalArgumentException(
-          s"len: atom must be lo..hi (inclusive), got 'len:$bad'")
-      case None => ()
+    if (fields.contains("len") || fields.contains("path")) {
+      var pred: org.apache.spark.sql.Column = lit(true)
+      var tag = ""
+      fields.get("len").foreach {
+        case LenRe(lo, hi) =>
+          pred = pred && col("docLen") >= lo.toLong && col("docLen") <= hi.toLong
+          tag += s"len:$lo..$hi"
+        case bad =>
+          throw new IllegalArgumentException(
+            s"len: atom must be lo..hi (inclusive), got 'len:$bad'")
+      }
+      fields.get("path").foreach { g =>
+        pred = pred && col("path").like(QueryParser.globToLike(g))
+        tag += s"|path:$g"
+      }
+      fields.get("lang").foreach { l =>
+        pred = pred && col("lang") === l; tag += s"|lang:$l"
+      }
+      fields.get("repo").foreach { r =>
+        pred = pred && col("repo") === r; tag += s"|repo:$r"
+      }
+      return rank(spark, sfDir,
+        searcher.predFieldedHits(kind, rest, k + 50, tag, pred), k)
     }
     (fields.get("repo"), fields.get("lang")) match {
       case (None, None) => rankedHits(spark, sfDir, kind, rest, k)
@@ -1073,12 +1125,15 @@ object DocsIndex {
       .toDF("doc_id", "bm25", "blended", "rank")
   }
 
-  /** Gaussian decay scoring (the Elasticsearch `function_score` decay
-    * family — gauss(origin, offset, scale, decay) over a numeric doc
+  /** Decay scoring (the Elasticsearch `function_score` decay family —
+    * gauss/exp/linear(origin, offset, scale, decay) over a numeric doc
     * field, here n_chars): the BM25 top-`window` is re-ordered by
-    * bm25 · exp(−max(0, |x − origin| − offset)² / (2σ²)), with σ² =
-    * scale² / (−2 · ln(decayRate)) so the multiplier equals decayRate
-    * at distance offset + scale — the ES parameterization exactly.
+    * bm25 · m(d) with d = max(0, |x − origin| − offset) and, per the ES
+    * parameterization exactly (each shape's m equals decayRate at
+    * distance offset + scale):
+    *  - gauss:  m = exp(−d² / (2σ²)),       σ² = scale² / (−2·ln decay)
+    *  - exp:    m = exp(−λ·d),              λ  = −ln(decay) / scale
+    *  - linear: m = max(0, (s − d) / s),    s  = scale / (1 − decay)
     * Same windowed shape (and the same reasoning) as
     * [[rescoredRankedHits]]: a decay multiplier has no per-list upper
     * bound, so folding it into the walk would disable WAND pruning;
@@ -1086,18 +1141,28 @@ object DocsIndex {
   def decayRankedHits(spark: SparkSession, sfDir: String, kind: String,
                       text: String, window: Int, k: Int, origin: Double,
                       offset: Double, scale: Double,
-                      decayRate: Double): DataFrame = {
+                      decayRate: Double, shape: String = "gauss"): DataFrame = {
     require(scale > 0.0 && decayRate > 0.0 && decayRate < 1.0,
       s"need scale > 0 and decayRate in (0,1), got scale=$scale decay=$decayRate")
     val spark2 = spark
     import spark2.implicits._
-    val sigma2 = scale * scale / (-2.0 * math.log(decayRate))
     val base = rankedHits(spark, sfDir, kind, text, window)
       .select(col("doc_id"), col("score"))
     val signal = documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     val dist = greatest(lit(0.0), abs(col("n_chars") - lit(origin)) - lit(offset))
-    val decayed = round(col("score") *
-      exp((dist * dist) / lit(-2.0 * sigma2)), 6)
+    val mult = shape match {
+      case "gauss" =>
+        val sigma2 = scale * scale / (-2.0 * math.log(decayRate))
+        exp((dist * dist) / lit(-2.0 * sigma2))
+      case "exp" =>
+        exp(dist * lit(math.log(decayRate) / scale))
+      case "linear" =>
+        greatest(lit(0.0), lit(1.0) - dist * lit((1.0 - decayRate) / scale))
+      case other =>
+        throw new IllegalArgumentException(
+          s"decay shape must be gauss|exp|linear, got '$other'")
+    }
+    val decayed = round(col("score") * mult, 6)
     broadcast(base).join(signal, Seq("doc_id"))
       .select(col("doc_id"), col("score").as("bm25"), decayed.as("decayed"))
       .orderBy(col("decayed").desc, col("doc_id").asc)

@@ -63,12 +63,14 @@ object QueryParser {
     else ("FREE", Tokenizer.queryTerms(t))
   }
 
-  private val FieldRe = "^(lang|repo|len):(\\S+)$".r
+  private val FieldRe = "^(lang|repo|len|path):(\\S+)$".r
 
   /** Extract fielded atoms (`lang:v`, `repo:v`) from a query; returns
     * (fields, remaining query text). `repo:` maps to the contiguous
-    * docId-range scope (X7); `lang:` to the docmap bitset filter. A field
-    * repeated last-wins; atoms can sit anywhere in the query. */
+    * docId-range scope (X7); `lang:` to the docmap bitset filter;
+    * `path:` is a glob over the docmap path (LIKE-translated, the
+    * code-search `file:`/`path:` atom). A field repeated last-wins;
+    * atoms can sit anywhere in the query. */
   def parseFields(text: String): (Map[String, String], String) = {
     val parts = text.trim.split("\\s+").filter(_.nonEmpty)
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -205,6 +207,21 @@ object QueryParser {
       case '*' => sb.append(".*")
       case '?' => sb.append('.')
       case c if "\\^$.|+()[]{}".indexOf(c.toInt) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Glob → SQL LIKE pattern (`*`→`%`, `?`→`_`, LIKE metacharacters
+    * escaped with `\`) — the `path:` atom's docmap predicate, shared
+    * with the DuckDB twin so both engines filter identically. */
+  def globToLike(glob: String): String = {
+    val sb = new StringBuilder(glob.length + 8)
+    glob.foreach {
+      case '*' => sb.append('%')
+      case '?' => sb.append('_')
+      case c if c == '%' || c == '_' || c == '\\' =>
         sb.append('\\').append(c)
       case c => sb.append(c)
     }

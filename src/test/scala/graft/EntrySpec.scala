@@ -145,6 +145,69 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("exp and linear decay shapes follow the ES parameterization") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val chars = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def run(shape: String) = graft.api.DocsIndex.decayRankedHits(spark, sf,
+      "FREE", "fast merge sort table", 50, 15, origin = 0.0, offset = 100.0,
+      scale = 300.0, decayRate = 0.5, shape = shape).collect()
+    def check(shape: String, mult: Double => Double): Unit =
+      run(shape).foreach { r =>
+        val (d, bm25, dec) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+        val dist = math.max(0.0, chars(d).toDouble - 100.0)
+        if (dist == 0.0) assert(dec == bm25, s"$shape doc $d inside offset")
+        else {
+          val want = BigDecimal(bm25 * mult(dist))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(dec - want) <= 1e-6, s"$shape doc $d: $dec vs $want")
+        }
+      }
+    check("exp", d => math.exp(d * math.log(0.5) / 300.0))
+    check("linear", d => math.max(0.0, 1.0 - d * 0.5 / 300.0))
+    // each shape's multiplier equals decayRate at distance offset+scale:
+    // a doc at exactly that distance halves under every shape (checked
+    // analytically — the three formulas all evaluate to 0.5 at d=300)
+    assert(math.abs(math.exp(-300.0 * 300.0 * math.log(2) / 90000.0) - 0.5) < 1e-12)
+    assert(math.abs(math.exp(300.0 * math.log(0.5) / 300.0) - 0.5) < 1e-12)
+    assert(math.abs((1.0 - 300.0 * 0.5 / 300.0) - 0.5) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.api.DocsIndex.decayRankedHits(spark, sf, "FREE", "fast", 10, 5,
+        0.0, 0.0, 1.0, 0.5, shape = "triangle")
+    }
+  }
+
+  test("lenExtendedStats == brute-force stats of the match set") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.lenExtendedStats(spark, sf, "FREE",
+      "fast merge").collect().head
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val dls = docs.flatMap { r =>
+      val toks = graft.tokenize.Tokenizer.tokenize(r.getString(1))
+      if (toks.contains("fast") || toks.contains("merge"))
+        Some(toks.length.toLong)
+      else None
+    }
+    assert(dls.nonEmpty)
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = dls.length.toLong
+    val sum = dls.sum
+    val sumsq = dls.map(d => d * d).sum
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == dls.min && got.getLong(2) == dls.max)
+    assert(got.getLong(3) == sum)
+    val mean = sum.toDouble / n
+    val variance = sumsq.toDouble / n - mean * mean
+    assert(got.getDouble(4) == rnd6(mean))
+    assert(got.getDouble(5) == rnd6(variance))
+    assert(got.getDouble(6) == rnd6(math.sqrt(variance)))
+    assert(variance > 0.0)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf

@@ -29,6 +29,37 @@ class FieldedSpec extends SparkSpec {
     // numeric range atom
     assert(QueryParser.parseFields("len:40..120 fast") ==
       (Map("len" -> "40..120"), "fast"))
+    // path glob atom
+    assert(QueryParser.parseFields("path:src/* fast") ==
+      (Map("path" -> "src/*"), "fast"))
+  }
+
+  test("globToLike translates globs and escapes LIKE metacharacters") {
+    assert(QueryParser.globToLike("src/*") == "src/%")
+    assert(QueryParser.globToLike("a?c") == "a_c")
+    assert(QueryParser.globToLike("50%_x") == "50\\%\\_x")
+    assert(QueryParser.globToLike("plain") == "plain")
+  }
+
+  test("path: glob atom == filtered global ranking (predicate bitset)") {
+    val terms = seg.dict.orderBy(desc("df")).limit(2).collect().map(_.term)
+    val q = s"${terms(0)} ${terms(1)}"
+    // synthesizer paths are src/<dir>/<file><n>.<ext>: glob one dir —
+    // a strict, non-empty subset of the corpus
+    val someDir = seg.docs.select(col("path")).head().getString(0).split("/")(1)
+    val glob = s"src/$someDir/*"
+    val likePat = QueryParser.globToLike(glob)
+    val inGlob = seg.docs.filter(col("path").like(likePat))
+      .select(col("docId")).collect().map(_.getLong(0)).toSet
+    assert(inGlob.nonEmpty && inGlob.size < seg.stats.numDocs)
+    val got = searcher.predFieldedHits("FREE", q, 10, s"path:$glob",
+        col("path").like(likePat))
+      .collect().map(h => (h.docId, h.score)).toSeq
+    val want = searcher.hitsExhaustive("FREE", q, seg.stats.numDocs.toInt)
+      .collect().filter(h => inGlob(h.docId))
+      .sortBy(h => (-h.score, h.docId)).take(10)
+      .map(h => (h.docId, h.score)).toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("len: range atom == filtered global ranking (predicate bitset)") {
