@@ -793,6 +793,14 @@ object SparkEntry {
     // sums, mean/variance/std rounded under the floor tie rule
     "ft_extstats" -> ((s, dir) =>
       DocsIndex.lenExtendedStats(s, dir, "FREE", "fast merge")),
+    // deterministic random_score (seed 42): md5-portable hash ordering
+    // of the match set — reproducible unbiased sampling of a filter
+    "ft_random" -> ((s, dir) =>
+      DocsIndex.randomScoredHits(s, dir, "FREE", "fast merge", 42L, 20)),
+    // term vectors of doc 7 (the ES _termvectors API): tf + positions
+    // from re-analysis of the one doc, df/cf from the dictionary
+    "ft_termvectors" -> ((s, dir) =>
+      DocsIndex.termVectors(s, dir, 7L)),
     // field-sorted results: the AND match set ordered longest-first
     // instead of by BM25 (the ES sort surface)
     "ft_sortby" -> ((s, dir) =>
@@ -1544,6 +1552,38 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // term-vectors twin: positions = row_number over the length-filtered
+    // token stream of doc 7 (the engine's coordinate space), df/cf from
+    // the corpus-wide dictionary CTE
+    "ft_termvectors" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE doc_id = 7
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), tv AS (
+         |  SELECT term, count(*)::BIGINT AS tf FROM tokp GROUP BY 1
+         |)
+         |SELECT tokp.term, tv.tf, df.df, df.cf, tokp.pos
+         |FROM tokp
+         |JOIN tv ON tv.term = tokp.term
+         |JOIN df ON df.term = tokp.term
+         |ORDER BY tokp.term, tokp.pos""".stripMargin,
+    // random_score twin: the same md5 15-hex-prefix hash of "42:doc_id"
+    "ft_random" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), h AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT AS rand
+         |  FROM m
+         |)
+         |SELECT doc_id, rand,
+         |       row_number() OVER (ORDER BY rand DESC, doc_id) AS rank
+         |FROM h ORDER BY rand DESC, doc_id LIMIT 20""".stripMargin,
     // extended stats: exact integer sums, then single-division doubles
     // under the explicit floor tie rule — the engine's identical tree
     "ft_extstats" ->

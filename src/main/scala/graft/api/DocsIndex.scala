@@ -239,6 +239,72 @@ object DocsIndex {
     }
   }
 
+  /** Term vectors for one document (the ES `_termvectors` API): per
+    * distinct term of the doc, its in-doc frequency, 1-based positions
+    * over the filtered token stream (the highlight coordinate space),
+    * and the collection statistics (df, cf) from the term dictionary.
+    * Posture: ES computes un-stored term vectors by re-analyzing the
+    * one document — same here: ONE pushdown-pruned row read (doc_id
+    * predicate reaches the parquet scan), a flatMap tokenize of that
+    * single row, and a broadcast dict join for the collection stats.
+    * Nothing corpus-sized moves; the inverted index is never decoded
+    * (doc→terms is the forward direction, which is exactly why ES
+    * re-analyzes too). */
+  def termVectors(spark: SparkSession, sfDir: String, docId: Long): DataFrame = {
+    val (seg, _, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val doc = documents(spark, sfDir)
+      .filter(col("doc_id") === docId).select(col("text")).as[String]
+    val toks = doc.flatMap { t =>
+      graft.tokenize.Tokenizer.tokenize(t).iterator.zipWithIndex
+        .map { case (w, i) => (w, i + 1L) }
+    }.toDF("term", "pos")
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    toks.join(tf, Seq("term"))
+      .join(broadcast(seg.dict.select(col("term"), col("df"), col("cf"))),
+        Seq("term"))
+      .select(col("term"), col("tf"), col("df"), col("cf"), col("pos"))
+      .orderBy(col("term"), col("pos"))
+  }
+
+  /** Deterministic random-score sampling of a query's match set (the ES
+    * `function_score` `random_score` with seed + field: reproducible
+    * "random" ordering — the shape behind randomized result audits and
+    * unbiased corpus sampling of a filter's matches). The score of a
+    * matching doc is the 15-hex-char md5 prefix of "seed:doc_id" — the
+    * md5-portable hash family every curation twin already uses — so the
+    * ordering is fully determined by (seed, doc_id) and identical across
+    * engines, cluster sizes, and runs. Match set from the kind's
+    * presence walk (pushdown-filtered docId-only decode); the hash +
+    * TakeOrderedAndProject top-k touch match-set-sized data only, all
+    * inside whole-stage codegen (built-in md5/conv, no UDF). */
+  def randomScoredHits(spark: SparkSession, sfDir: String, kind: String,
+                       text: String, seed: Long, k: Int): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("doc_id"), lit(0L).as("rand"), lit(0L).as("rank"))
+      case Some(m) =>
+        val spark2 = spark
+        import spark2.implicits._
+        m.join(withDocId(seg), Seq("docId"))
+          .select(col("doc_id"),
+            conv(substring(md5(concat(lit(seed.toString), lit(":"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long").as("rand"))
+          .orderBy(col("rand").desc, col("doc_id").asc)
+          .limit(k)
+          .as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            var r = 0L
+            it.map { case (d, h) => r += 1; (d, h, r) }
+          }
+          .toDF("doc_id", "rand", "rank")
+    }
+  }
+
   /** Batched multi-query rankedHits (msearch): every query of the batch
     * answered in ONE job over ONE union-pushdown postings scan
     * (Searcher.batchHits), each re-ranked by the same rounded contract

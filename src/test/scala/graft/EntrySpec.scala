@@ -208,6 +208,48 @@ class EntrySpec extends SparkSpec {
     assert(variance > 0.0)
   }
 
+  test("randomScoredHits == brute-force md5 ordering of the match set") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.randomScoredHits(spark, sf, "FREE",
+      "fast merge", 42L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val want = docs.flatMap { r =>
+      val toks = graft.tokenize.Tokenizer.tokenize(r.getString(1))
+      if (toks.contains("fast") || toks.contains("merge")) {
+        val id = r.getLong(0)
+        Some((id, graft.pipeline.PortableHash.md5HexPrefixLong(s"42:$id", 15)))
+      } else None
+    }.sortBy { case (d, h) => (-h, d) }.take(10)
+      .zipWithIndex.map { case ((d, h), i) => (d, h, i + 1L) }.toSeq
+    assert(got == want && got.nonEmpty)
+    // different seed -> different order (reproducibility is per-seed)
+    val other = graft.api.DocsIndex.randomScoredHits(spark, sf, "FREE",
+      "fast merge", 43L, 10).collect().map(_.getLong(0)).toSeq
+    assert(other != got.map(_._1))
+  }
+
+  test("termVectors == re-analysis of the doc + dictionary stats") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.termVectors(spark, sf, 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    val text = graft.api.DocsIndex.documents(spark, sf)
+      .filter(col("doc_id") === 7L).select(col("text")).head().getString(0)
+    val toks = graft.tokenize.Tokenizer.tokenize(text)
+    val (seg, _, _) = graft.api.DocsIndex.get(spark, sf)
+    val dict = seg.dict.collect().map(e => e.term -> (e.df, e.cf)).toMap
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = toks.zipWithIndex
+      .map { case (t, i) => (t, tf(t), dict(t)._1, dict(t)._2, i + 1L) }
+      .sortBy(x => (x._1, x._5)).toSeq
+    assert(got == want)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
