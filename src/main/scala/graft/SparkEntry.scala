@@ -801,6 +801,10 @@ object SparkEntry {
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
       DocsIndex.termVectors(s, dir, 7L)),
+    // span-first: both terms within the first 25 tokens (the
+    // imports/header heuristic), conjunctive BM25 ranking
+    "ft_spanfirst" -> ((s, dir) =>
+      DocsIndex.spanFirstRankedHits(s, dir, "fast merge", 25, 20)),
     // field-sorted results: the AND match set ordered longest-first
     // instead of by BM25 (the ES sort surface)
     "ft_sortby" -> ((s, dir) =>
@@ -1552,6 +1556,22 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // span-first twin: 1-based first position ≤ 25 for EVERY term (the
+    // engine's 0-based first < n), then the conjunctive BM25 CTEs
+    "ft_spanfirst" ->
+      bm25Sql(Seq("fast", "merge"), conjunctive = true, k = 20,
+        exclude =
+          """AND tf.doc_id IN (
+            |  SELECT doc_id FROM (
+            |    SELECT doc_id, term,
+            |           row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+            |    FROM (SELECT doc_id, ws[p] AS term, p
+            |          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            |                FROM documents) w2,
+            |               unnest(range(1, len(ws) + 1)) t(p)) rawtok
+            |    WHERE length(term) >= 2) tokp
+            |  WHERE term IN ('fast', 'merge') AND pos <= 25
+            |  GROUP BY doc_id HAVING count(DISTINCT term) = 2)""".stripMargin),
     // term-vectors twin: positions = row_number over the length-filtered
     // token stream of doc 7 (the engine's coordinate space), df/cf from
     // the corpus-wide dictionary CTE

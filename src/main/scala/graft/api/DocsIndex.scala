@@ -239,6 +239,14 @@ object DocsIndex {
     }
   }
 
+  /** Span-first ranked hits (Lucene SpanFirstQuery): every query term
+    * within the first `n` tokens — see Searcher.spanFirstHits. */
+  def spanFirstRankedHits(spark: SparkSession, sfDir: String, text: String,
+                          n: Int, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.spanFirstHits(text, n, k + 50), k)
+  }
+
   /** Term vectors for one document (the ES `_termvectors` API): per
     * distinct term of the doc, its in-doc frequency, 1-based positions
     * over the filtered token stream (the highlight coordinate space),

@@ -669,6 +669,26 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** Span-first query (Lucene SpanFirstQuery): top-k docs where every
+    * query term occurs within the first `n` tokens of the filtered
+    * token stream — the "matches near the start of the file" heuristic
+    * (imports/package/header hits in code search). Execution is the
+    * phrase/NEAR regime: positional index required, termId pushdown +
+    * bucket pruning, the position check reads only the aligned doc's
+    * already-decoded occurrence list; scoring is standard BM25 over the
+    * distinct terms (filter-doesn't-rescale). */
+  def spanFirstHits(text: String, n: Int, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    require(n >= 1, s"span-first bound must be >= 1, got $n")
+    require(segment.params.positional,
+      "span-first queries need a positional index (BuildParams.positional)")
+    val terms = QueryParser.termsFor("FREE", text)
+    val entries = entriesFor("FREE", text)
+    if (entries.isEmpty || entries.length < terms.distinct.length)
+      return spark.emptyDataset[Hit]
+    scored(entries, conjunctive = true, k, qid, pruned = true,
+      phraseSlots = entries.map(_.termId), firstLimit = n)
+  }
+
   /** Match-phrase-prefix (the Elasticsearch `match_phrase_prefix` /
     * Lucene MultiPhraseQuery surface — "search-as-you-type" over a
     * phrase): the LAST token of `text` is a live prefix, expanded
@@ -920,13 +940,14 @@ final class Searcher(spark: SparkSession, segment: Segment,
                      acceptB: AcceptB = null,
                      rejectB: AcceptB = null,
                      after: Wand.Scored = null,
-                     boostByTid: Map[Long, Double] = null): Dataset[Hit] = {
+                     boostByTid: Map[Long, Double] = null,
+                     firstLimit: Int = 0): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
       conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi,
       acceptB = acceptB, rejectB = rejectB, after = after,
-      boostByTid = boostByTid)
+      boostByTid = boostByTid, firstLimit = firstLimit)
       .toDF("docId", "score"), k, qid)
   }
 
@@ -1046,7 +1067,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 rejectB: AcceptB = null,
                                 after: Wand.Scored = null,
                                 boostByTid: Map[Long, Double] = null,
-                                dismaxTie: Double = Double.NaN)
+                                dismaxTie: Double = Double.NaN,
+                                firstLimit: Int = 0)
       : Dataset[(Long, Double)] = {
     // query-time term weights: scale each cursor's effective idf AND its
     // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
@@ -1121,8 +1143,10 @@ final class Searcher(spark: SparkSession, segment: Segment,
                 lo, hi, if (bo == null) 1.0 else bo(tid)))
             // nearWindow sign convention (every tier): > 0 unordered
             // NEAR/w, < 0 ordered BEFORE/w (window = −nearWindow, slots
-            // in QUERY order), 0 phrase
-            if (nearWindow > 0)
+            // in QUERY order), 0 phrase; firstLimit > 0 = span-first
+            if (firstLimit > 0)
+              Wand.topKSpanFirst(slots, lens, firstDocId, avgdl, k, firstLimit, accept, after)
+            else if (nearWindow > 0)
               Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
             else if (nearWindow < 0)
               Wand.topKONear(slots, lens, firstDocId, avgdl, k, -nearWindow, accept, after)

@@ -310,6 +310,50 @@ object Wand {
     topk.result()
   }
 
+  /** Span-first evaluation (Lucene SpanFirstQuery over term spans — "the
+    * term appears near the start of the doc", the title/header heuristic
+    * when no field boundaries exist): docs where EVERY distinct slot
+    * term has an occurrence within the first `n` tokens of the filtered
+    * token stream (ascending positions ⇒ positions()(0) is the first
+    * occurrence; 0-based first < n ⇔ 1-based first ≤ n). Alignment is
+    * the same galloping conjunction as NEAR; matches score standard
+    * BM25 over the distinct terms (filter-doesn't-rescale). */
+  def topKSpanFirst(slots: Array[TermCursor], lens: Array[Int],
+                    firstDocId: Long, avgdl: Double, k: Int, n: Int,
+                    accept: Long => Boolean = null,
+                    after: Scored = null): Array[Scored] = {
+    if (slots.isEmpty || slots.exists(_.exhausted)) return Array.empty
+    val topk = new TopK(k, after)
+    val byTermId = slots.sortBy(_.termId)
+    var target = slots.map(_.docId).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < slots.length && !done) {
+        slots(i).nextGeq(target)
+        if (slots(i).exhausted) done = true
+        else if (slots(i).docId > target) { target = slots(i).docId; aligned = false }
+        i += 1
+      }
+      if (!done && aligned) {
+        if ((accept == null || accept(target)) &&
+            byTermId.forall(_.positions()(0) < n)) {
+          val dl = lens((target - firstDocId).toInt)
+          var score = 0.0
+          var j = 0
+          while (j < byTermId.length) {
+            score += BM25.impact(byTermId(j).idf, byTermId(j).tf, dl, avgdl)
+            j += 1
+          }
+          topk.offer(target, score)
+        }
+        target += 1
+      }
+    }
+    topk.result()
+  }
+
   /** Ordered proximity (`a BEFORE/w b …`, kind ONEAR): conjunction walk
     * like [[topKNear]], but the span must pick strictly INCREASING
     * positions in QUERY order (`slots` arrive in query order, not termId
