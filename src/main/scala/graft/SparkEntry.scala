@@ -805,6 +805,11 @@ object SparkEntry {
     // imports/header heuristic), conjunctive BM25 ranking
     "ft_spanfirst" -> ((s, dir) =>
       DocsIndex.spanFirstRankedHits(s, dir, "fast merge", 25, 20)),
+    // boosting query: rank by "fast merge sort", demote docs that also
+    // contain "table" to 0.3× (ES boosting / Lucene BoostingQuery)
+    "ft_boosting" -> ((s, dir) =>
+      DocsIndex.boostingRankedHits(s, dir, "FREE", "fast merge sort",
+        "FREE", "table", 0.3, 50, 15)),
     // field-sorted results: the AND match set ordered longest-first
     // instead of by BM25 (the ES sort surface)
     "ft_sortby" -> ((s, dir) =>
@@ -1556,6 +1561,33 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // boosting twin: the decay CTE stack with the multiplier driven by
+    // negative-query membership instead of a numeric field
+    "ft_boosting" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort')
+         |  GROUP BY tf.doc_id
+         |),
+         |win AS (SELECT doc_id, round(score, 6) AS bm25 FROM (
+         |  SELECT doc_id, score, row_number() OVER (
+         |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 50),
+         |neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
+         |dec AS (
+         |  SELECT doc_id, bm25,
+         |         round(bm25 * CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+         |                           THEN 0.3 ELSE 1.0 END, 6) AS boosted
+         |  FROM win)
+         |SELECT doc_id, bm25, boosted,
+         |       row_number() OVER (ORDER BY boosted DESC, doc_id) AS rank
+         |FROM dec ORDER BY boosted DESC, doc_id LIMIT 15""".stripMargin,
     // span-first twin: 1-based first position ≤ 25 for EVERY term (the
     // engine's 0-based first < n), then the conjunctive BM25 CTEs
     "ft_spanfirst" ->

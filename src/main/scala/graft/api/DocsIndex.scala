@@ -239,6 +239,51 @@ object DocsIndex {
     }
   }
 
+  /** Boosting query (the ES `boosting` query / Lucene BoostingQuery):
+    * rank by the positive query's BM25, but docs that ALSO match the
+    * negative query have their score multiplied by `negBoost` ∈ [0, 1)
+    * — demotion without exclusion ("prefer docs about X that are not
+    * about Y"). Windowed like every multiplier that has no per-list
+    * bound (the X30/X61 argument): the positive walk stays WAND-pruned
+    * and only the top-`window` rows pay the demotion. The negative
+    * membership probe is the negative query's own presence walk
+    * (termId pushdown, docId-only decode) filtered to the ≤window
+    * candidate ids — match-set-sized at worst, window-sized out. */
+  def boostingRankedHits(spark: SparkSession, sfDir: String, posKind: String,
+                         posText: String, negKind: String, negText: String,
+                         negBoost: Double, window: Int, k: Int): DataFrame = {
+    require(negBoost >= 0.0 && negBoost < 1.0,
+      s"negative boost must be in [0, 1), got $negBoost")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val base = rankedHits(spark, sfDir, posKind, posText, window)
+      .select(col("doc_id"), col("score"))
+    val ids = base.select(col("doc_id")).collect().map(_.getLong(0))
+    val negIds: Set[Long] = searcher.matchDocIds(negKind, negText) match {
+      case None => Set.empty
+      case Some(m) =>
+        m.join(withDocId(seg), Seq("docId"))
+          .filter(col("doc_id").isin(ids.toSeq: _*))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    }
+    val negLit = typedLit(negIds.toSeq.sorted)
+    base
+      .select(col("doc_id"), col("score").as("bm25"),
+        round(col("score") *
+          when(array_contains(negLit, col("doc_id")), lit(negBoost))
+            .otherwise(lit(1.0)), 6).as("boosted"))
+      .orderBy(col("boosted").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, b, s) => r += 1; (d, b, s, r) }
+      }
+      .toDF("doc_id", "bm25", "boosted", "rank")
+  }
+
   /** Span-first ranked hits (Lucene SpanFirstQuery): every query term
     * within the first `n` tokens — see Searcher.spanFirstHits. */
   def spanFirstRankedHits(spark: SparkSession, sfDir: String, text: String,

@@ -250,6 +250,38 @@ class EntrySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("boosting query demotes negative-matching docs by exactly negBoost") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.api.DocsIndex.boostingRankedHits(spark, sf, "FREE",
+      "fast merge sort", "FREE", "table", 0.3, 50, 15).collect()
+    assert(rows.nonEmpty)
+    val negSet = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(r => graft.tokenize.Tokenizer.tokenize(r.getString(1))
+        .contains("table"))
+      .map(_.getLong(0)).toSet
+    var sawNeg = false; var sawPos = false
+    rows.foreach { r =>
+      val (d, bm25, boosted) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      if (negSet(d)) {
+        sawNeg = true
+        val want = BigDecimal(bm25 * 0.3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(boosted == want, s"doc $d demotion")
+      } else { sawPos = true; assert(boosted == bm25, s"doc $d identity") }
+    }
+    assert(sawNeg && sawPos, "fixture must exercise both branches")
+    // output ordered by (boosted desc, doc_id asc) with dense ranks
+    val order = rows.map(r => (-r.getDouble(2), r.getLong(0))).toSeq
+    assert(order == order.sorted)
+    assert(rows.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.api.DocsIndex.boostingRankedHits(spark, sf, "FREE", "fast",
+        "FREE", "table", 1.0, 10, 5)
+    }
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
