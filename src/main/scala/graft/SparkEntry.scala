@@ -810,6 +810,10 @@ object SparkEntry {
     "ft_boosting" -> ((s, dir) =>
       DocsIndex.boostingRankedHits(s, dir, "FREE", "fast merge sort",
         "FREE", "table", 0.3, 50, 15)),
+    // LM-Dirichlet similarity (μ=2000): the Lucene pluggable-similarity
+    // surface over the same query as ft_bm25_topk
+    "ft_lmd" -> ((s, dir) =>
+      DocsIndex.lmdRankedHits(s, dir, "fast merge sort table", 2000.0, 20)),
     // field-sorted results: the AND match set ordered longest-first
     // instead of by BM25 (the ES sort surface)
     "ft_sortby" -> ((s, dir) =>
@@ -1561,6 +1565,29 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LM-Dirichlet twin: p_t = cf/Σcf from the dictionary CTE, per-term
+    // 0-clamp, docs dropped when every contribution clamps — byte-equal
+    // under the Σ-of-ln 1e-15 regime inside the 6-dp round
+    "ft_lmd" ->
+      s"""$tokCtes, tot AS (SELECT sum(cf)::BIGINT AS total FROM df),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(greatest(0.0,
+         |             ln(1.0 + tf / (2000.0 * (df.cf / tot.total))) +
+         |             ln(2000.0 / (dl + 2000.0)))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN tot
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |  HAVING sum(greatest(0.0,
+         |             ln(1.0 + tf / (2000.0 * (df.cf / tot.total))) +
+         |             ln(2000.0 / (dl + 2000.0)))) > 0.0
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // boosting twin: the decay CTE stack with the multiplier driven by
     // negative-query membership instead of a numeric field
     "ft_boosting" ->

@@ -239,6 +239,14 @@ object DocsIndex {
     }
   }
 
+  /** LM-Dirichlet ranked hits (the pluggable-similarity surface) — see
+    * Searcher.lmdHits. */
+  def lmdRankedHits(spark: SparkSession, sfDir: String, text: String,
+                    mu: Double, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.lmdHits(text, mu, k + 50), k)
+  }
+
   /** Boosting query (the ES `boosting` query / Lucene BoostingQuery):
     * rank by the positive query's BM25, but docs that ALSO match the
     * negative query have their score multiplied by `negBoost` ∈ [0, 1)

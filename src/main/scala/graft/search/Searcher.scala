@@ -669,6 +669,31 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** LM-Dirichlet retrieval (Zhai & Lafferty SIGIR'01; Lucene
+    * LMDirichletSimilarity — the standard pluggable alternative to
+    * BM25): disjunctive top-k under the Dirichlet-smoothed query
+    * likelihood, p_t = cf_t/Σcf from the dictionary (exact Longs), the
+    * per-term 0-clamp per Lucene. Execution is the exhaustive
+    * union walk (LM scores have no stored per-list bound — block maxima
+    * are BM25 impacts, so WAND soundly cannot prune here); termId
+    * pushdown + bucket pruning still bound the scan. */
+  def lmdHits(text: String, mu: Double, k: Int, qid: Long = 0L): Dataset[Hit] = {
+    require(mu > 0.0, s"Dirichlet mu must be positive, got $mu")
+    val entries = dictLookup(QueryParser.termsFor("FREE", text).distinct)
+    if (entries.isEmpty) return spark.emptyDataset[Hit]
+    val total = totalCf.toDouble
+    val pByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> e.cf / total).toMap
+    // idf values are unused by the LMD combiner; pass them anyway so the
+    // cursor constructor stays uniform
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive = false, k, pruned = false, entries.length,
+      lmdMu = mu, lmdP = pByTid)
+      .toDF("docId", "score"), k, qid)
+  }
+
   /** Span-first query (Lucene SpanFirstQuery): top-k docs where every
     * query term occurs within the first `n` tokens of the filtered
     * token stream — the "matches near the start of the file" heuristic
@@ -1068,7 +1093,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 after: Wand.Scored = null,
                                 boostByTid: Map[Long, Double] = null,
                                 dismaxTie: Double = Double.NaN,
-                                firstLimit: Int = 0)
+                                firstLimit: Int = 0,
+                                lmdMu: Double = Double.NaN,
+                                lmdP: Map[Long, Double] = null)
       : Dataset[(Long, Double)] = {
     // query-time term weights: scale each cursor's effective idf AND its
     // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
@@ -1156,7 +1183,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
           // a bucket missing any query term cannot intersect
           if (plArr.length < nTerms) Array.empty[Wand.Scored]
           else Wand.topKAnd(cursors, lens, firstDocId, avgdl, k, accept, after)
-        } else if (!dismaxTie.isNaN)
+        } else if (!lmdMu.isNaN)
+          Wand.topKLmd(cursors, lens, firstDocId, k, lmdMu, lmdP, accept, after)
+        else if (!dismaxTie.isNaN)
           Wand.topKDisMax(cursors, lens, firstDocId, avgdl, k, dismaxTie, accept, after)
         else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k, accept, after)
         else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k, accept, after)

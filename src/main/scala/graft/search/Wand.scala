@@ -586,6 +586,47 @@ object Wand {
     topk.result()
   }
 
+  /** LM-Dirichlet scoring walk (Zhai & Lafferty SIGIR'01; the exact
+    * Lucene LMDirichletSimilarity formulation, which is the pluggable
+    * non-BM25 similarity every Lucene/ES deployment can switch to):
+    * per matched term, s_t(d) = max(0, ln(1 + tf/(μ·p_t)) +
+    * ln(μ/(dl+μ))) with p_t = cf_t/|C| (the collection unigram LM),
+    * doc score = Σ_t s_t(d); docs whose every contribution clamps to
+    * zero are dropped (Lucene's per-term 0-clamp). An LM score has no
+    * per-list upper bound stored in the index (block maxima are BM25
+    * impacts), so this walk is document-at-a-time exhaustive over the
+    * union — the same plan shape as [[topKOrExhaustive]], same termId
+    * pushdown + bucket pruning upstream. */
+  def topKLmd(terms: Array[TermCursor], lens: Array[Int], firstDocId: Long,
+              k: Int, mu: Double, pByTid: Long => Double,
+              accept: Long => Boolean = null,
+              after: Scored = null): Array[Scored] = {
+    val topk = new TopK(k, after)
+    val byTermId = terms.sortBy(_.termId)
+    var live = byTermId.filter(!_.exhausted)
+    while (live.nonEmpty) {
+      var d = Long.MaxValue
+      var i = 0
+      while (i < live.length) { if (live(i).docId < d) d = live(i).docId; i += 1 }
+      val dl = lens((d - firstDocId).toInt)
+      val dlTerm = math.log(mu / (dl + mu))
+      var score = 0.0
+      i = 0
+      while (i < live.length) {
+        if (live(i).docId == d) {
+          val s = math.log(1.0 +
+            live(i).tf / (mu * pByTid(live(i).termId))) + dlTerm
+          if (s > 0.0) score += s
+          live(i).next()
+        }
+        i += 1
+      }
+      if (score > 0.0 && (accept == null || accept(d))) topk.offer(d, score)
+      live = live.filter(!_.exhausted)
+    }
+    topk.result()
+  }
+
   /** Capped presence count over one bucket — the early-termination
     * primitive behind `terminate_after` / `track_total_hits: N`. Same
     * document-at-a-time union walk and presence vector as [[topKBool]]
