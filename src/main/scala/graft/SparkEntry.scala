@@ -814,6 +814,10 @@ object SparkEntry {
     // surface over the same query as ft_bm25_topk
     "ft_lmd" -> ((s, dir) =>
       DocsIndex.lmdRankedHits(s, dir, "fast merge sort table", 2000.0, 20)),
+    // top-hits aggregation: best 3 docs per language of the match set
+    // (ES terms-agg + top_hits), exact two-stage per-group top-k
+    "ft_tophits" -> ((s, dir) =>
+      DocsIndex.topHitsByLang(s, dir, "FREE", "fast merge sort", 3)),
     // field-sorted results: the AND match set ordered longest-first
     // instead of by BM25 (the ES sort surface)
     "ft_sortby" -> ((s, dir) =>
@@ -1565,6 +1569,25 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // top-hits twin: per-lang row_number over the rounded BM25 scores
+    "ft_tophits" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort')
+         |  GROUP BY tf.doc_id
+         |), r AS (
+         |  SELECT d.lang, sc.doc_id, round(sc.score, 6) AS score,
+         |         row_number() OVER (PARTITION BY d.lang
+         |           ORDER BY round(sc.score, 6) DESC, sc.doc_id) AS grank
+         |  FROM sc JOIN documents d USING (doc_id))
+         |SELECT lang, doc_id, score, grank FROM r
+         |WHERE grank <= 3 ORDER BY lang, grank""".stripMargin,
     // LM-Dirichlet twin: p_t = cf/Σcf from the dictionary CTE, per-term
     // 0-clamp, docs dropped when every contribution clamps — byte-equal
     // under the Σ-of-ln 1e-15 regime inside the 6-dp round

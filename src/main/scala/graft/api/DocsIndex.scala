@@ -239,6 +239,46 @@ object DocsIndex {
     }
   }
 
+  /** Top-hits aggregation (the ES `top_hits` inside a `terms` agg —
+    * "the best k docs per group"): the query's FULL scored match set,
+    * grouped by a docmap field (lang), top `perGroup` per group by the
+    * rounded-score contract. Scoring the whole match set is inherent to
+    * the operator (ES does the same), so the walk is the exhaustive
+    * disjunctive one — still termId-pushed and bucket-pruned. The
+    * per-group top-k is EXACT TWO-STAGE: a partition-local partial
+    * top-perGroup per group (mapPartitions, bounded output
+    * ≤ P·|groups|·perGroup rows), then a final per-group merge — the
+    * TakeOrderedAndProject shape generalized to groups, so the only
+    * group-keyed shuffle moves the partial winners, never the match
+    * set, and group-key skew (few langs) is bounded by the partial. */
+  def topHitsByLang(spark: SparkSession, sfDir: String, kind: String,
+                    text: String, perGroup: Int): DataFrame = {
+    require(perGroup >= 1, "perGroup must be positive")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val hits = searcher.hitsExhaustive(kind, text, seg.stats.numDocs.toInt)
+    val scored = hits.join(withDocId(seg), Seq("docId"))
+      .join(seg.docs.select(col("docId"), col("lang")), Seq("docId"))
+      .select(col("lang"), col("doc_id"), round(col("score"), 6).as("score"))
+      .as[(String, Long, Double)]
+    val perG = perGroup
+    def top(rows: Iterator[(String, Long, Double)])
+        : Iterator[(String, Long, Double)] =
+      rows.toSeq.groupBy(_._1).iterator.flatMap { case (_, xs) =>
+        xs.sortBy { case (_, d, s) => (-s, d) }.take(perG)
+      }
+    scored
+      .mapPartitions(top)                       // partial winners
+      .groupByKey(_._1).flatMapGroups { (_, it) => // final merge
+        top(it).toSeq.sortBy { case (_, d, s) => (-s, d) }
+          .zipWithIndex
+          .map { case ((l, d, s), i) => (l, d, s, i + 1L) }
+      }
+      .toDF("lang", "doc_id", "score", "grank")
+      .orderBy(col("lang"), col("grank"))
+  }
+
   /** LM-Dirichlet ranked hits (the pluggable-similarity surface) — see
     * Searcher.lmdHits. */
   def lmdRankedHits(spark: SparkSession, sfDir: String, text: String,
@@ -268,6 +308,10 @@ object DocsIndex {
     val base = rankedHits(spark, sfDir, posKind, posText, window)
       .select(col("doc_id"), col("score"))
     val ids = base.select(col("doc_id")).collect().map(_.getLong(0))
+    if (ids.isEmpty)
+      return spark.range(0).select(
+        lit(0L).as("doc_id"), lit(0.0).as("bm25"),
+        lit(0.0).as("boosted"), lit(0L).as("rank"))
     val negIds: Set[Long] = searcher.matchDocIds(negKind, negText) match {
       case None => Set.empty
       case Some(m) =>

@@ -282,6 +282,37 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("topHitsByLang == brute-force per-group top-k of the match set") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.topHitsByLang(spark, sf, "FREE",
+      "fast merge sort", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    val (seg, searcher, _) = graft.api.DocsIndex.get(spark, sf)
+    val byDocId = seg.docs
+      .select(col("docId"), col("path").cast("long").as("doc_id"), col("lang"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val all = searcher.hitsExhaustive("FREE", "fast merge sort",
+        seg.stats.numDocs.toInt).collect()
+      .map { h =>
+        val s = BigDecimal(h.score)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (extId, lang) = byDocId(h.docId)
+        (lang, extId, s)
+      }
+    val want = all.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+        .map { case ((l, d, s), i) => (l, d, s, i + 1L) }
+    }.sortBy(x => (x._1, x._4))
+    assert(got == want)
+    // every lang of the match set is represented
+    assert(got.map(_._1).distinct.sorted ==
+      all.map(_._1).distinct.sorted.toSeq)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
