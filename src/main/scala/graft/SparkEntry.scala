@@ -996,6 +996,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // filtered vector search (the "kNN with a metadata filter" surface
+    // every vector store ships): PRE-filter semantics — candidates are
+    // restricted BEFORE ranking, so k results are guaranteed whenever ≥k
+    // vectors pass. The filter is a semi join of the embedding table
+    // against the docmap predicate (co-partitionable at 100 TB; here one
+    // narrow join), then the same broadcast-queries exact pass
+    "ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(_._1 < 5).collect().sortBy(_._1)
+      val allowed = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+      val filtered = emb.toDF().join(allowed, "vec_id")
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      Ann.bruteTopK(filtered, qs, 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "ann_lsh" -> ((s, dir) => { // no SQL twin: approximate (recall tested in scalatest)
       val qs = embeddings(s, dir).filter(_._1 < 5).collect().sortBy(_._1)
       annIndex(s, dir, "topk").topK(qs, 10)
@@ -2574,6 +2592,21 @@ object SparkEntry {
     // pairing dedup_minhash/dedup_jaccard use
     "dedup_embed_lsh" -> embedDupSql,
     "ann_topk" -> annTopkSql,
+    // filtered kNN twin: the brute-force CTE with the candidate side
+    // pre-filtered by the docmap predicate (queries stay unfiltered)
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |              round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6) AS cos
+        |       FROM q, embeddings e
+        |       WHERE e.vec_id <> q.query_id
+        |         AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "knn_join" -> knnJoinSql,
     // exact at nProbe = nlist (every inverted list probed) — shares the
     // brute-force oracle, the same pairing dedup_embed_lsh uses

@@ -313,6 +313,29 @@ class EntrySpec extends SparkSpec {
       all.map(_._1).distinct.sorted.toSeq)
   }
 
+  test("ann_filtered: every neighbor passes the filter; subset-of-unfiltered law") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ann_filtered")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val en = graft.api.DocsIndex.documents(spark, sf)
+      .filter(col("lang") === "en").select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.forall(r => en(r.getLong(1))), "neighbors must pass the filter")
+    // pre-filter law: the filtered top-k == the unfiltered ranking
+    // restricted to allowed neighbors, per query
+    val unf = SparkEntry.queries("ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotByQ = rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    gotByQ.foreach { case (q, got) =>
+      // compare against the allowed prefix of the unfiltered list where
+      // it is long enough to determine the same set
+      val allowedPrefix = unf.filter(x => x._1 == q && en(x._2)).map(_._2)
+      val overlap = got.map(_._2).toSeq.intersect(allowedPrefix.toSeq)
+      assert(overlap == allowedPrefix.take(overlap.length).toSeq)
+    }
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
