@@ -797,6 +797,14 @@ object SparkEntry {
     // of the match set — reproducible unbiased sampling of a filter
     "ft_random" -> ((s, dir) =>
       DocsIndex.randomScoredHits(s, dir, "FREE", "fast merge", 42L, 20)),
+    // matrix-stats aggregation: covariance/correlation of (docLen,
+    // n_chars) over the match set, exact integer moments
+    "ft_matrixstats" -> ((s, dir) =>
+      DocsIndex.matrixStats(s, dir, "FREE", "fast merge")),
+    // cardinality aggregation: exact distinct langs of the match set
+    // (the HLL++ approximate sibling is bound-checked in SketchSpec)
+    "ft_cardinality" -> ((s, dir) =>
+      DocsIndex.langCardinality(s, dir, "FREE", "fast merge")),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -1692,6 +1700,41 @@ object SparkEntry {
          |JOIN tv ON tv.term = tokp.term
          |JOIN df ON df.term = tokp.term
          |ORDER BY tokp.term, tokp.pos""".stripMargin,
+    // matrix-stats twin: the engine's exact expression tree over the
+    // same five integer sums (raw variances feed corr, inside the round)
+    "ft_matrixstats" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), agg AS (
+         |  SELECT count(*)::BIGINT AS n_docs,
+         |         sum(dl)::BIGINT AS sum_x, sum(n_chars)::BIGINT AS sum_y,
+         |         sum(dl * dl)::BIGINT AS sxx,
+         |         sum(n_chars * n_chars)::BIGINT AS syy,
+         |         sum(dl * n_chars)::BIGINT AS sxy
+         |  FROM m JOIN alldl USING (doc_id) JOIN documents USING (doc_id)
+         |), d AS (
+         |  SELECT n_docs,
+         |         sum_x::DOUBLE / n_docs AS mx, sum_y::DOUBLE / n_docs AS my,
+         |         sxx::DOUBLE / n_docs - (sum_x::DOUBLE / n_docs) * (sum_x::DOUBLE / n_docs) AS vx,
+         |         syy::DOUBLE / n_docs - (sum_y::DOUBLE / n_docs) * (sum_y::DOUBLE / n_docs) AS vy,
+         |         sxy::DOUBLE / n_docs - (sum_x::DOUBLE / n_docs) * (sum_y::DOUBLE / n_docs) AS cv
+         |  FROM agg
+         |)
+         |SELECT n_docs,
+         |       floor(mx * 1e6 + 0.5) / 1e6 AS mean_dl,
+         |       floor(my * 1e6 + 0.5) / 1e6 AS mean_nc,
+         |       floor(vx * 1e6 + 0.5) / 1e6 AS var_dl,
+         |       floor(vy * 1e6 + 0.5) / 1e6 AS var_nc,
+         |       floor(cv * 1e6 + 0.5) / 1e6 AS cov,
+         |       floor(cv / sqrt(vx * vy) * 1e6 + 0.5) / 1e6 AS corr
+         |FROM d""".stripMargin,
+    // cardinality twin: exact distinct count
+    "ft_cardinality" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |)
+         |SELECT count(DISTINCT lang)::BIGINT AS n_langs
+         |FROM m JOIN documents USING (doc_id)""".stripMargin,
     // random_score twin: the same md5 15-hex-prefix hash of "42:doc_id"
     "ft_random" ->
       s"""$tokCtes, m AS (

@@ -410,6 +410,67 @@ object DocsIndex {
     }
   }
 
+  /** Matrix-stats aggregation (the ES `matrix_stats` agg) over a query's
+    * match set, fields (docLen, n_chars): per-field mean/variance plus
+    * covariance and Pearson correlation. Same execution regime as
+    * [[lenExtendedStats]]: presence-walk match set, docmap + documents
+    * join touch match-set-sized data, single-row partial+final agg.
+    * Determinism: all five sums are EXACT Longs; every derived moment is
+    * a fixed tree of IEEE ops over those integers, floor-rounded. */
+  def matrixStats(spark: SparkSession, sfDir: String, kind: String,
+                  text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("n_docs"), lit(null).cast("double").as("mean_dl"),
+        lit(null).cast("double").as("mean_nc"),
+        lit(null).cast("double").as("var_dl"),
+        lit(null).cast("double").as("var_nc"),
+        lit(null).cast("double").as("cov"),
+        lit(null).cast("double").as("corr"))
+      case Some(m) =>
+        val x = col("docLen").cast("long")
+        val y = col("n_chars")
+        val n = col("n_docs").cast("double")
+        def mean(s: org.apache.spark.sql.Column) = s.cast("double") / n
+        val meanX = mean(col("sum_x")); val meanY = mean(col("sum_y"))
+        val varX = col("sxx").cast("double") / n - meanX * meanX
+        val varY = col("syy").cast("double") / n - meanY * meanY
+        val cov = col("sxy").cast("double") / n - meanX * meanY
+        m.join(seg.docs.select(col("docId"), col("docLen")), Seq("docId"))
+          .join(withDocId(seg), Seq("docId"))
+          .join(documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+            Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(x).as("sum_x"), sum(y).as("sum_y"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+          .select(col("n_docs"),
+            rnd6(meanX).as("mean_dl"), rnd6(meanY).as("mean_nc"),
+            rnd6(varX).as("var_dl"), rnd6(varY).as("var_nc"),
+            rnd6(cov).as("cov"),
+            rnd6(cov / sqrt(varX * varY)).as("corr"))
+    }
+  }
+
+  /** Cardinality aggregation (the ES `cardinality` agg) over a query's
+    * match set: exact distinct count of a docmap field (lang) — the
+    * exact form IS the oracle; the approximate HLL++ scale path
+    * (`approx_count_distinct`) is proven within its error bound against
+    * this exact form in SketchSpec. Match-set-sized agg, skew-free. */
+  def langCardinality(spark: SparkSession, sfDir: String, kind: String,
+                      text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(lit(0L).as("n_langs"))
+      case Some(m) =>
+        m.join(seg.docs.select(col("docId"), col("lang")), Seq("docId"))
+          .agg(countDistinct(col("lang")).as("n_langs"))
+    }
+  }
+
   /** Batched multi-query rankedHits (msearch): every query of the batch
     * answered in ONE job over ONE union-pushdown postings scan
     * (Searcher.batchHits), each re-ranked by the same rounded contract

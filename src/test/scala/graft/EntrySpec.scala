@@ -336,6 +336,38 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("matrixStats and langCardinality == brute force over the match set") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars")).collect()
+    val matched = docs.filter { r =>
+      val t = graft.tokenize.Tokenizer.tokenize(r.getString(1))
+      t.contains("fast") || t.contains("merge")
+    }
+    assert(matched.nonEmpty)
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val xs = matched.map(r =>
+      graft.tokenize.Tokenizer.tokenize(r.getString(1)).length.toLong)
+    val ys = matched.map(_.getLong(3))
+    val n = matched.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val vx = xs.map(x => x * x).sum / n - mx * mx
+    val vy = ys.map(y => y * y).sum / n - my * my
+    val cv = xs.zip(ys).map { case (x, y) => x * y }.sum / n - mx * my
+    val got = graft.api.DocsIndex.matrixStats(spark, sf, "FREE", "fast merge")
+      .collect().head
+    assert(got.getLong(0) == matched.length)
+    assert(got.getDouble(1) == rnd6(mx) && got.getDouble(2) == rnd6(my))
+    assert(got.getDouble(3) == rnd6(vx) && got.getDouble(4) == rnd6(vy))
+    assert(got.getDouble(5) == rnd6(cv))
+    assert(got.getDouble(6) == rnd6(cv / math.sqrt(vx * vy)))
+    assert(math.abs(got.getDouble(6)) <= 1.0 + 1e-9)
+    val card = graft.api.DocsIndex.langCardinality(spark, sf, "FREE",
+      "fast merge").collect().head.getLong(0)
+    assert(card == matched.map(_.getString(2)).distinct.length.toLong)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
