@@ -1115,6 +1115,10 @@ object SparkEntry {
     "strat_sample" -> ((s, dir) =>
       Curation.stratifiedSample(DocsIndex.documents(s, dir),
         Seq("en" -> 50, "de" -> 100, "fr" -> 25), 10).orderBy("doc_id")),
+    // leakage-safe split: the key is the source repo, so clones stay on
+    // one side; 90/10 by md5(source) bucket
+    "split_by_repo" -> ((s, dir) =>
+      Curation.groupSplit(DocsIndex.documents(s, dir), 90).orderBy("doc_id")),
     "seq_pack" -> ((s, dir) =>
       Curation.packSequences(s, DocsIndex.documents(s, dir), 128)
         .orderBy("seq_id", "doc_id")),
@@ -2876,6 +2880,11 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100
         |                         WHEN 'fr' THEN 25 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+    "split_by_repo" ->
+      """SELECT doc_id, source,
+        |       CASE WHEN ('0x' || substr(md5(source), 1, 6))::BIGINT % 100 < 90
+        |            THEN 'train' ELSE 'eval' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "seq_pack" ->
       """WITH dl AS (SELECT doc_id,
         |    len(list_filter(string_split(text,' '), t -> length(t) >= 2))::BIGINT AS dl

@@ -152,6 +152,24 @@ object Curation {
       .filter(col("bucket") < rate)
   }
 
+  /** Leakage-safe train/eval split: the split key is the GROUP (the
+    * source repo), not the document, so near-duplicates and intra-repo
+    * clones land on the same side — the standard guard against
+    * train/test contamination that per-doc hashing (stratifiedSample's
+    * regime) cannot give. Deterministic and engine-portable:
+    * md5(source) 6-hex-prefix bucket in [0, 100), train ⇔ bucket <
+    * trainPct. Pure narrow built-in columns — zero shuffles, whole-stage
+    * codegen, invariant to parallelism and corpus growth (a repo's side
+    * never changes when other repos arrive). */
+  def groupSplit(docs: DataFrame, trainPct: Int): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    val bucket = conv(substring(md5(col("source")), 1, 6), 16, 10)
+      .cast("long") % 100
+    docs.select(col("doc_id"), col("source"),
+      when(bucket < trainPct, "train").otherwise("eval").as("split"))
+  }
+
   // ── sequence packing ─────────────────────────────────────────────────
 
   /** Pack the corpus token stream (docs in doc_id order, each doc's

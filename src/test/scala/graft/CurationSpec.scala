@@ -261,4 +261,33 @@ class CurationSpec extends SparkSpec {
     // the empty doc carries no features: weight exactly 0, dropped at tau 0
     assert(got(15L) == ((0L, 0.0, false)))
   }
+
+  test("groupSplit: whole repos land on one side; both sides non-empty") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.api.DocsIndex.documents(spark, "/root/testdata/sf0.001")
+    val rows = Curation.groupSplit(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length == docs.count())
+    // group invariance: a source maps to exactly one split
+    rows.groupBy(_._2).foreach { case (src, xs) =>
+      assert(xs.map(_._3).distinct.length == 1, s"source $src split")
+    }
+    // brute-force the bucket rule per source
+    rows.groupBy(_._2).foreach { case (src, xs) =>
+      val b = graft.pipeline.PortableHash.md5HexPrefixLong(src, 6) % 100
+      val want = if (b < 50) "train" else "eval"
+      assert(xs.head._3 == want, s"source $src bucket $b")
+    }
+    val sides = rows.map(_._3).distinct.sorted
+    assert(sides.sameElements(Array("eval", "train")),
+      "the 50/50 fixture must populate both sides")
+    // deterministic: corpus growth cannot move a repo (recompute on a
+    // filtered corpus, same sides)
+    val sub = Curation.groupSplit(docs.filter(col("doc_id") % 2 === 0), 50)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val full = rows.map(x => (x._2, x._3)).toMap
+    sub.foreach { case (src, sp) => assert(full(src) == sp) }
+    intercept[IllegalArgumentException] { Curation.groupSplit(docs, 0) }
+    intercept[IllegalArgumentException] { Curation.groupSplit(docs, 100) }
+  }
 }
