@@ -134,6 +134,49 @@ class PlanSpec extends SparkSpec {
       s"winnow must not shuffle:\n$wPlan")
   }
 
+  test("termVectors: the doc_id predicate reaches the documents scan") {
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.api.DocsIndex.termVectors(spark, sf, 7L)
+    val plan = q.queryExecution.executedPlan.toString
+    // single-row re-analysis: the one-doc read must be a pushed parquet
+    // filter, not a post-scan filter over the corpus
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"doc_id must reach the parquet scan:\n$plan")
+    // the dict stats join must broadcast (the dict is the small artifact)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dict join must broadcast:\n$plan")
+  }
+
+  test("topHitsByLang: per-group top-k runs without a Window operator") {
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.api.DocsIndex.topHitsByLang(spark, sf, "FREE", "fast merge", 3)
+    val plan = q.queryExecution.executedPlan.toString
+    // the exact two-stage shape: partial winners + per-group final merge
+    // (mapPartitions + flatMapGroups), never a WindowExec over the full
+    // match set (which would shuffle match-set-sized data by few keys)
+    assert(!plan.contains("Window"),
+      s"top-hits must not use a window over the match set:\n$plan")
+    assert(plan.contains("MapGroups") || plan.contains("mapGroups"),
+      s"expect the per-group final merge:\n$plan")
+  }
+
+  test("splitByRepo and randomScore stay narrow / bounded") {
+    val sf = "/root/testdata/sf0.001"
+    // groupSplit: scan → project, zero exchanges
+    val gPlan = graft.pipeline.Curation
+      .groupSplit(graft.api.DocsIndex.documents(spark, sf), 90)
+      .queryExecution.executedPlan.toString
+    assert(!gPlan.contains("Exchange"),
+      s"groupSplit must not shuffle:\n$gPlan")
+    // randomScoredHits: the only shuffle above the walk is the global
+    // top-k (TakeOrderedAndProject), never a sort of the match set
+    val rPlan = graft.api.DocsIndex
+      .randomScoredHits(spark, sf, "FREE", "fast merge", 42L, 10)
+      .queryExecution.executedPlan.toString
+    assert(rPlan.contains("TakeOrderedAndProject"),
+      s"random top-k must be TakeOrderedAndProject:\n$rPlan")
+  }
+
   test("TPC-H style join picks broadcast for the small dimension") {
     val sf = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_join_rev")(spark, sf)
