@@ -134,6 +134,21 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
 
   /** search_after pagination at serving latency — same cursor contract
     * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
+  /** Span-first at serving latency — bit-identical to
+    * Searcher.spanFirstHits (ServingSpec). */
+  def spanFirstHits(text: String, n: Int, k: Int, qid: Long = 0L): Array[Hit] = {
+    require(n >= 1, s"span-first bound must be >= 1, got $n")
+    require(positional, "span-first queries need a positional index")
+    val terms = QueryParser.termsFor("FREE", text)
+    val entries = entriesFor("FREE", terms)
+    if (entries.isEmpty || entries.length < terms.distinct.length)
+      return Array.empty
+    val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val all = rawScored("SPANFIRST", text, terms, entries, idfByTid,
+      stats.avgDocLen, k, firstLimit = n)
+    ServingSearcher.rankMerge(all, k, qid)
+  }
+
   def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,
                 afterDocId: Long, qid: Long = 0L): Array[Hit] =
     hitsImpl(kind, text, k, qid, 0L, Long.MaxValue,
@@ -252,7 +267,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 pruned: Boolean = true,
                                 acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
                                 rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
-                                after: Wand.Scored = null)
+                                after: Wand.Scored = null,
+                                firstLimit: Int = 0)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits);
@@ -301,6 +317,9 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
         require(positional, "proximity queries need a positional index")
         val byTerm = entries.map(e => e.term -> e.termId).toMap
         terms.map(byTerm) // QUERY order — the ordering IS the constraint
+      case "SPANFIRST" =>
+        require(positional, "span-first queries need a positional index")
+        entries.map(_.termId)
       case _ => null
     }
     // sign convention (all tiers): > 0 NEAR/w, < 0 BEFORE/w, 0 phrase
@@ -339,13 +358,14 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val bp = boolPhrases
     val bw = boolWins
     val bst = boostByTid
+    val fl = firstLimit
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
-          if (rb == null) null else rb.value, aft, bp, bw, bst))
+          if (rb == null) null else rb.value, aft, bp, bw, bst, fl))
     perPart.flatten
   }
 }
@@ -508,7 +528,8 @@ object ServingSearcher {
       after: Wand.Scored = null,
       boolPhrases: Array[Array[Int]] = null,
       boolWins: Array[Int] = null,
-      boostByTid: Map[Long, Double] = null): Array[Wand.Scored] = {
+      boostByTid: Map[Long, Double] = null,
+      firstLimit: Int = 0): Array[Wand.Scored] = {
     @inline def bo(tid: Long): Double =
       if (boostByTid == null) 1.0 else boostByTid.getOrElse(tid, 1.0)
     val scoped = lo > 0L || hi != Long.MaxValue
@@ -566,7 +587,9 @@ object ServingSearcher {
                 val slots = phraseSlots.map(tid =>
                   new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional,
                     lo, hi, bo(tid)))
-                if (nearWindow > 0)
+                if (firstLimit > 0)
+                  Wand.topKSpanFirst(slots, lens, firstDocId, avgdl, k, firstLimit, accept, after)
+                else if (nearWindow > 0)
                   Wand.topKNear(slots, lens, firstDocId, avgdl, k, nearWindow, accept, after)
                 else if (nearWindow < 0)
                   Wand.topKONear(slots, lens, firstDocId, avgdl, k, -nearWindow, accept, after)

@@ -59,6 +59,24 @@ class SpanFirstSpec extends SparkSpec {
     assert(all == and10)
   }
 
+  test("serving-tier span-first == relational span-first, bit-identical") {
+    val pair = toksByDoc.values.flatMap(_.distinct.take(12))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .filter(_._2 >= 2).sortBy(_._1).take(2).map(_._1)
+    assume(pair.length == 2)
+    val q = s"${pair(0)} ${pair(1)}"
+    val srv = new graft.search.ServingSearcher(spark, seg)
+    try {
+      for (n <- Seq(1, 5, 20, 1000)) {
+        val rel = searcher.spanFirstHits(q, n, 10).collect()
+          .map(h => (h.docId, h.score)).toSeq
+        val got = srv.spanFirstHits(q, n, 10).map(h => (h.docId, h.score)).toSeq
+        assert(got == rel, s"n=$n")
+      }
+      assert(srv.spanFirstHits("zzz_not_a_term", 5, 10).isEmpty)
+    } finally srv.close()
+  }
+
   test("span-first edge cases: OOV term, n validation, non-positional") {
     assert(searcher.spanFirstHits("zzz_not_a_term", 5, 10).isEmpty)
     intercept[IllegalArgumentException] {
