@@ -132,10 +132,26 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       .sortBy(e => (-e.df, e.term)).take(k).map(e => e.term -> e.df)
   }
 
-  /** search_after pagination at serving latency — same cursor contract
-    * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
+  /** LM-Dirichlet retrieval at serving latency — bit-identical to
+    * Searcher.lmdHits (LmdSpec): the pluggable-similarity surface with
+    * p_t from the RESIDENT dictionary's exact Σcf, exhaustive-by-design
+    * union walk (LM scores have no stored per-list bound). */
+  def lmdHits(text: String, mu: Double, k: Int, qid: Long = 0L): Array[Hit] = {
+    require(mu > 0.0, s"Dirichlet mu must be positive, got $mu")
+    val terms = QueryParser.termsFor("FREE", text).distinct
+    val entries = terms.flatMap(dictCache.get).sortBy(_.termId)
+    if (entries.isEmpty) return Array.empty
+    val total = dictCache.valuesIterator.map(_.cf).sum.toDouble
+    val pByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> (e.cf / total)).toMap
+    val idfByTid = entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val all = rawScored("FREE", text, terms, entries, idfByTid,
+      stats.avgDocLen, k, pruned = false, lmdMu = mu, lmdP = pByTid)
+    ServingSearcher.rankMerge(all, k, qid)
+  }
+
   /** Span-first at serving latency — bit-identical to
-    * Searcher.spanFirstHits (ServingSpec). */
+    * Searcher.spanFirstHits (SpanFirstSpec). */
   def spanFirstHits(text: String, n: Int, k: Int, qid: Long = 0L): Array[Hit] = {
     require(n >= 1, s"span-first bound must be >= 1, got $n")
     require(positional, "span-first queries need a positional index")
@@ -149,6 +165,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     ServingSearcher.rankMerge(all, k, qid)
   }
 
+  /** search_after pagination at serving latency — same cursor contract
+    * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
   def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,
                 afterDocId: Long, qid: Long = 0L): Array[Hit] =
     hitsImpl(kind, text, k, qid, 0L, Long.MaxValue,
@@ -268,7 +286,9 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 acceptB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
                                 rejectB: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]] = null,
                                 after: Wand.Scored = null,
-                                firstLimit: Int = 0)
+                                firstLimit: Int = 0,
+                                lmdMu: Double = Double.NaN,
+                                lmdP: Map[Long, Double] = null)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits);
@@ -359,13 +379,15 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val bw = boolWins
     val bst = boostByTid
     val fl = firstLimit
+    val lmu = lmdMu
+    val lp = lmdP
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
-          if (rb == null) null else rb.value, aft, bp, bw, bst, fl))
+          if (rb == null) null else rb.value, aft, bp, bw, bst, fl, lmu, lp))
     perPart.flatten
   }
 }
@@ -529,7 +551,9 @@ object ServingSearcher {
       boolPhrases: Array[Array[Int]] = null,
       boolWins: Array[Int] = null,
       boostByTid: Map[Long, Double] = null,
-      firstLimit: Int = 0): Array[Wand.Scored] = {
+      firstLimit: Int = 0,
+      lmdMu: Double = Double.NaN,
+      lmdP: Map[Long, Double] = null): Array[Wand.Scored] = {
     @inline def bo(tid: Long): Double =
       if (boostByTid == null) 1.0 else boostByTid.getOrElse(tid, 1.0)
     val scoped = lo > 0L || hi != Long.MaxValue
@@ -598,7 +622,9 @@ object ServingSearcher {
             } else if (conjunctive) {
               if (plArr.length < nTerms) Array.empty[Wand.Scored]
               else Wand.topKAnd(cursors(plArr, idfByTid, positional, lo, hi, boostByTid), lens, firstDocId, avgdl, k, accept, after)
-            } else if (pruned)
+            } else if (!lmdMu.isNaN)
+              Wand.topKLmd(cursors(plArr, idfByTid, positional, lo, hi, boostByTid), lens, firstDocId, k, lmdMu, lmdP, accept, after)
+            else if (pruned)
               Wand.topK(cursors(plArr, idfByTid, positional, lo, hi, boostByTid), lens, firstDocId, avgdl, k, accept, after)
             else
               // multi-segment global stats: stored block maxima are not

@@ -59,6 +59,22 @@ class LmdSpec extends SparkSpec {
     }
   }
 
+  test("serving-tier LMD == relational LMD, bit-identical") {
+    val terms = seg.dict.orderBy(col("df").desc).limit(3).collect().map(_.term)
+    val q = terms.mkString(" ")
+    val srv = new graft.search.ServingSearcher(spark, seg)
+    try {
+      for (mu <- Seq(0.5, 200.0, 2000.0)) {
+        val rel = searcher.lmdHits(q, mu, 10).collect()
+          .map(h => (h.docId, h.score)).toSeq
+        val got = srv.lmdHits(q, mu, 10).map(h => (h.docId, h.score)).toSeq
+        assert(got == rel, s"mu=$mu")
+      }
+      assert(srv.lmdHits("zzz_not_a_term", 2000.0, 5).isEmpty)
+      intercept[IllegalArgumentException] { srv.lmdHits(q, -1.0, 5) }
+    } finally srv.close()
+  }
+
   test("small mu sharpens toward tf-dominance; clamp drops all-clamped docs") {
     // with a tiny mu the smoothing term ln(mu/(dl+mu)) is strongly
     // negative, so low-tf matches clamp to zero and drop out: the match
