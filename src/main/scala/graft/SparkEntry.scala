@@ -805,6 +805,14 @@ object SparkEntry {
     // (the HLL++ approximate sibling is bound-checked in SketchSpec)
     "ft_cardinality" -> ((s, dir) =>
       DocsIndex.langCardinality(s, dir, "FREE", "fast merge")),
+    // filters aggregation: 4 named match counts in ONE union-pushdown
+    // job (ES filters agg; the msearch batching argument for counting)
+    "ft_filters_agg" -> ((s, dir) =>
+      DocsIndex.filtersAgg(s, dir, Seq(
+        ("has_fast", "FREE", "fast"),
+        ("fast_and_merge", "AND", "fast merge"),
+        ("fast_or_table", "OR", "fast OR table"),
+        ("sor_prefix", "PREFIX", "sor*")))),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -1732,6 +1740,28 @@ object SparkEntry {
          |       floor(cv * 1e6 + 0.5) / 1e6 AS cov,
          |       floor(cv / sqrt(vx * vy) * 1e6 + 0.5) / 1e6 AS corr
          |FROM d""".stripMargin,
+    // filters-agg twin: each named count as its own CTE; the prefix
+    // filter counts through its dictionary expansion (term LIKE)
+    "ft_filters_agg" ->
+      s"""$tokCtes, c1 AS (
+         |  SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM tf WHERE term = 'fast'
+         |), c2 AS (
+         |  SELECT count(*)::BIGINT AS cnt FROM (
+         |    SELECT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |    GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+         |), c3 AS (
+         |  SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM tf
+         |  WHERE term IN ('fast', 'table')
+         |), c4 AS (
+         |  SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM tf
+         |  WHERE term LIKE 'sor%'
+         |)
+         |SELECT * FROM (
+         |  SELECT 'fast_and_merge' AS name, cnt FROM c2
+         |  UNION ALL SELECT 'fast_or_table', cnt FROM c3
+         |  UNION ALL SELECT 'has_fast', cnt FROM c1
+         |  UNION ALL SELECT 'sor_prefix', cnt FROM c4
+         |) ORDER BY name""".stripMargin,
     // cardinality twin: exact distinct count
     "ft_cardinality" ->
       s"""$tokCtes, m AS (

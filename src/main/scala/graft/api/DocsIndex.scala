@@ -410,6 +410,18 @@ object DocsIndex {
     }
   }
 
+  /** Filters aggregation (the ES `filters` agg): named exact match
+    * counts in one batched job — see Searcher.matchCountsBatch. */
+  def filtersAgg(spark: SparkSession, sfDir: String,
+                 filters: Seq[(String, String, String)]): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    val counts = searcher.matchCountsBatch(filters)
+    val spark2 = spark
+    import spark2.implicits._
+    filters.map { case (name, _, _) => (name, counts.getOrElse(name, 0L)) }
+      .toDF("name", "cnt").orderBy(col("name"))
+  }
+
   /** Matrix-stats aggregation (the ES `matrix_stats` agg) over a query's
     * match set, fields (docLen, n_chars): per-field mean/variance plus
     * covariance and Pearson correlation. Same execution regime as

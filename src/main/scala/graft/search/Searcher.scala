@@ -669,6 +669,66 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** Filters aggregation (the ES `filters` agg): exact match counts for
+    * N named queries in ONE job over ONE union-pushdown postings scan —
+    * the msearch batching argument (X38) applied to counting: each
+    * touched bucket is visited once and every query's presence walk
+    * runs against the bucket's already-decoded lists, versus N
+    * independent count jobs each paying its own scan and scheduling.
+    * Supported kinds: FREE/OR (any term), AND (all terms); pattern
+    * kinds count through their dictionary expansions like everywhere
+    * else. Output is one Long per (query, bucket) — query-set-sized,
+    * never match-set-sized. */
+  def matchCountsBatch(queries: Seq[(String, String, String)])
+      : Map[String, Long] = {
+    require(queries.nonEmpty, "matchCountsBatch needs at least one filter")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "filter names must be unique")
+    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "WILD")
+    val plans: Array[(String, Array[Long], Boolean, Int)] =
+      queries.iterator.map { case (name, kind, text) =>
+        require(allowed.contains(kind),
+          s"matchCountsBatch supports ${allowed.mkString("/")}, got $kind")
+        val terms = QueryParser.termsFor(kind, text)
+        val entries = entriesFor(kind, text)
+        val conj = kind == "AND"
+        if (entries.isEmpty || (conj && entries.length < terms.distinct.length))
+          (name, Array.empty[Long], conj, terms.distinct.length)
+        else (name, entries.map(_.termId).sorted, conj, entries.length)
+      }.toArray
+    val unionTids = plans.flatMap(_._2).distinct.sorted
+    if (unionTids.isEmpty) return plans.map(p => p._1 -> 0L).toMap
+    val pls = segment.postings
+      .filter($"termId".isin(unionTids.map(Long.box): _*)).as[PostingList]
+    val positional = segment.params.positional
+    val plansL = plans
+
+    def walk(plIt: Iterator[PostingList]): Iterator[(String, Long)] = {
+      val plByTid = plIt.map(pl => pl.termId -> pl).toMap
+      plansL.iterator.map { case (name, tids, conj, nTerms) =>
+        if (tids.isEmpty) (name, 0L)
+        else {
+          val slots = tids.map(tid => plByTid.get(tid)
+            .map(pl => new Wand.TermCursor(tid, 0.0, pl, positional))
+            .orNull)
+          if (conj && slots.exists(_ == null)) (name, 0L)
+          else {
+            val eval: Array[Boolean] => Boolean =
+              if (conj) p => { var i = 0; while (i < p.length && p(i)) i += 1; i == p.length }
+              else p => { var i = 0; while (i < p.length && !p(i)) i += 1; i < p.length }
+            (name, Wand.countMatches(slots, eval, Long.MaxValue))
+          }
+        }
+      }
+    }
+    pls.groupByKey(_.bucket)
+      .flatMapGroups((_, plIt) => walk(plIt))
+      .toDF("name", "cnt")
+      .groupBy($"name").agg(sum($"cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap ++
+      plans.filter(_._2.isEmpty).map(p => p._1 -> 0L).toMap
+  }
+
   /** LM-Dirichlet retrieval (Zhai & Lafferty SIGIR'01; Lucene
     * LMDirichletSimilarity — the standard pluggable alternative to
     * BM25): disjunctive top-k under the Dirichlet-smoothed query

@@ -368,6 +368,33 @@ class EntrySpec extends SparkSpec {
     assert(card == matched.map(_.getString(2)).distinct.length.toLong)
   }
 
+  test("filtersAgg == per-filter brute-force counts; batch == singles") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_filters_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        graft.tokenize.Tokenizer.tokenize(r.getString(1)).toSet)
+    def cnt(p: Set[String] => Boolean) = docs.count(d => p(d._2)).toLong
+    assert(got("has_fast") == cnt(_.contains("fast")))
+    assert(got("fast_and_merge") ==
+      cnt(t => t.contains("fast") && t.contains("merge")))
+    assert(got("fast_or_table") ==
+      cnt(t => t.contains("fast") || t.contains("table")))
+    assert(got("sor_prefix") == cnt(_.exists(_.startsWith("sor"))))
+    assert(got.values.exists(_ > 0))
+    // the batch must agree with the single-query count surface
+    val (_, searcher, _) = graft.api.DocsIndex.get(spark, sf)
+    assert(got("has_fast") ==
+      searcher.matchCountCapped("FREE", "fast", Long.MaxValue))
+    // an OOV filter counts zero instead of failing the batch
+    val withOov = searcher.matchCountsBatch(Seq(
+      ("ok", "FREE", "fast"), ("oov", "AND", "zzz_not_a_term fast")))
+    assert(withOov("ok") > 0 && withOov("oov") == 0L)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
