@@ -813,6 +813,13 @@ object SparkEntry {
         ("fast_and_merge", "AND", "fast merge"),
         ("fast_or_table", "OR", "fast OR table"),
         ("sor_prefix", "PREFIX", "sor*")))),
+    // adjacency matrix: 3 named filters -> 3 singles + 3 pairwise
+    // intersections in ONE batched scan (ES adjacency_matrix agg)
+    "ft_adjacency" -> ((s, dir) =>
+      DocsIndex.adjacencyAgg(s, dir, Seq(
+        ("a_fast", "FREE", "fast"),
+        ("b_sort", "FREE", "sort"),
+        ("c_merge_table", "AND", "merge table")))),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -982,6 +989,17 @@ object SparkEntry {
       graft.pipeline.SemDedup.prune(s, embeddings(s, dir),
         graft.pipeline.SemDedup.Params(nlist = 16, iters = 10, dim = 64,
           tau = 0.4))), // the corpus's near-dup regime (the dedup_embed tau)
+    // labeled corpus clustering: k-means cells sized + labeled by their
+    // top cluster-tf·idf terms (no SQL twin: clustering is approximate
+    // by design — assignment, label rule, cohesion exactness, and
+    // determinism are pinned in ClusteringSpec)
+    "cluster_topics" -> ((s, dir) =>
+      graft.pipeline.Clustering.clusterTopics(s,
+        DocsIndex.documents(s, dir)
+          .select(col("doc_id"), col("text").as("content")),
+        embeddings(s, dir),
+        graft.pipeline.IvfIndex.Params(nlist = 8, iters = 10, dim = 64),
+        topTerms = 5)),
     "dedup_embed" -> ((s, dir) =>
       Ann.nearDupPairs(embeddings(s, dir), 0.4).orderBy("doc_a", "doc_b")),
     // the scale path: persisted LSH buckets + exact-cosine verify — same
@@ -1761,6 +1779,31 @@ object SparkEntry {
          |  UNION ALL SELECT 'fast_or_table', cnt FROM c3
          |  UNION ALL SELECT 'has_fast', cnt FROM c1
          |  UNION ALL SELECT 'sor_prefix', cnt FROM c4
+         |) ORDER BY name""".stripMargin,
+    // adjacency-matrix twin: one distinct-doc CTE per filter, pair
+    // counts by joining the member sets
+    "ft_adjacency" ->
+      s"""$tokCtes, fa AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term = 'fast'
+         |), fb AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term = 'sort'
+         |), fc AS (
+         |  SELECT doc_id FROM tf WHERE term IN ('merge', 'table')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |)
+         |SELECT * FROM (
+         |  SELECT 'a_fast' AS name,
+         |         (SELECT count(*) FROM fa)::BIGINT AS cnt
+         |  UNION ALL SELECT 'b_sort',
+         |         (SELECT count(*) FROM fb)::BIGINT
+         |  UNION ALL SELECT 'c_merge_table',
+         |         (SELECT count(*) FROM fc)::BIGINT
+         |  UNION ALL SELECT 'a_fast&b_sort',
+         |         (SELECT count(*) FROM fa JOIN fb USING (doc_id))::BIGINT
+         |  UNION ALL SELECT 'a_fast&c_merge_table',
+         |         (SELECT count(*) FROM fa JOIN fc USING (doc_id))::BIGINT
+         |  UNION ALL SELECT 'b_sort&c_merge_table',
+         |         (SELECT count(*) FROM fb JOIN fc USING (doc_id))::BIGINT
          |) ORDER BY name""".stripMargin,
     // cardinality twin: exact distinct count
     "ft_cardinality" ->

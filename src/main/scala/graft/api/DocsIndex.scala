@@ -422,6 +422,25 @@ object DocsIndex {
       .toDF("name", "cnt").orderBy(col("name"))
   }
 
+  /** Adjacency-matrix aggregation (the ES `adjacency_matrix` agg):
+    * named match counts plus every pairwise-intersection count ("a&b",
+    * names lexicographic) in one batched scan — see
+    * Searcher.adjacencyCounts. Zero buckets are reported explicitly. */
+  def adjacencyAgg(spark: SparkSession, sfDir: String,
+                   filters: Seq[(String, String, String)]): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    val counts = searcher.adjacencyCounts(filters)
+    val names = filters.map(_._1).sorted
+    val keys = names ++ (for {
+      i <- names.indices
+      j <- (i + 1) until names.length
+    } yield s"${names(i)}&${names(j)}")
+    val spark2 = spark
+    import spark2.implicits._
+    keys.map(k => (k, counts.getOrElse(k, 0L)))
+      .toDF("name", "cnt").orderBy(col("name"))
+  }
+
   /** Matrix-stats aggregation (the ES `matrix_stats` agg) over a query's
     * match set, fields (docLen, n_chars): per-field mean/variance plus
     * covariance and Pearson correlation. Same execution regime as

@@ -729,6 +729,97 @@ final class Searcher(spark: SparkSession, segment: Segment,
       plans.filter(_._2.isEmpty).map(p => p._1 -> 0L).toMap
   }
 
+  /** Adjacency-matrix aggregation (the ES `adjacency_matrix` agg):
+    * exact match counts for N named filters AND every pairwise
+    * intersection, keyed "a&b" with the two names in lexicographic
+    * order (the ES bucket-key convention). Same execution regime as
+    * [[matchCountsBatch]] — ONE union-pushdown postings scan for the
+    * whole matrix, each touched bucket visited once; an intersection
+    * key walks the UNION of its two filters' lists with a composed
+    * predicate (A-part AND B-part over per-filter presence masks), so
+    * the N + N(N-1)/2 counts cost one scan, never N² jobs. Output is
+    * (key × bucket)-sized Longs — query-set-sized, never
+    * match-set-sized. Zero counts (incl. OOV/dead filters and their
+    * pairs) are reported explicitly, not omitted as ES does — a count
+    * contract wants a deterministic row set. */
+  def adjacencyCounts(filters: Seq[(String, String, String)])
+      : Map[String, Long] = {
+    require(filters.size >= 2, "adjacencyCounts needs at least two filters")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filter names must be unique")
+    require(filters.forall(f => !f._1.contains("&")),
+      "filter names must not contain '&' (the intersection-key separator)")
+    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "WILD")
+    // per filter: distinct sorted tids, conjunctive?, matches-nothing?
+    val base = filters.map { case (name, kind, text) =>
+      require(allowed.contains(kind),
+        s"adjacencyCounts supports ${allowed.mkString("/")}, got $kind")
+      val terms = QueryParser.termsFor(kind, text)
+      val entries = entriesFor(kind, text)
+      val conj = kind == "AND"
+      val dead = entries.isEmpty ||
+        (conj && entries.length < terms.distinct.length)
+      (name, entries.map(_.termId).distinct.sorted, conj, dead)
+    }.sortBy(_._1).toArray
+    def positions(union: Array[Long], in: Array[Long]): Array[Int] =
+      in.map(t => java.util.Arrays.binarySearch(union, t))
+    // countable plans: live singles + live pairs; masks index union tids
+    val plans = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Array[Long], Boolean, Array[Int], Boolean, Array[Int])]
+    val zeros = scala.collection.mutable.ArrayBuffer.empty[String]
+    base.foreach { case (name, tids, conj, dead) =>
+      if (dead) zeros += name
+      else plans += ((name, tids, conj, tids.indices.toArray, false, null))
+    }
+    for (i <- base.indices; j <- (i + 1) until base.length) {
+      val (na, ta, ca, da) = base(i)
+      val (nb, tb, cb, db) = base(j)
+      val key = s"$na&$nb"
+      if (da || db) zeros += key
+      else {
+        val union = (ta ++ tb).distinct.sorted
+        plans += ((key, union, ca, positions(union, ta),
+          cb, positions(union, tb)))
+      }
+    }
+    if (plans.isEmpty) return zeros.map(_ -> 0L).toMap
+    val unionTids = plans.toArray.flatMap(_._2).distinct.sorted
+    val pls = segment.postings
+      .filter($"termId".isin(unionTids.map(Long.box): _*)).as[PostingList]
+    val positional = segment.params.positional
+    val plansL = plans.toArray
+
+    def walk(plIt: Iterator[PostingList]): Iterator[(String, Long)] = {
+      val plByTid = plIt.map(pl => pl.termId -> pl).toMap
+      def part(p: Array[Boolean], conj: Boolean, pos: Array[Int]): Boolean = {
+        var i = 0
+        if (conj) { while (i < pos.length && p(pos(i))) i += 1; i == pos.length }
+        else { while (i < pos.length && !p(pos(i))) i += 1; i < pos.length }
+      }
+      plansL.iterator.map { case (key, tids, ca, pa, cb, pb) =>
+        val slots = tids.map(tid => plByTid.get(tid)
+          .map(pl => new Wand.TermCursor(tid, 0.0, pl, positional))
+          .orNull)
+        // a conjunctive part with a bucket-missing term matches nothing
+        def missing(conj: Boolean, pos: Array[Int]): Boolean =
+          conj && pos.exists(x => slots(x) == null)
+        if (missing(ca, pa) || (pb != null && missing(cb, pb))) (key, 0L)
+        else {
+          val eval: Array[Boolean] => Boolean =
+            if (pb == null) p => part(p, ca, pa)
+            else p => part(p, ca, pa) && part(p, cb, pb)
+          (key, Wand.countMatches(slots, eval, Long.MaxValue))
+        }
+      }
+    }
+    pls.groupByKey(_.bucket)
+      .flatMapGroups((_, plIt) => walk(plIt))
+      .toDF("name", "cnt")
+      .groupBy($"name").agg(sum($"cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap ++
+      zeros.map(_ -> 0L).toMap
+  }
+
   /** LM-Dirichlet retrieval (Zhai & Lafferty SIGIR'01; Lucene
     * LMDirichletSimilarity — the standard pluggable alternative to
     * BM25): disjunctive top-k under the Dirichlet-smoothed query

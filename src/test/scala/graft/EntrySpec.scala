@@ -20,7 +20,7 @@ class EntrySpec extends SparkSpec {
     // iterative-trainer surfaces (BPE) — each exact-gated in scalatest
     assert(q.diff(o) == Set("dedup_simhash", "ann_lsh", "ann_pq",
       "ann_ivfpq", "dedup_semantic", "ft_pruned", "bpe_merges",
-      "bpe_tokens"), q.diff(o).toString)
+      "bpe_tokens", "cluster_topics"), q.diff(o).toString)
   }
 
   test("snippets cut the exact ±2-token window around each matched position") {
@@ -393,6 +393,34 @@ class EntrySpec extends SparkSpec {
     val withOov = searcher.matchCountsBatch(Seq(
       ("ok", "FREE", "fast"), ("oov", "AND", "zzz_not_a_term fast")))
     assert(withOov("ok") > 0 && withOov("oov") == 0L)
+  }
+
+  test("adjacencyAgg == brute-force singles and pairwise intersections") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_adjacency")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)).toSet)
+    def cnt(p: Set[String] => Boolean) = docs.count(p).toLong
+    val fa = (t: Set[String]) => t.contains("fast")
+    val fb = (t: Set[String]) => t.contains("sort")
+    val fc = (t: Set[String]) => t.contains("merge") && t.contains("table")
+    assert(got("a_fast") == cnt(fa))
+    assert(got("b_sort") == cnt(fb))
+    assert(got("c_merge_table") == cnt(fc))
+    assert(got("a_fast&b_sort") == cnt(t => fa(t) && fb(t)))
+    assert(got("a_fast&c_merge_table") == cnt(t => fa(t) && fc(t)))
+    assert(got("b_sort&c_merge_table") == cnt(t => fb(t) && fc(t)))
+    assert(got.size == 6 && got("a_fast&b_sort") > 0)
+    // a dead (OOV) filter zeroes itself and every pair it touches,
+    // without failing the batch
+    val (_, searcher, _) = graft.api.DocsIndex.get(spark, sf)
+    val withOov = searcher.adjacencyCounts(Seq(
+      ("ok", "FREE", "fast"), ("oov", "AND", "zzz_not_a_term fast")))
+    assert(withOov("ok") > 0 && withOov("oov") == 0L &&
+      withOov("ok&oov") == 0L)
   }
 
   test("all queries run and return rows on sf0.001") {
