@@ -820,6 +820,18 @@ object SparkEntry {
         ("a_fast", "FREE", "fast"),
         ("b_sort", "FREE", "sort"),
         ("c_merge_table", "AND", "merge table")))),
+    // rare-terms agg: the exact long-tail surface (df <= 100 against
+    // the ~380-df body), straight off the dictionary — zero corpus work
+    "ft_rare_terms" -> ((s, dir) => DocsIndex.rareTerms(s, dir, 100)),
+    // diversified sampler: <=3 docs per lang from the match set, chosen
+    // by the seeded portable hash — reproducible de-biased sampling
+    "ft_sampler_div" -> ((s, dir) =>
+      DocsIndex.diversifiedSample(s, dir, "OR", "fast merge", 7L, 3)),
+    // composite agg page 2: (lang, docLen/16 bin) buckets of the match
+    // set in key order, resuming strictly after the ('de', 48) bucket
+    "ft_composite" -> ((s, dir) =>
+      DocsIndex.compositeAgg(s, dir, "OR", "fast merge", 16,
+        Some(("de", 48L)), 10)),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -1141,6 +1153,10 @@ object SparkEntry {
     "strat_sample" -> ((s, dir) =>
       Curation.stratifiedSample(DocsIndex.documents(s, dir),
         Seq("en" -> 50, "de" -> 100, "fr" -> 25), 10).orderBy("doc_id")),
+    // temperature-smoothed domain mixture (q ∝ p^0.5): per-lang shares,
+    // per-doc sampling weights, and the 10k-doc budget allocation
+    "mixture_weights" -> ((s, dir) =>
+      Curation.mixtureWeights(DocsIndex.documents(s, dir), 0.5, 10000L)),
     // leakage-safe split: the key is the source repo, so clones stay on
     // one side; 90/10 by md5(source) bucket
     "split_by_repo" -> ((s, dir) =>
@@ -1805,6 +1821,59 @@ object SparkEntry {
          |  UNION ALL SELECT 'b_sort&c_merge_table',
          |         (SELECT count(*) FROM fb JOIN fc USING (doc_id))::BIGINT
          |) ORDER BY name""".stripMargin,
+    // rare-terms twin: the df CTE IS the dictionary
+    "ft_rare_terms" ->
+      s"""$tokCtes
+         |SELECT term, df FROM df WHERE df <= 100 ORDER BY term""".stripMargin,
+    // diversified-sampler twin: per-lang row_number over the portable
+    // seeded hash, capped at 3
+    "ft_sampler_div" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), h AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT AS rand
+         |  FROM m
+         |), l AS (
+         |  SELECT d.lang, h.doc_id, h.rand,
+         |         row_number() OVER (PARTITION BY d.lang
+         |                            ORDER BY h.rand, h.doc_id) AS rn
+         |  FROM h JOIN documents d USING (doc_id)
+         |)
+         |SELECT lang, doc_id, rand FROM l WHERE rn <= 3
+         |ORDER BY lang, rand, doc_id""".stripMargin,
+    // composite-agg twin: after-key predicate BEFORE the bucket agg,
+    // key-ordered page of 10
+    "ft_composite" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), k AS (
+         |  SELECT d.lang, ((a.dl // 16) * 16)::BIGINT AS bin
+         |  FROM m JOIN documents d USING (doc_id)
+         |         JOIN alldl a USING (doc_id)
+         |)
+         |SELECT lang, bin, count(*)::BIGINT AS n_docs FROM k
+         |WHERE lang > 'de' OR (lang = 'de' AND bin > 48)
+         |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10""".stripMargin,
+    // mixture twin: identical expression tree (pow from exact integer
+    // shares, one Σ-of-doubles over |domains| values, floor-rounded)
+    "mixture_weights" ->
+      s"""WITH c AS (
+         |  SELECT lang AS domain, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT sum(n_docs)::DOUBLE AS n_total FROM c
+         |), pp AS (
+         |  SELECT domain, n_docs, n_docs::DOUBLE / n_total AS p FROM c, t
+         |), z AS (
+         |  SELECT sum(power(p, 0.5)) AS z FROM pp
+         |)
+         |SELECT domain, n_docs,
+         |       floor(p * 1e6 + 0.5) / 1e6 AS p,
+         |       floor(power(p, 0.5) / z * 1e6 + 0.5) / 1e6 AS q,
+         |       floor(power(p, 0.5) / z / p * 1e6 + 0.5) / 1e6 AS weight,
+         |       floor(10000 * (power(p, 0.5) / z) + 0.5)::BIGINT AS expected
+         |FROM pp, z ORDER BY domain""".stripMargin,
     // cardinality twin: exact distinct count
     "ft_cardinality" ->
       s"""$tokCtes, m AS (

@@ -441,6 +441,107 @@ object DocsIndex {
       .toDF("name", "cnt").orderBy(col("name"))
   }
 
+  /** Rare-terms aggregation (the ES `rare_terms` agg, exact form):
+    * every dictionary term with document frequency ≤ `maxDocCount`,
+    * ordered by term — the long-tail/typo/contaminant surface the
+    * frequency-ordered `terms` agg structurally cannot show. ES bounds
+    * the error of its CuckooFilter approximation; the dictionary IS the
+    * exact answer here, so this is the oracle form (the
+    * exact-is-the-oracle posture of ft_cardinality). Execution is
+    * dictionary-sized: one pushdown-filtered scan of the term
+    * dictionary, ZERO corpus or postings work at query time. */
+  def rareTerms(spark: SparkSession, sfDir: String,
+                maxDocCount: Long): DataFrame = {
+    require(maxDocCount >= 1, s"maxDocCount must be >= 1, got $maxDocCount")
+    val (seg, _, _) = get(spark, sfDir)
+    seg.dict.filter(col("df") <= maxDocCount)
+      .select(col("term"), col("df"))
+      .orderBy(col("term"))
+  }
+
+  /** Diversified sampler (the ES `diversified_sampler` agg, exact
+    * global form): a deterministic pseudo-random sample of a query's
+    * match set with AT MOST `perValue` docs per `lang` — the
+    * de-biased relevance-feedback / inspection sample that plain
+    * sampling skews toward the dominant domain. Selection is the
+    * random_score hash family (md5-portable 15-hex prefix of
+    * "seed:doc_id", ascending, doc_id tiebreak), so the sample is
+    * reproducible and seed-sensitive. Scale: match set from the kind's
+    * presence walk (pushdown, docId-only decode); per-lang capping is
+    * the EXACT TWO-STAGE top-k (partition-local partial winners, then a
+    * per-lang final merge) — the lang-keyed shuffle moves ≤ P·|langs|·m
+    * rows, never the match set. */
+  def diversifiedSample(spark: SparkSession, sfDir: String, kind: String,
+                        text: String, seed: Long, perValue: Int): DataFrame = {
+    require(perValue >= 1, s"perValue must be >= 1, got $perValue")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit("").as("lang"), lit(0L).as("doc_id"), lit(0L).as("rand"))
+      case Some(m) =>
+        val scored = m.join(withDocId(seg), Seq("docId"))
+          .join(seg.docs.select(col("docId"), col("lang")), Seq("docId"))
+          .select(col("lang"), col("doc_id"),
+            conv(substring(md5(concat(lit(seed.toString), lit(":"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long").as("rand"))
+          .as[(String, Long, Long)]
+        val perV = perValue
+        def top(rows: Iterator[(String, Long, Long)])
+            : Iterator[(String, Long, Long)] =
+          rows.toSeq.groupBy(_._1).iterator.flatMap { case (_, xs) =>
+            xs.sortBy { case (_, d, h) => (h, d) }.take(perV)
+          }
+        scored
+          .mapPartitions(top)                          // partial winners
+          .groupByKey(_._1).flatMapGroups((_, it) => top(it))
+          .toDF("lang", "doc_id", "rand")
+          .orderBy(col("lang"), col("rand"), col("doc_id"))
+    }
+  }
+
+  /** Composite aggregation (the ES `composite` agg): the paginated
+    * multi-source bucket walk — buckets keyed by (lang, docLen bin)
+    * over a query's match set, in strict key order, resuming AFTER a
+    * given key. THE way to stream an unbounded bucket space out of an
+    * engine page by page (a terms agg must materialize + sort all
+    * buckets; composite pages deterministically). `after` = None is the
+    * first page. Scale: match set from the presence walk; the bucket
+    * agg is match-set-sized (partial+final); the after-key predicate
+    * prunes BEFORE the agg (fewer groups materialize); the page is
+    * TakeOrderedAndProject (partial top-size per partition), never a
+    * full sort. */
+  def compositeAgg(spark: SparkSession, sfDir: String, kind: String,
+                   text: String, binWidth: Int,
+                   after: Option[(String, Long)], size: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(size >= 1, s"page size must be >= 1, got $size")
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit("").as("lang"), lit(0L).as("bin"), lit(0L).as("n_docs"))
+      case Some(m) =>
+        val keyed = m
+          .join(seg.docs.select(col("docId"), col("lang"), col("docLen")),
+            Seq("docId"))
+          .select(col("lang"),
+            (floor(col("docLen") / binWidth) * binWidth).cast("long")
+              .as("bin"))
+        val paged = after match {
+          case Some((aLang, aBin)) => keyed.filter(
+            col("lang") > aLang ||
+              (col("lang") === aLang && col("bin") > aBin))
+          case None => keyed
+        }
+        paged.groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("bin"))
+          .limit(size)
+    }
+  }
+
   /** Matrix-stats aggregation (the ES `matrix_stats` agg) over a query's
     * match set, fields (docLen, n_chars): per-field mean/variance plus
     * covariance and Pearson correlation. Same execution regime as

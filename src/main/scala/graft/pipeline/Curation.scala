@@ -456,4 +456,49 @@ object Curation {
         col("w._2").as("weight"))
       .withColumn("keep", col("weight") > tau)
   }
+
+  // ── domain mixture reweighting ───────────────────────────────────────
+
+  /** Temperature-smoothed domain mixture weights — the standard
+    * multilingual/multi-domain training-mixture rule (exponentially
+    * smoothed sampling: q_d ∝ p_d^α with p_d the domain's corpus share;
+    * Conneau & Lample NeurIPS'19 §3.1 / XLM-R, and the
+    * examples-proportional mixing analysis in Raffel et al. JMLR'20
+    * §3.5.2): α = 1 keeps natural proportions, α → 0 approaches uniform,
+    * in between up-samples the tail without flattening the head.
+    *
+    * One row per domain: `n_docs` (exact), `p` (natural share), `q`
+    * (smoothed target share), `weight` = q/p (the per-doc up/down-
+    * sampling factor a loader applies), and `expected` = round(budget·q)
+    * (the document budget the domain receives).
+    *
+    * Scale: the domain count is ONE corpus-scale hash agg (partial+
+    * final, skew-free output of |domains| rows); everything after runs
+    * on the domain-sized table via two broadcast cross joins (the Σn and
+    * Σp^α scalars). Cross-engine determinism: n_docs/N and pow are fixed
+    * IEEE trees from exact Longs; the only Σ-of-doubles is Σp^α over
+    * |domains| values (the ft_lmd 1e-15 regime), and every double is
+    * floor(x·1e6+0.5)/1e6-rounded at the output boundary. */
+  def mixtureWeights(docs: DataFrame, alpha: Double, budget: Long,
+                     domainCol: String = "lang"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    def rnd6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val counts = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).cast("double").as("n_total"))
+    val withP = counts.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total")).as("p"))
+    val z = withP.agg(sum(pow(col("p"), lit(alpha))).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("domain"), col("n_docs"),
+        rnd6(col("p")).as("p"),
+        rnd6(pow(col("p"), lit(alpha)) / col("z")).as("q"),
+        rnd6(pow(col("p"), lit(alpha)) / col("z") / col("p")).as("weight"),
+        floor(lit(budget.toDouble) * (pow(col("p"), lit(alpha)) / col("z"))
+          + lit(0.5)).cast("long").as("expected"))
+      .orderBy(col("domain"))
+  }
 }

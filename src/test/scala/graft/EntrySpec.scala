@@ -423,6 +423,122 @@ class EntrySpec extends SparkSpec {
       withOov("ok&oov") == 0L)
   }
 
+  test("rareTerms == brute-force df<=max tail; subset/threshold laws") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_rare_terms")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val df = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => graft.tokenize.Tokenizer.tokenize(r.getString(1))
+        .distinct.map(_ -> 1L))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val expect = df.filter(_._2 <= 100L).toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty && got.forall(_._2 <= 100L) &&
+      got.map(_._1).sorted.sameElements(got.map(_._1)))
+  }
+
+  test("diversifiedSample == brute-force per-lang hash cap; seed-sensitive") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_sampler_div")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def hash15(seed: Long, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        graft.tokenize.Tokenizer.tokenize(r.getString(2)).toSet))
+    val m = docs.filter(d => d._3.contains("fast") || d._3.contains("merge"))
+    val expect = m.map(d => (d._2, d._1, hash15(7L, d._1)))
+      .groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        xs.sortBy(x => (x._3, x._2)).take(3)
+      }.sortBy(x => (x._1, x._3, x._2))
+    assert(got.toSeq == expect)
+    assert(got.groupBy(_._1).forall(_._2.length <= 3))
+    val other = graft.api.DocsIndex.diversifiedSample(
+      spark, sf, "OR", "fast merge", 8L, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(other.toSeq != got.toSeq, "seed must change the sample")
+  }
+
+  test("compositeAgg pages partition the full bucket list in key order") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    // full bucket list = one unbounded first page
+    val all = graft.api.DocsIndex.compositeAgg(
+      spark, sf, "OR", "fast merge", 16, None, Int.MaxValue).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force from raw text
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val toks = graft.tokenize.Tokenizer.tokenize(r.getString(2))
+        (r.getString(1), toks.length.toLong, toks.toSet)
+      }
+    val expect = docs
+      .filter(d => d._3.contains("fast") || d._3.contains("merge"))
+      .map(d => (d._1, d._2 / 16 * 16))
+      .groupBy(identity).toSeq
+      .map { case ((l, b), xs) => (l, b, xs.length.toLong) }
+      .sortBy(x => (x._1, x._2))
+    assert(all == expect)
+    // paging: walking size-3 pages by after-key reconstructs the list
+    var after: Option[(String, Long)] = None
+    val walked = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    var page = 0
+    while ({
+      val rows = graft.api.DocsIndex.compositeAgg(
+        spark, sf, "OR", "fast merge", 16, after, 3).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      walked ++= rows
+      after = rows.lastOption.map(r => (r._1, r._2))
+      page += 1
+      rows.nonEmpty && page < 50
+    }) ()
+    assert(walked.toSeq == all)
+  }
+
+  test("mixtureWeights == brute-force temperature mixture; alpha laws") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("mixture_weights")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    val counts = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("lang")).collect().map(_.getString(0))
+      .groupBy(identity).map { case (l, xs) => l -> xs.length.toLong }
+    val n = counts.values.sum.toDouble
+    val z = counts.values.map(c => math.pow(c / n, 0.5)).sum
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = counts.toSeq.sortBy(_._1).map { case (l, c) =>
+      val p = c / n
+      val q = math.pow(p, 0.5) / z
+      (l, c, rnd6(p), rnd6(q), rnd6(q / p),
+        math.floor(10000 * q + 0.5).toLong)
+    }
+    assert(got.toSeq == expect)
+    // α smoothing up-samples the tail (weight > 1) and down-samples the
+    // head (weight < 1); α = 1 is the identity mixture
+    val minority = got.minBy(_._2)
+    val majority = got.maxBy(_._2)
+    assert(minority._5 > 1.0 && majority._5 < 1.0)
+    val id = graft.pipeline.Curation.mixtureWeights(
+      graft.api.DocsIndex.documents(spark, sf), 1.0, 10000L).collect()
+    assert(id.forall(r => r.getDouble(4) == 1.0),
+      "alpha=1 must keep natural proportions")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Curation.mixtureWeights(
+        graft.api.DocsIndex.documents(spark, sf), 0.0, 10L)
+    }
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
