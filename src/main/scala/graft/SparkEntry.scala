@@ -840,6 +840,10 @@ object SparkEntry {
     // imports/header heuristic), conjunctive BM25 ranking
     "ft_spanfirst" -> ((s, dir) =>
       DocsIndex.spanFirstRankedHits(s, dir, "fast merge", 25, 20)),
+    // span-not: 'merge' occurrences with no 'sort' within 3 tokens —
+    // "A away from B" (Lucene SpanNotQuery)
+    "ft_span_not" -> ((s, dir) =>
+      DocsIndex.spanNotRankedHits(s, dir, "merge", "sort", 3, 20)),
     // boosting query: rank by "fast merge sort", demote docs that also
     // contain "table" to 0.3× (ES boosting / Lucene BoostingQuery)
     "ft_boosting" -> ((s, dir) =>
@@ -1726,6 +1730,38 @@ object SparkEntry {
             |    WHERE length(term) >= 2) tokp
             |  WHERE term IN ('fast', 'merge') AND pos <= 25
             |  GROUP BY doc_id HAVING count(DISTINCT term) = 2)""".stripMargin),
+    // span-not twin: an include occurrence survives when NO exclude
+    // position falls in its ±3 window; scoring = BM25 of the include
+    // term only over the surviving docs
+    "ft_span_not" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), okDocs AS (
+         |  SELECT DISTINCT i.doc_id FROM tokp i
+         |  WHERE i.term = 'merge' AND NOT EXISTS (
+         |    SELECT 1 FROM tokp e
+         |    WHERE e.doc_id = i.doc_id AND e.term = 'sort'
+         |      AND e.pos BETWEEN i.pos - 3 AND i.pos + 3)
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term = 'merge'
+         |    AND tf.doc_id IN (SELECT doc_id FROM okDocs)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // term-vectors twin: positions = row_number over the length-filtered
     // token stream of doc 7 (the engine's coordinate space), df/cf from
     // the corpus-wide dictionary CTE

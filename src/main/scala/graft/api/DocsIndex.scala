@@ -344,6 +344,15 @@ object DocsIndex {
     rank(spark, sfDir, searcher.spanFirstHits(text, n, k + 50), k)
   }
 
+  /** Span-not ranked hits (the Lucene SpanNotQuery surface): include
+    * term occurrences away from the exclude term — see
+    * Searcher.spanNotHits. */
+  def spanNotRankedHits(spark: SparkSession, sfDir: String, incText: String,
+                        excText: String, window: Int, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.spanNotHits(incText, excText, window, k + 50), k)
+  }
+
   /** Term vectors for one document (the ES `_termvectors` API): per
     * distinct term of the doc, its in-doc frequency, 1-based positions
     * over the filtered token stream (the highlight coordinate space),

@@ -865,6 +865,45 @@ final class Searcher(spark: SparkSession, segment: Segment,
       phraseSlots = entries.map(_.termId), firstLimit = n)
   }
 
+  /** Span-not query (the Lucene SpanNotQuery surface, single-term
+    * include/exclude): top-k BM25 over documents where `incText`'s term
+    * occurs at least once with NO occurrence of `excText`'s term within
+    * `window` tokens on either side — "matches of A away from B", the
+    * negative-context filter (e.g. `lock` not next to `unlock`, a call
+    * site not preceded by its guard). Positional index required. An
+    * out-of-vocabulary EXCLUDE degenerates to the plain term query (by
+    * definition nothing is ever excluded); an OOV INCLUDE is empty.
+    * Scoring is BM25 of the include term only (the NEAR/PHRASE
+    * filter-doesn't-rescale rule) — see [[Wand.topKSpanNot]] for the
+    * walk (include-driven, exclude skip-scanned, two-pointer position
+    * merge). */
+  def spanNotHits(incText: String, excText: String, window: Int, k: Int,
+                  qid: Long = 0L): Dataset[Hit] = {
+    require(window >= 0, s"span-not window must be >= 0, got $window")
+    require(segment.params.positional,
+      "span-not queries need a positional index (BuildParams.positional)")
+    val incTerms = QueryParser.termsFor("FREE", incText).distinct
+    val excTerms = QueryParser.termsFor("FREE", excText).distinct
+    require(incTerms.length == 1,
+      s"span-not include must be a single term, got '$incText'")
+    require(excTerms.length == 1,
+      s"span-not exclude must be a single term, got '$excText'")
+    require(incTerms.head != excTerms.head,
+      "span-not include and exclude must differ")
+    val incE = dictLookup(incTerms)
+    if (incE.isEmpty) return spark.emptyDataset[Hit]
+    val excE = dictLookup(excTerms)
+    val idfByTid: Map[Long, Double] =
+      (incE ++ excE).map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    if (excE.isEmpty)
+      return scored(incE, conjunctive = false, k, qid, pruned = true)
+    val tids = (incE.map(_.termId) ++ excE.map(_.termId)).sorted
+    rankTopK(scoredRaw(tids, idfByTid, stats.avgDocLen,
+      conjunctive = false, k, pruned = false, nTerms = 1,
+      exclTid = excE.head.termId, exclWin = window)
+      .toDF("docId", "score"), k, qid)
+  }
+
   /** Match-phrase-prefix (the Elasticsearch `match_phrase_prefix` /
     * Lucene MultiPhraseQuery surface — "search-as-you-type" over a
     * phrase): the LAST token of `text` is a live prefix, expanded
@@ -1246,7 +1285,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 dismaxTie: Double = Double.NaN,
                                 firstLimit: Int = 0,
                                 lmdMu: Double = Double.NaN,
-                                lmdP: Map[Long, Double] = null)
+                                lmdP: Map[Long, Double] = null,
+                                exclTid: Long = -1L,
+                                exclWin: Int = 0)
       : Dataset[(Long, Double)] = {
     // query-time term weights: scale each cursor's effective idf AND its
     // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
@@ -1311,6 +1352,24 @@ final class Searcher(spark: SparkSession, segment: Segment,
             .orNull)
           Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
             after, boolPhrases, boolWins)
+        } else if (exclTid >= 0L) {
+          // span-not: the exclude list is OPTIONAL per bucket (a bucket
+          // without it matches on the include term alone); the include
+          // list is required
+          val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+          val incTid = tids.find(_ != exclTid).get
+          plByTid.get(incTid) match {
+            case None => Array.empty[Wand.Scored]
+            case Some(ipl) =>
+              val inc = new Wand.TermCursor(incTid, idfByTid(incTid), ipl,
+                positional, lo, hi, if (bo == null) 1.0 else bo(incTid))
+              val exc = plByTid.get(exclTid)
+                .map(pl => new Wand.TermCursor(exclTid, 0.0, pl, positional,
+                  lo, hi))
+                .orNull
+              Wand.topKSpanNot(inc, exc, lens, firstDocId, avgdl, k,
+                exclWin, exclWin, accept, after)
+          }
         } else if (phraseSlots != null) {
           // one independent cursor per phrase/near slot (duplicates included)
           val plByTid = plArr.map(pl => pl.termId -> pl).toMap

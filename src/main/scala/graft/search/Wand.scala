@@ -354,6 +354,55 @@ object Wand {
     topk.result()
   }
 
+  /** Span-not (Lucene SpanNotQuery, single-term include/exclude form):
+    * a document matches when the INCLUDE term has at least one
+    * occurrence with NO exclude-term occurrence within `pre` tokens
+    * before / `post` tokens after it. Unlike every conjunctive walk the
+    * exclude cursor is OPTIONAL — a document (or whole bucket) without
+    * the exclude term matches on the include term alone, so the walk is
+    * driven by the include cursor; the exclude cursor only ever
+    * advances via nextGeq to the include's current doc (skip-scan, no
+    * decode of non-aligned docs). The per-doc check is a two-pointer
+    * merge over the two sorted position arrays, O(|P|+|Q|). Scoring is
+    * BM25 of the include term only — the NEAR/PHRASE
+    * filter-doesn't-rescale rule. */
+  def topKSpanNot(inc: TermCursor, exc: TermCursor, lens: Array[Int],
+                  firstDocId: Long, avgdl: Double, k: Int, pre: Int,
+                  post: Int, accept: Long => Boolean = null,
+                  after: Scored = null): Array[Scored] = {
+    if (inc == null || inc.exhausted) return Array.empty
+    val topk = new TopK(k, after)
+    while (!inc.exhausted) {
+      val d = inc.docId
+      if (accept == null || accept(d)) {
+        var hasFree = true
+        if (exc != null && !exc.exhausted) {
+          exc.nextGeq(d)
+          if (!exc.exhausted && exc.docId == d) {
+            val ps = inc.positions()
+            val qs = exc.positions()
+            hasFree = false
+            var i = 0
+            var j = 0
+            while (i < ps.length && !hasFree) {
+              val lo = ps(i) - pre
+              val hi = ps(i) + post
+              while (j < qs.length && qs(j) < lo) j += 1
+              if (j >= qs.length || qs(j) > hi) hasFree = true
+              i += 1
+            }
+          }
+        }
+        if (hasFree) {
+          val dl = lens((d - firstDocId).toInt)
+          topk.offer(d, BM25.impact(inc.idf, inc.tf, dl, avgdl))
+        }
+      }
+      inc.nextGeq(d + 1)
+    }
+    topk.result()
+  }
+
   /** Ordered proximity (`a BEFORE/w b …`, kind ONEAR): conjunction walk
     * like [[topKNear]], but the span must pick strictly INCREASING
     * positions in QUERY order (`slots` arrive in query order, not termId
