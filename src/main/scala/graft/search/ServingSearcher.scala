@@ -165,6 +165,33 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     ServingSearcher.rankMerge(all, k, qid)
   }
 
+  /** Span-not at serving latency — bit-identical to
+    * Searcher.spanNotHits (SpanNotSpec). */
+  def spanNotHits(incText: String, excText: String, window: Int, k: Int,
+                  qid: Long = 0L): Array[Hit] = {
+    require(window >= 0, s"span-not window must be >= 0, got $window")
+    require(positional, "span-not queries need a positional index")
+    val incTerms = QueryParser.termsFor("FREE", incText).distinct
+    val excTerms = QueryParser.termsFor("FREE", excText).distinct
+    require(incTerms.length == 1,
+      s"span-not include must be a single term, got '$incText'")
+    require(excTerms.length == 1,
+      s"span-not exclude must be a single term, got '$excText'")
+    require(incTerms.head != excTerms.head,
+      "span-not include and exclude must differ")
+    val incE = entriesFor("FREE", incTerms)
+    if (incE.isEmpty) return Array.empty
+    val excE = entriesFor("FREE", excTerms)
+    if (excE.isEmpty) return hits("FREE", incText, k, qid)
+    val entries = (incE ++ excE).sortBy(_.termId)
+    val idfByTid = entries.map(e =>
+      e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val all = rawScored("FREE", incText, incTerms, entries, idfByTid,
+      stats.avgDocLen, k, pruned = false,
+      exclTid = excE.head.termId, exclWin = window)
+    ServingSearcher.rankMerge(all, k, qid)
+  }
+
   /** search_after pagination at serving latency — same cursor contract
     * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
   def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,
@@ -288,7 +315,9 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 after: Wand.Scored = null,
                                 firstLimit: Int = 0,
                                 lmdMu: Double = Double.NaN,
-                                lmdP: Map[Long, Double] = null)
+                                lmdP: Map[Long, Double] = null,
+                                exclTid: Long = -1L,
+                                exclWin: Int = 0)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits);
@@ -381,13 +410,16 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val fl = firstLimit
     val lmu = lmdMu
     val lp = lmdP
+    val xt = exclTid
+    val xw = exclWin
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
         else ServingSearcher.walkPartition(it.next(), tids, idfByTid, dlB.value,
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
-          if (rb == null) null else rb.value, aft, bp, bw, bst, fl, lmu, lp))
+          if (rb == null) null else rb.value, aft, bp, bw, bst, fl, lmu, lp,
+          xt, xw))
     perPart.flatten
   }
 }
@@ -553,7 +585,9 @@ object ServingSearcher {
       boostByTid: Map[Long, Double] = null,
       firstLimit: Int = 0,
       lmdMu: Double = Double.NaN,
-      lmdP: Map[Long, Double] = null): Array[Wand.Scored] = {
+      lmdP: Map[Long, Double] = null,
+      exclTid: Long = -1L,
+      exclWin: Int = 0): Array[Wand.Scored] = {
     @inline def bo(tid: Long): Double =
       if (boostByTid == null) 1.0 else boostByTid.getOrElse(tid, 1.0)
     val scoped = lo > 0L || hi != Long.MaxValue
@@ -604,6 +638,23 @@ object ServingSearcher {
                 .orNull)
               Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
                 after, boolPhrases, boolWins)
+            } else if (exclTid >= 0L) {
+              // span-not: exclude list OPTIONAL per bucket (same contract
+              // as Searcher.scoredRaw's branch)
+              val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+              val incTid = tids.find(_ != exclTid).get
+              plByTid.get(incTid) match {
+                case None => Array.empty[Wand.Scored]
+                case Some(ipl) =>
+                  val inc = new Wand.TermCursor(incTid, idfByTid(incTid), ipl,
+                    positional, lo, hi, bo(incTid))
+                  val exc = plByTid.get(exclTid)
+                    .map(pl => new Wand.TermCursor(exclTid, 0.0, pl,
+                      positional, lo, hi))
+                    .orNull
+                  Wand.topKSpanNot(inc, exc, lens, firstDocId, avgdl, k,
+                    exclWin, exclWin, accept, after)
+              }
             } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap
               if (plByTid.size < nTerms) Array.empty[Wand.Scored]

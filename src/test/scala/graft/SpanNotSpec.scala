@@ -82,6 +82,26 @@ class SpanNotSpec extends SparkSpec {
       brute(inc, exc, 3).subsetOf(brute(inc, exc, 0)))
   }
 
+  test("serving-tier span-not == relational span-not, bit-identical") {
+    val (inc, exc) = pair
+    val srv = new graft.search.ServingSearcher(spark, seg)
+    try {
+      for (w <- Seq(0, 3, 100000)) {
+        val rel = searcher.spanNotHits(inc, exc, w, 10).collect()
+          .map(h => (h.docId, h.score)).toSeq
+        val got = srv.spanNotHits(inc, exc, w, 10)
+          .map(h => (h.docId, h.score)).toSeq
+        assert(got == rel, s"w=$w")
+      }
+      // OOV exclude degenerates identically on both tiers
+      val relOov = searcher.spanNotHits(inc, "zzznotaterm", 3, 10).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(srv.spanNotHits(inc, "zzznotaterm", 3, 10)
+        .map(h => (h.docId, h.score)).toSeq == relOov)
+      assert(srv.spanNotHits("zzznotaterm", inc, 3, 10).isEmpty)
+    } finally srv.close()
+  }
+
   test("OOV: exclude degenerates to the plain query; include is empty") {
     val (inc, _) = pair
     val got = searcher.spanNotHits(inc, "zzznotaterm", 3, 10).collect()
