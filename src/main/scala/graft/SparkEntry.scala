@@ -832,6 +832,11 @@ object SparkEntry {
     "ft_composite" -> ((s, dir) =>
       DocsIndex.compositeAgg(s, dir, "OR", "fast merge", 16,
         Some(("de", 48L)), 10)),
+    // exact nearest-rank percentiles of the match set's docLen (the ES
+    // percentiles agg; exact form = the oracle, t-digest is the approx)
+    "ft_percentiles" -> ((s, dir) =>
+      DocsIndex.lenPercentiles(s, dir, "FREE", "fast merge",
+        Seq(25, 50, 75, 95))),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -1161,6 +1166,14 @@ object SparkEntry {
     // per-doc sampling weights, and the 10k-doc budget allocation
     "mixture_weights" -> ((s, dir) =>
       Curation.mixtureWeights(DocsIndex.documents(s, dir), 0.5, 10000L)),
+    // the mixture APPLIED: deterministic per-domain downsampling to the
+    // smoothed target (max-weight domain keeps everything)
+    "mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(DocsIndex.documents(s, dir), 0.5)),
+    // RAG chunk manifest: 32-token windows, 8-token overlap
+    "chunk_docs" -> ((s, dir) =>
+      Curation.chunkDocs(DocsIndex.documents(s, dir), 32, 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
     // leakage-safe split: the key is the source repo, so clones stay on
     // one side; 90/10 by md5(source) bucket
     "split_by_repo" -> ((s, dir) =>
@@ -1891,6 +1904,61 @@ object SparkEntry {
          |SELECT lang, bin, count(*)::BIGINT AS n_docs FROM k
          |WHERE lang > 'de' OR (lang = 'de' AND bin > 48)
          |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10""".stripMargin,
+    // percentiles twin: same integer nearest-rank rule ((p·n+99)//100)
+    // read off the ascending docLen sort
+    "ft_percentiles" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), s AS (
+         |  SELECT dl, row_number() OVER (ORDER BY dl) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM m JOIN alldl USING (doc_id)
+         |)
+         |SELECT p.pct::BIGINT AS pct, s.dl::BIGINT AS value
+         |FROM (VALUES (25), (50), (75), (95)) p(pct)
+         |JOIN s ON s.rn = (p.pct * s.n + 99) // 100
+         |ORDER BY pct""".stripMargin,
+    // mixture-sample twin: the weights CTE stack + the strat_sample
+    // md5 micro-bucket, integer-vs-integer compare
+    "mixture_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang AS domain, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT sum(n_docs)::DOUBLE AS n_total FROM c
+         |), pp AS (
+         |  SELECT domain, n_docs, n_docs::DOUBLE / n_total AS p FROM c, t
+         |), z AS (
+         |  SELECT sum(power(p, 0.5)) AS z FROM pp
+         |), w AS (
+         |  SELECT domain,
+         |         floor(power(p, 0.5) / z / p * 1e6 + 0.5) / 1e6 AS weight
+         |  FROM pp, z
+         |), mx AS (
+         |  SELECT max(weight) AS max_w FROM w
+         |), r AS (
+         |  SELECT domain,
+         |         floor(weight / max_w * 1e6 + 0.5)::BIGINT AS r_micro
+         |  FROM w, mx
+         |)
+         |SELECT d.doc_id, d.lang AS domain
+         |FROM documents d JOIN r ON r.domain = d.lang
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT
+         |        % 1000000 < r.r_micro
+         |ORDER BY d.doc_id""".stripMargin,
+    // chunk twin: same integer chunk-count/stride arithmetic over the
+    // filtered token count
+    "chunk_docs" ->
+      s"""$tokCtes, nc AS (
+         |  SELECT doc_id, dl,
+         |         greatest(1, (dl - 8 + 23) // 24) AS n_chunks
+         |  FROM alldl WHERE dl > 0
+         |)
+         |SELECT doc_id, cc.c AS chunk_id,
+         |       cc.c * 24 + 1 AS tok_start,
+         |       least(32, dl - (cc.c * 24 + 1) + 1) AS n_toks
+         |FROM nc, unnest(range(0, n_chunks)) cc(c)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     // mixture twin: identical expression tree (pow from exact integer
     // shares, one Σ-of-doubles over |domains| values, floor-rounded)
     "mixture_weights" ->

@@ -551,6 +551,49 @@ object DocsIndex {
     }
   }
 
+  /** Percentiles aggregation (the ES `percentiles` agg over docLen,
+    * EXACT nearest-rank form): for each requested percentile p, the
+    * value at 1-based rank ceil(p/100 · n) of the ascending docLen sort
+    * of the query's match set — the deterministic definition (ES defaults
+    * to t-digest approximation; the exact form IS the oracle, the
+    * ft_cardinality posture). Scale: the match set NEVER sorts —
+    * docLen has bounded cardinality, so the plan is one match-set-sized
+    * hash agg to a (docLen → count) HISTOGRAM (partial+final, output ≤
+    * |distinct lengths| rows) + a driver-side cumulative walk over that
+    * tiny table. All integer arithmetic — no float drift anywhere. */
+  def lenPercentiles(spark: SparkSession, sfDir: String, kind: String,
+                     text: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("pct"), lit(0L).as("value"))
+      case Some(m) =>
+        val hist = m.join(seg.docs.select(col("docId"), col("docLen")),
+            Seq("docId"))
+          .groupBy(col("docLen")).agg(count(lit(1)).as("cnt"))
+          .as[(Int, Long)].collect().sortBy(_._1)
+        val n = hist.map(_._2).sum
+        if (n == 0L) return spark.range(0).select(
+          lit(0L).as("pct"), lit(0L).as("value"))
+        val out = pcts.sorted.map { p =>
+          // nearest-rank: smallest dl whose cumulative count reaches
+          // ceil(p/100 * n); integer form of the ceiling avoids floats
+          val rank = (p.toLong * n + 99L) / 100L
+          var cum = 0L
+          var i = 0
+          while (i < hist.length && cum + hist(i)._2 < rank) {
+            cum += hist(i)._2; i += 1
+          }
+          (p.toLong, hist(math.min(i, hist.length - 1))._1.toLong)
+        }
+        out.toDF("pct", "value").orderBy(col("pct"))
+    }
+  }
+
   /** Matrix-stats aggregation (the ES `matrix_stats` agg) over a query's
     * match set, fields (docLen, n_chars): per-field mean/variance plus
     * covariance and Pearson correlation. Same execution regime as

@@ -479,6 +479,76 @@ object Curation {
     * IEEE trees from exact Longs; the only Σ-of-doubles is Σp^α over
     * |domains| values (the ft_lmd 1e-15 regime), and every double is
     * floor(x·1e6+0.5)/1e6-rounded at the output boundary. */
+  /** APPLY a temperature mixture deterministically: keep each document
+    * with its domain's acceptance rate r_d = (q_d/p_d) / max_d(q_d/p_d)
+    * — the downsampling-only normalization (the most over-represented
+    * domain keeps everything; every other domain is thinned toward the
+    * smoothed target; cf. the [[mixtureWeights]] rule). The keep
+    * decision is the md5-portable hash family (hash(doc_id) micro-bucket
+    * < floor(r·1e6+0.5)), so the sample is reproducible, engine-portable
+    * (integer-vs-integer compare — the only float step is the 6-dp
+    * rounding of r, a fixed IEEE tree both engines share), and
+    * growth-stable per doc given fixed rates. Scale: the rate table is
+    * |domains|-sized (broadcast join); the filter itself is one narrow
+    * whole-stage-codegen pass — zero extra shuffles beyond
+    * mixtureWeights' own domain count. */
+  def mixtureSample(docs: DataFrame, alpha: Double,
+                    domainCol: String = "lang"): DataFrame = {
+    val w = mixtureWeights(docs, alpha, 0L, domainCol)
+      .select(col("domain"), col("weight"))
+    val maxW = w.agg(max(col("weight")).as("max_w"))
+    val rates = w.crossJoin(broadcast(maxW))
+      .select(col("domain"),
+        (floor(col("weight") / col("max_w") * lit(1e6) + lit(0.5)))
+          .cast("long").as("r_micro"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long") % 1000000L
+    docs.select(col("doc_id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), Seq("domain"))
+      .filter(bucket < col("r_micro"))
+      .select(col("doc_id"), col("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ── RAG / context chunking ───────────────────────────────────────────
+
+  /** Overlapping fixed-size token chunking — the RAG/context-window
+    * staple: each document's filtered token stream is cut into windows
+    * of `size` tokens advancing by `size − overlap` (the stride), the
+    * last window truncated at the document end; a document shorter than
+    * one window yields exactly one chunk. Emits the chunk MANIFEST
+    * `(doc_id, chunk_id, tok_start, n_toks)` (1-based start, chunk_id
+    * 0-based per doc) — the same span-row convention as
+    * [[packSequences]], and what an embedding/retrieval pipeline
+    * materializes chunks from. Empty docs emit nothing. Scale: pure
+    * narrow flatMap over the doc rows (token COUNT only — the text is
+    * never re-shuffled), zero shuffles, deterministic at any
+    * parallelism. */
+  def chunkDocs(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val stride = size - overlap
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val dl = graft.tokenize.Tokenizer.tokenize(text).length
+        if (dl == 0) Iterator.empty
+        else {
+          // chunks start at 1, 1+stride, … while start <= dl - overlap
+          // (a start past dl-overlap would duplicate a suffix already
+          // fully covered); always at least one chunk
+          val nChunks = math.max(1L, (dl - overlap + stride - 1L) / stride)
+          (0L until nChunks).iterator.map { c =>
+            val start = c * stride + 1L
+            (id, c, start, math.min(size.toLong, dl - start + 1L))
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_id", "tok_start", "n_toks")
+  }
+
   def mixtureWeights(docs: DataFrame, alpha: Double, budget: Long,
                      domainCol: String = "lang"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,

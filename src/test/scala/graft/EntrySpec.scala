@@ -505,6 +505,100 @@ class EntrySpec extends SparkSpec {
     assert(walked.toSeq == all)
   }
 
+  test("lenPercentiles == brute-force nearest-rank over the match set") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_percentiles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dls = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .filter(t => t.contains("fast") || t.contains("merge"))
+      .map(_.length.toLong).sorted
+    val n = dls.length.toLong
+    val expect = Seq(25, 50, 75, 95).map { p =>
+      val rank = (p.toLong * n + 99L) / 100L
+      (p.toLong, dls((rank - 1).toInt))
+    }
+    assert(got == expect && n > 0)
+    // p=100 is the max; p=1 is rank ceil(n/100); percentiles are monotone
+    val edges = graft.api.DocsIndex.lenPercentiles(
+      spark, sf, "FREE", "fast merge", Seq(1, 100)).collect()
+      .map(r => r.getLong(1))
+    assert(edges.last == dls.max &&
+      edges.head == dls(((n + 99L) / 100L - 1L).toInt))
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
+  test("mixtureSample == brute-force per-domain hash acceptance") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("mixture_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val n = counts.values.sum.toDouble
+    val z = counts.values.map(c => math.pow(c / n, 0.5)).sum
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val weight = counts.map { case (l, c) =>
+      val p = c / n; l -> rnd6(math.pow(p, 0.5) / z / p)
+    }
+    val maxW = weight.values.max
+    val rMicro = weight.map { case (l, w) =>
+      l -> math.floor(w / maxW * 1e6 + 0.5).toLong
+    }
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 1000000L
+    }
+    val expect = docs.filter { case (id, l) => bucket(id) < rMicro(l) }
+      .sortBy(_._1).toSeq
+    assert(got == expect && got.nonEmpty)
+    // the max-weight (most under-represented) domain keeps everything
+    val keepAll = rMicro.maxBy(_._2)._1
+    val all = docs.filter(_._2 == keepAll).map(_._1).toSet
+    assert(all.subsetOf(got.filter(_._2 == keepAll).map(_._1).toSet))
+    // every other domain is strictly thinned toward the target
+    assert(got.size < docs.length)
+  }
+
+  test("chunkDocs: coverage, overlap, and manifest laws") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("chunk_docs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dls = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        graft.tokenize.Tokenizer.tokenize(r.getString(1)).length.toLong)
+      .toMap
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (id, chunks) =>
+      val dl = dls(id)
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids dense from 0; starts advance by the stride
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong))
+      sorted.foreach { case (_, c, start, nt) =>
+        assert(start == c * 24 + 1 && nt >= 1 && nt <= 32)
+        assert(start + nt - 1 <= dl)
+      }
+      // full coverage: last chunk reaches the end, consecutive chunks
+      // overlap by exactly 8 (or the doc has one chunk)
+      assert(sorted.last._3 + sorted.last._4 - 1 == dl)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3 + a._4 - 1 >= b._3 - 1, s"gap in doc $id")
+        case _ =>
+      }
+    }
+    // every non-empty doc appears
+    assert(got.map(_._1).toSet == dls.filter(_._2 > 0).keySet)
+  }
+
   test("mixtureWeights == brute-force temperature mixture; alpha laws") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
