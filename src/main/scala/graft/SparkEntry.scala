@@ -793,6 +793,20 @@ object SparkEntry {
     // sums, mean/variance/std rounded under the floor tie rule
     "ft_extstats" -> ((s, dir) =>
       DocsIndex.lenExtendedStats(s, dir, "FREE", "fast merge")),
+    // range aggregation: named docLen ranges [lo, hi) over the match
+    // set, last range unbounded — all ranges reported, empties count 0
+    "ft_range_agg" -> ((s, dir) =>
+      DocsIndex.lenRanges(s, dir, "FREE", "fast merge",
+        Seq(("short", 0L, Some(30L)), ("mid", 30L, Some(60L)),
+          ("long", 60L, None)))),
+    // weighted-avg aggregation: mean n_chars weighted by docLen (exact
+    // Long sums, one floor-rounded division)
+    "ft_weighted_avg" -> ((s, dir) =>
+      DocsIndex.weightedAvgChars(s, dir, "FREE", "fast merge")),
+    // pipeline aggs over the 10-token histogram: cumulative_sum +
+    // derivative (first bucket NULL, the ES rule)
+    "ft_hist_pipeline" -> ((s, dir) =>
+      DocsIndex.lenHistogramPipeline(s, dir, "FREE", "fast merge", 10)),
     // deterministic random_score (seed 42): md5-portable hash ordering
     // of the match set — reproducible unbiased sampling of a filter
     "ft_random" -> ((s, dir) =>
@@ -948,6 +962,16 @@ object SparkEntry {
       DocsIndex.decayRankedHits(s, dir, "FREE", "fast merge sort table",
         50, 15, origin = 0.0, offset = 100.0, scale = 300.0,
         decayRate = 0.5, shape = "linear")),
+    // pinned query: docs 7 then 3 promoted in that order (score NULL),
+    // the nonexistent id drops, organic follows from rank 3 ex-pinned
+    "ft_pinned" -> ((s, dir) =>
+      DocsIndex.pinnedRankedHits(s, dir, Seq(7L, 3L, 999999999L),
+        "FREE", "fast merge", 15)),
+    // rank_feature saturation boost: bm25 + 2·nc/(nc+1000) over the
+    // top-50 window — the static-authority-signal rescore
+    "ft_rank_feature" -> ((s, dir) =>
+      DocsIndex.rankFeatureRankedHits(s, dir, "FREE", "fast merge sort table",
+        50, 15, pivot = 1000.0, boost = 2.0)),
     // percolation (reverse search): 5 stored queries across the kinds,
     // matched against every document in one narrow pass
     "percolate" -> ((s, dir) => {
@@ -1170,6 +1194,10 @@ object SparkEntry {
     // smoothed target (max-weight domain keeps everything)
     "mixture_sample" -> ((s, dir) =>
       Curation.mixtureSample(DocsIndex.documents(s, dir), 0.5)),
+    // the UP-sampling side: repetition manifest (min-weight domain
+    // repeats exactly once, under-represented domains repeat more)
+    "mixture_repeat" -> ((s, dir) =>
+      Curation.mixtureRepeat(DocsIndex.documents(s, dir), 0.5)),
     // RAG chunk manifest: 32-token windows, 8-token overlap
     "chunk_docs" -> ((s, dir) =>
       Curation.chunkDocs(DocsIndex.documents(s, dir), 32, 8)
@@ -1658,6 +1686,50 @@ object SparkEntry {
          |SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
          |FROM m JOIN alldl USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // range-agg twin: same [lo, hi) predicates as correlated counts over
+    // the match set's dl — every range reported, empties 0
+    "ft_range_agg" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), j AS (
+         |  SELECT dl FROM m JOIN alldl USING (doc_id)
+         |)
+         |SELECT r.range_key, r.lo, r.hi,
+         |       (SELECT count(*) FROM j
+         |        WHERE dl >= r.lo AND dl < r.hi)::BIGINT AS n_docs
+         |FROM (VALUES ('short', 0::BIGINT, 30::BIGINT),
+         |             ('mid', 30::BIGINT, 60::BIGINT),
+         |             ('long', 60::BIGINT, 9223372036854775807::BIGINT))
+         |  r(range_key, lo, hi)
+         |ORDER BY lo, range_key""".stripMargin,
+    // weighted-avg twin: exact integer sums, one floor-rounded division
+    "ft_weighted_avg" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), agg AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS w_sum,
+         |         sum(n_chars * dl)::BIGINT AS vw_sum
+         |  FROM m JOIN alldl USING (doc_id) JOIN documents USING (doc_id)
+         |)
+         |SELECT n_docs, w_sum,
+         |       floor(vw_sum::DOUBLE / w_sum * 1e6 + 0.5) / 1e6 AS wavg
+         |FROM agg""".stripMargin,
+    // pipeline-agg twin: running sum + first difference over the
+    // histogram buckets, first-bucket derivative NULL
+    "ft_hist_pipeline" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), h AS (
+         |  SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
+         |  FROM m JOIN alldl USING (doc_id) GROUP BY 1
+         |)
+         |SELECT bin, n_docs,
+         |       sum(n_docs) OVER (ORDER BY bin
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |         AS cum_docs,
+         |       coalesce(n_docs - lag(n_docs) OVER (ORDER BY bin),
+         |                0)::BIGINT AS deriv
+         |FROM h ORDER BY bin""".stripMargin,
     // top-hits twin: per-lang row_number over the rounded BM25 scores
     "ft_tophits" ->
       s"""$tokCtes, sc AS (
@@ -1946,6 +2018,39 @@ object SparkEntry {
          |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT
          |        % 1000000 < r.r_micro
          |ORDER BY d.doc_id""".stripMargin,
+    // mixture-repeat twin: the same weights stack normalized by the MIN
+    // weight; copies = floor(r) + the md5 micro-bucket fractional extra
+    "mixture_repeat" ->
+      s"""WITH c AS (
+         |  SELECT lang AS domain, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT sum(n_docs)::DOUBLE AS n_total FROM c
+         |), pp AS (
+         |  SELECT domain, n_docs, n_docs::DOUBLE / n_total AS p FROM c, t
+         |), z AS (
+         |  SELECT sum(power(p, 0.5)) AS z FROM pp
+         |), w AS (
+         |  SELECT domain,
+         |         floor(power(p, 0.5) / z / p * 1e6 + 0.5) / 1e6 AS weight
+         |  FROM pp, z
+         |), mn AS (
+         |  SELECT min(weight) AS min_w FROM w
+         |), r AS (
+         |  SELECT domain,
+         |         floor(weight / min_w * 1e6 + 0.5)::BIGINT AS r_micro
+         |  FROM w, mn
+         |), e AS (
+         |  SELECT d.doc_id, d.lang AS domain,
+         |         (r_micro // 1000000) + CASE WHEN
+         |           ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT
+         |             % 1000000 < r_micro % 1000000 THEN 1 ELSE 0 END
+         |           AS n_copies
+         |  FROM documents d JOIN r ON r.domain = d.lang
+         |)
+         |SELECT doc_id, domain, cc.c AS copy_id
+         |FROM e, unnest(range(0, n_copies)) cc(c)
+         |ORDER BY doc_id, copy_id""".stripMargin,
     // chunk twin: same integer chunk-count/stride arithmetic over the
     // filtered token count
     "chunk_docs" ->
@@ -2696,6 +2801,57 @@ object SparkEntry {
     "ft_decay_exp" -> decaySql("exp(-DD * ln(2) / 300.0)"),
     // s = 300/(1−0.5) = 600 ⇒ max(0, 1 − d/600)
     "ft_decay_lin" -> decaySql("greatest(0.0, 1.0 - DD / 600.0)"),
+    // pinned twin: the promoted ids in their given order (NULL score),
+    // then the organic rounded-rank walk excluding them
+    "ft_pinned" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge')
+         |  GROUP BY tf.doc_id
+         |), org AS (
+         |  SELECT doc_id, round(score, 6) AS score,
+         |         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+         |  FROM sc WHERE doc_id NOT IN (7, 3)
+         |)
+         |SELECT doc_id, rank, score FROM (
+         |  SELECT p.doc_id, p.rank, 0.0::DOUBLE AS score
+         |  FROM (VALUES (7::BIGINT, 1::BIGINT), (3::BIGINT, 2::BIGINT))
+         |    p(doc_id, rank)
+         |  UNION ALL
+         |  SELECT doc_id, rn + 2 AS rank, score FROM org WHERE rn <= 13
+         |) ORDER BY rank""".stripMargin,
+    // rank_feature twin: the decay windowed CTE, additive saturation
+    // boost 2·nc/(nc+1000) on the rounded bm25
+    "ft_rank_feature" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |),
+         |win AS (SELECT doc_id, round(score, 6) AS bm25 FROM (
+         |  SELECT doc_id, score, row_number() OVER (
+         |    ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 50),
+         |rf AS (
+         |  SELECT doc_id, bm25,
+         |         round(2.0 * n_chars / (n_chars + 1000.0), 6) AS feature,
+         |         round(bm25 + 2.0 * n_chars / (n_chars + 1000.0), 6) AS total
+         |  FROM win JOIN documents USING (doc_id))
+         |SELECT doc_id, bm25, feature, total,
+         |       row_number() OVER (ORDER BY total DESC, doc_id) AS rank
+         |FROM rf ORDER BY total DESC, doc_id LIMIT 15""".stripMargin,
     // result collapse: per-source best doc by (rounded score desc,
     // doc_id asc), then the top-8 sources by (score desc, source asc)
     "ft_collapse" ->

@@ -594,6 +594,102 @@ object DocsIndex {
     }
   }
 
+  /** Range aggregation (the ES `range` agg over docLen): named [lo, hi)
+    * ranges (hi = None ⇒ unbounded, reported as Long.MaxValue) with
+    * exact match-set counts; ES semantics preserved — EVERY requested
+    * range is reported, empty ranges count 0, a doc can land in
+    * overlapping ranges more than
+    * once. Scale: ONE match-set-sized hash agg (partial+final) computes
+    * all range counters as conditional sums in a single pass — the
+    * range table never joins the corpus; the row pivot is a `stack`
+    * over the one-row aggregate (no per-range recompute, no collect). */
+  def lenRanges(spark: SparkSession, sfDir: String, kind: String,
+                text: String,
+                ranges: Seq[(String, Long, Option[Long])]): DataFrame = {
+    require(ranges.nonEmpty, "range agg needs at least one range")
+    require(ranges.forall { case (_, lo, hi) => hi.forall(_ > lo) },
+      s"every range needs hi > lo, got $ranges")
+    require(ranges.forall(!_._1.contains("'")),
+      "range keys must not contain quotes")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val dl = col("docLen").cast("long")
+    val base = searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(col("id").as("docId"),
+        col("id").as("docLen"))
+      case Some(m) =>
+        m.join(seg.docs.select(col("docId"), col("docLen")), Seq("docId"))
+    }
+    val aggCols = ranges.zipWithIndex.map { case ((_, lo, hi), i) =>
+      val pred = hi match {
+        case Some(h) => dl >= lo && dl < h
+        case None    => dl >= lo
+      }
+      coalesce(sum(when(pred, 1L)), lit(0L)).as(s"c$i")
+    }
+    val one = base.agg(aggCols.head, aggCols.drop(1): _*)
+    // unbounded hi encodes as Long.MaxValue in the OUTPUT row (never
+    // NULL — the verify hash treats NULL as NaN, and NaN != NaN)
+    val stackArgs = ranges.zipWithIndex.map { case ((key, lo, hi), i) =>
+      s"'$key', ${lo}L, ${hi.getOrElse(Long.MaxValue)}L, c$i"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${ranges.length}, $stackArgs) " +
+        "AS (range_key, lo, hi, n_docs)")
+      .orderBy(col("lo"), col("range_key"))
+  }
+
+  /** Weighted-average aggregation (the ES `weighted_avg` agg): mean of
+    * n_chars weighted by docLen over the query's match set — the exact
+    * integer form (both sums are exact Longs; the single division is
+    * one IEEE op, floor(x·1e6+0.5)/1e6-rounded — the X63 regime). Docs
+    * with weight 0 contribute nothing to either sum, matching ES's
+    * value·weight semantics. Scale: match-set-sized joins + a
+    * single-row partial+final agg. */
+  def weightedAvgChars(spark: SparkSession, sfDir: String, kind: String,
+                       text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("n_docs"), lit(0L).as("w_sum"),
+        lit(null).cast("double").as("wavg"))
+      case Some(m) =>
+        val dl = col("docLen").cast("long")
+        m.join(seg.docs.select(col("docId"), col("docLen")), Seq("docId"))
+          .join(withDocId(seg), Seq("docId"))
+          .join(documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+            Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(dl).as("w_sum"),
+            sum(col("n_chars") * dl).as("vw_sum"))
+          .select(col("n_docs"), col("w_sum"),
+            rnd6(col("vw_sum").cast("double") / col("w_sum")).as("wavg"))
+    }
+  }
+
+  /** Pipeline aggregations (ES `cumulative_sum` + `derivative` parent
+    * pipeline aggs) over the [[lenHistogram]] buckets: running doc
+    * total and first-difference per bin (NULL for the first bucket,
+    * the ES derivative rule). Scale: pipeline aggs run on the REDUCED
+    * bucket table by definition (≤ |distinct bins| rows), so the
+    * unpartitioned ordered window is bucket-table-sized — the
+    * match-set pass is the histogram's own partial+final agg. */
+  def lenHistogramPipeline(spark: SparkSession, sfDir: String, kind: String,
+                           text: String, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = lenHistogram(spark, sfDir, kind, text, width)
+    val w = Window.orderBy("bin")
+    // first-bucket derivative is undefined in ES (no row emitted for
+    // it); here the row set is deterministic, so it reports 0 — the
+    // explicit-zero posture, and NULL would break the verify hash
+    hist.select(col("bin"), col("n_docs"),
+        sum(col("n_docs")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_docs"),
+        coalesce(col("n_docs") - lag(col("n_docs"), 1).over(w), lit(0L))
+          .as("deriv"))
+      .orderBy("bin")
+  }
+
   /** Matrix-stats aggregation (the ES `matrix_stats` agg) over a query's
     * match set, fields (docLen, n_chars): per-field mean/variance plus
     * covariance and Pearson correlation. Same execution regime as
@@ -1554,6 +1650,81 @@ object DocsIndex {
     * [[rescoredRankedHits]]: a decay multiplier has no per-list upper
     * bound, so folding it into the walk would disable WAND pruning;
     * ≤window rows pay it instead, broadcast into the signal join. */
+  /** Pinned query (ES `pinned` / Google-style promoted results): the
+    * given ids rank 1..p IN THE GIVEN ORDER regardless of relevance
+    * (score 0.0 — they did not earn a BM25 score), organic hits follow
+    * from rank p+1 with pinned ids EXCLUDED (the ES dedup rule); pinned
+    * ids absent from the index are dropped (ES pins only existing
+    * docs). Scale: existence check = one pushdown-filtered docmap scan
+    * over a |pinned|-sized IN list; organic = the standard rankedHits
+    * walk with |pinned| slack; the pinned rows themselves are a
+    * driver-side literal. */
+  def pinnedRankedHits(spark: SparkSession, sfDir: String,
+                       pinned: Seq[Long], kind: String, text: String,
+                       k: Int): DataFrame = {
+    require(pinned.nonEmpty && pinned.size <= k,
+      s"need 1..k pinned ids, got ${pinned.size} for k=$k")
+    require(pinned.distinct.size == pinned.size, "pinned ids must be unique")
+    val (seg, _, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val existing = withDocId(seg)
+      .filter(col("doc_id").isin(pinned: _*))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val kept = pinned.filter(existing)
+    // pinned rows did not earn a BM25 score: 0.0 (below any organic
+    // score — BM25 with smoothed idf is strictly positive), never NULL
+    val pinnedRows = kept.zipWithIndex.map { case (id, i) =>
+      (id, i + 1L, 0.0)
+    }
+    val organic = rankedHits(spark, sfDir, kind, text, k)
+      .filter(!col("doc_id").isin(pinned: _*))
+      .orderBy(col("rank"))
+      .limit(k - kept.size)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
+      .zipWithIndex.map { case ((id, s), i) =>
+        (id, kept.size + i + 1L, s)
+      }
+    (pinnedRows ++ organic).toDF("doc_id", "rank", "score")
+      .orderBy(col("rank"))
+  }
+
+  /** Static-signal boost (ES `rank_feature` query with the `saturation`
+    * function, Lucene FeatureField): total = bm25 + boost·f/(f+pivot)
+    * over the static per-doc feature f = n_chars — the
+    * pagerank/stars/recency-style authority signal added as a should
+    * clause. Executed in the X30/X61 rescore-window shape: the additive
+    * signal is bounded by `boost` but the walk's block maxima don't
+    * carry it, so the top-`window` BM25 candidates are re-scored and
+    * re-ranked — exactly ES's rescore practice. f ≥ 0 required;
+    * saturation is monotone, bounded, and equals boost/2 at f = pivot
+    * (the Lucene endpoint law). */
+  def rankFeatureRankedHits(spark: SparkSession, sfDir: String,
+                            kind: String, text: String, window: Int,
+                            k: Int, pivot: Double, boost: Double): DataFrame = {
+    require(pivot > 0.0 && boost >= 0.0,
+      s"need pivot > 0 and boost >= 0, got pivot=$pivot boost=$boost")
+    val spark2 = spark
+    import spark2.implicits._
+    val base = rankedHits(spark, sfDir, kind, text, window)
+      .select(col("doc_id"), col("score"))
+    val signal = documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val sat = lit(boost) * col("n_chars") / (col("n_chars") + lit(pivot))
+    val total = round(col("score") + sat, 6)
+    broadcast(base).join(signal, Seq("doc_id"))
+      .select(col("doc_id"), col("score").as("bm25"),
+        round(sat, 6).as("feature"), total.as("total"))
+      .orderBy(col("total").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double, Double, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, b, f, t) => r += 1; (d, b, f, t, r) }
+      }
+      .toDF("doc_id", "bm25", "feature", "total", "rank")
+  }
+
   def decayRankedHits(spark: SparkSession, sfDir: String, kind: String,
                       text: String, window: Int, k: Int, origin: Double,
                       offset: Double, scale: Double,

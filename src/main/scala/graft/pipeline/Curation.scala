@@ -510,6 +510,39 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** UP-sampling repetition manifest — examples-proportional mixing with
+    * repetition (the data-constrained regime: under-represented domains
+    * repeat; cf. the [[mixtureWeights]] target): each doc d gets
+    * r_d = w_d / min_d(w_d) ≥ 1 expected copies (the most
+    * OVER-represented domain repeats exactly once), realized
+    * deterministically as floor(r) copies plus one extra when the doc's
+    * md5 micro-bucket falls under frac(r) — the same portable hash
+    * family as [[mixtureSample]], so epoch composition is reproducible
+    * and engine-portable. Emits (doc_id, domain, copy_id 0-based).
+    * Scale: rate table is |domains|-sized (broadcast); the expansion is
+    * one narrow explode(sequence) pass — output grows by the repetition
+    * factor, never shuffles. */
+  def mixtureRepeat(docs: DataFrame, alpha: Double,
+                    domainCol: String = "lang"): DataFrame = {
+    val w = mixtureWeights(docs, alpha, 0L, domainCol)
+      .select(col("domain"), col("weight"))
+    val minW = w.agg(min(col("weight")).as("min_w"))
+    val rates = w.crossJoin(broadcast(minW))
+      .select(col("domain"),
+        (floor(col("weight") / col("min_w") * lit(1e6) + lit(0.5)))
+          .cast("long").as("r_micro"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long") % 1000000L
+    val nCopies = expr("r_micro div 1000000") +
+      when(bucket < pmod(col("r_micro"), lit(1000000L)), 1L).otherwise(0L)
+    docs.select(col("doc_id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), Seq("domain"))
+      .select(col("doc_id"), col("domain"), nCopies.as("n_copies"))
+      .select(col("doc_id"), col("domain"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
   // ── RAG / context chunking ───────────────────────────────────────────
 
   /** Overlapping fixed-size token chunking — the RAG/context-window

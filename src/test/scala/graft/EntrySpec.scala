@@ -599,6 +599,161 @@ class EntrySpec extends SparkSpec {
     assert(got.map(_._1).toSet == dls.filter(_._2 > 0).keySet)
   }
 
+  private def matchDls(sf: String): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .filter(t => t.contains("fast") || t.contains("merge"))
+      .map(_.length.toLong).toSeq
+  }
+
+  test("lenRanges == brute-force [lo,hi) counts; ES range-agg laws") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_range_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dls = matchDls(sf)
+    val expect = Seq(("short", 0L, Some(30L)), ("long", 60L, None),
+      ("mid", 30L, Some(60L))).map { case (k, lo, hi) =>
+      (k, lo, hi.getOrElse(Long.MaxValue),
+        dls.count(d => d >= lo && hi.forall(d < _)).toLong)
+    }.sortBy(r => (r._2, r._1))
+    assert(got.toSeq == expect)
+    // disjoint covering ranges partition the match set
+    assert(got.map(_._4).sum == dls.length.toLong && dls.nonEmpty)
+    // empty ranges still report (count 0); overlap counts a doc twice
+    val extra = graft.api.DocsIndex.lenRanges(spark, sf, "FREE",
+      "fast merge", Seq(("none", 1000000L, Some(1000001L)),
+        ("all", 0L, None), ("dup_all", 0L, None))).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(extra("none") == 0L && extra("all") == dls.length.toLong &&
+      extra("dup_all") == dls.length.toLong)
+  }
+
+  test("weightedAvgChars == brute-force exact-sum weighted mean") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_weighted_avg")(spark, sf).collect()
+    val rows = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (graft.tokenize.Tokenizer.tokenize(r.getString(1)),
+        r.getLong(2)))
+      .filter { case (t, _) => t.contains("fast") || t.contains("merge") }
+    val wSum = rows.map(_._1.length.toLong).sum
+    val vwSum = rows.map { case (t, nc) => nc * t.length.toLong }.sum
+    val wavg = math.floor(vwSum.toDouble / wSum * 1e6 + 0.5) / 1e6
+    assert(got.length == 1 && rows.nonEmpty)
+    assert(got(0).getLong(0) == rows.length.toLong &&
+      got(0).getLong(1) == wSum && got(0).getDouble(2) == wavg)
+  }
+
+  test("lenHistogramPipeline == brute-force cumsum/derivative laws") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_hist_pipeline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dls = matchDls(sf)
+    val hist = dls.groupBy(d => d / 10 * 10).map { case (b, xs) =>
+      (b, xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val expect = hist.zipWithIndex.map { case ((b, n), i) =>
+      (b, n, hist.take(i + 1).map(_._2).sum,
+        if (i == 0) 0L else n - hist(i - 1)._2)
+    }
+    assert(got.toSeq == expect && expect.nonEmpty)
+    // pipeline laws: first derivative 0 (explicit-zero), last cumsum = n
+    assert(got.head._4 == 0L && got.last._3 == dls.length.toLong)
+  }
+
+  test("mixtureRepeat == brute-force repetition manifest; repeat laws") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("mixture_repeat")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val n = counts.values.sum.toDouble
+    val z = counts.values.map(c => math.pow(c / n, 0.5)).sum
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val weight = counts.map { case (l, c) =>
+      val p = c / n; l -> rnd6(math.pow(p, 0.5) / z / p)
+    }
+    val minW = weight.values.min
+    val rMicro = weight.map { case (l, w) =>
+      l -> math.floor(w / minW * 1e6 + 0.5).toLong
+    }
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 1000000L
+    }
+    val expect = docs.flatMap { case (id, l) =>
+      val r = rMicro(l)
+      val nc = r / 1000000L + (if (bucket(id) < r % 1000000L) 1L else 0L)
+      (0L until nc).map(c => (id, l, c))
+    }.sortBy(r => (r._1, r._3)).toSeq
+    assert(got == expect && got.nonEmpty)
+    // every doc appears at least once; the min-weight (most
+    // over-represented) domain repeats exactly once per doc
+    assert(got.map(_._1).toSet == docs.map(_._1).toSet)
+    val once = rMicro.minBy(_._2)._1
+    assert(rMicro(once) == 1000000L)
+    assert(got.filter(_._2 == once).groupBy(_._1).values.forall(_.size == 1))
+    // some under-represented doc repeats (the manifest grows the corpus)
+    assert(got.size > docs.length)
+  }
+
+  test("pinnedRankedHits: promoted order, existence drop, organic tail") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_pinned")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 15)
+    // pinned ids first, in the GIVEN order, unscored; nonexistent id gone
+    assert(got(0) == ((7L, 1L, 0.0)) && got(1) == ((3L, 2L, 0.0)))
+    assert(!got.map(_._1).contains(999999999L))
+    // organic tail = rankedHits minus the pinned ids, order preserved
+    val organic = graft.api.DocsIndex.rankedHits(
+        spark, sf, "FREE", "fast merge", 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(r => r._1 != 7L && r._1 != 3L).take(13)
+    assert(got.drop(2).map(_._1).toSeq == organic.map(_._1).toSeq)
+    assert(got.drop(2).map(_._3).toSeq == organic.map(_._2).toSeq)
+    assert(got.drop(2).forall(_._3 > 0.0))
+    assert(got.map(_._2).toSeq == (1L to 15L))
+  }
+
+  test("rankFeatureRankedHits == brute-force saturation rescore; laws") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_rank_feature")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val nc = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val win = graft.api.DocsIndex.rankedHits(
+        spark, sf, "FREE", "fast merge sort table", 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = win.map { case (id, b) =>
+      val f = 2.0 * nc(id) / (nc(id) + 1000.0)
+      (id, b, rnd(f), rnd(b + f))
+    }.sortBy(r => (-r._4, r._1)).take(15)
+      .zipWithIndex.map { case ((id, b, f, t), i) => (id, b, f, t, i + 1L) }
+    assert(got.toSeq == expect.toSeq && got.nonEmpty)
+    // boost = 0 collapses to the plain BM25 ordering bit-identically
+    val zero = graft.api.DocsIndex.rankFeatureRankedHits(
+        spark, sf, "FREE", "fast merge sort table", 50, 15, 1000.0, 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val plain = graft.api.DocsIndex.rankedHits(
+        spark, sf, "FREE", "fast merge sort table", 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(zero.toSeq == plain.toSeq)
+  }
+
   test("mixtureWeights == brute-force temperature mixture; alpha laws") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
