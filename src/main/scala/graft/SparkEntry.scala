@@ -972,6 +972,10 @@ object SparkEntry {
     "ft_rank_feature" -> ((s, dir) =>
       DocsIndex.rankFeatureRankedHits(s, dir, "FREE", "fast merge sort table",
         50, 15, pivot = 1000.0, boost = 2.0)),
+    // term suggester (suggest_mode=missing): 'fsat'/'merg' are OOV and
+    // get dictionary candidates within distance 2; 'table' exists → none
+    "ft_term_suggest" -> ((s, dir) =>
+      DocsIndex.termSuggest(s, dir, Seq("fsat", "merg", "table"), 2, 5)),
     // percolation (reverse search): 5 stored queries across the kinds,
     // matched against every document in one narrow pass
     "percolate" -> ((s, dir) => {
@@ -1064,6 +1068,13 @@ object SparkEntry {
     "dedup_corpus" -> ((s, dir) =>
       Dedup.dedupedCorpus(
           DocsIndex.documents(s, dir).select(col("doc_id"), col("lang")),
+          Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5))
+        .orderBy("doc_id")),
+    // quality-aware retention: same clusters, but the survivor is the
+    // highest-quality member (tie min id) — the keep-best policy
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(
+          DocsIndex.documents(s, dir),
           Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5))
         .orderBy("doc_id")),
 
@@ -2826,6 +2837,28 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id, rn + 2 AS rank, score FROM org WHERE rn <= 13
          |) ORDER BY rank""".stripMargin,
+    // term-suggester twin: DuckDB levenshtein over the df dictionary,
+    // the "missing" rule as a HAVING min(dist) > 0 semi join
+    "ft_term_suggest" ->
+      s"""$tokCtes, inp AS (
+         |  SELECT * FROM (VALUES ('fsat'), ('merg'), ('table')) i(input_term)
+         |), cand AS (
+         |  SELECT i.input_term, d.term AS suggestion,
+         |         levenshtein(d.term, i.input_term)::BIGINT AS dist, d.df
+         |  FROM df d, inp i
+         |  WHERE abs(length(d.term) - length(i.input_term)) <= 2
+         |    AND levenshtein(d.term, i.input_term) <= 2
+         |), missing AS (
+         |  SELECT input_term FROM cand GROUP BY 1 HAVING min(dist) > 0
+         |), ranked AS (
+         |  SELECT input_term, suggestion, dist, df,
+         |         row_number() OVER (PARTITION BY input_term
+         |           ORDER BY dist, df DESC, suggestion) AS rank
+         |  FROM cand JOIN missing USING (input_term)
+         |)
+         |SELECT input_term, suggestion, dist, df, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY input_term, rank""".stripMargin,
     // rank_feature twin: the decay windowed CTE, additive saturation
     // boost 2·nc/(nc+1000) on the rounded bm25
     "ft_rank_feature" ->
@@ -3034,6 +3067,49 @@ object SparkEntry {
          |)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+    // keep-best twin: the cluster closure + the text_quality composite,
+    // winner = row_number over (quality desc, doc_id) per component,
+    // singletons pass through with n_members 1
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION SELECT doc_b, doc_a FROM jpairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v))::BIGINT AS component
+         |  FROM reach GROUP BY u
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(len(string_split(text,' ')) / 100.0, 1.0)
+         |          * (len(list_distinct(string_split(text,' '))) * 1.0
+         |             / len(string_split(text,' ')))
+         |          * (1.0 - len(list_filter(string_split(text,' '),
+         |               w -> w IN ('the','a','of','and','in','to','is'))) * 1.0
+         |               / len(string_split(text,' '))), 6) AS quality
+         |  FROM documents
+         |),
+         |winners AS (
+         |  SELECT doc_id, n_members, quality FROM (
+         |    SELECT c.doc_id, q.quality,
+         |           count(*) OVER (PARTITION BY c.component)::BIGINT AS n_members,
+         |           row_number() OVER (PARTITION BY c.component
+         |             ORDER BY q.quality DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN q USING (doc_id))
+         |  WHERE rn = 1
+         |),
+         |singles AS (
+         |  SELECT q.doc_id, 1::BIGINT AS n_members, q.quality
+         |  FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM comp)
+         |)
+         |SELECT * FROM winners UNION ALL SELECT * FROM singles
          |ORDER BY doc_id""".stripMargin,
     "dedup_embed" -> embedDupSql,
     // the LSH path is exact-verified, and at these parameters its recall

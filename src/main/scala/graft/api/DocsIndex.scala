@@ -1650,6 +1650,42 @@ object DocsIndex {
     * [[rescoredRankedHits]]: a decay multiplier has no per-list upper
     * bound, so folding it into the walk would disable WAND pruning;
     * ≤window rows pay it instead, broadcast into the signal join. */
+  /** Term suggester (the ES `term` suggester, suggest_mode=missing —
+    * the default): for each input term ABSENT from the dictionary, the
+    * top-n dictionary terms within Levenshtein distance ≤ maxDist,
+    * ranked (distance asc, df desc, term asc); input terms that exist
+    * are not suggested for at all (the "missing" rule). Scale: ONE
+    * narrow dictionary pass — broadcast of the |q|-sized input list,
+    * codegen'd built-in `levenshtein` (no UDF) behind a cheap
+    * length-difference pre-filter; the windows rank only the filtered
+    * candidate set (≤ |q|·|near terms| rows). */
+  def termSuggest(spark: SparkSession, sfDir: String, terms: Seq[String],
+                  maxDist: Int, topN: Int): DataFrame = {
+    require(terms.nonEmpty && maxDist >= 1 && maxDist <= 2 && topN >= 1,
+      s"need terms, maxDist in [1,2], topN >= 1; got $terms/$maxDist/$topN")
+    import org.apache.spark.sql.expressions.Window
+    val (seg, _, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val inputDf = terms.map(_.trim.toLowerCase).distinct.toDF("input_term")
+    val cand = seg.dict.toDF().select(col("term"), col("df"))
+      .crossJoin(broadcast(inputDf))
+      .filter(abs(length(col("term")) - length(col("input_term"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), col("input_term")))
+      .filter(col("dist") <= maxDist)
+    val w = Window.partitionBy("input_term")
+    cand
+      .withColumn("min_dist", min(col("dist")).over(w))
+      .filter(col("min_dist") > 0) // suggest_mode=missing
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("dist").asc, col("df").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("input_term"), col("term").as("suggestion"),
+        col("dist").cast("long").as("dist"), col("df"), col("rank"))
+      .orderBy(col("input_term"), col("rank"))
+  }
+
   /** Pinned query (ES `pinned` / Google-style promoted results): the
     * given ids rank 1..p IN THE GIVEN ORDER regardless of relevance
     * (score 0.0 — they did not earn a BM25 score), organic hits follow

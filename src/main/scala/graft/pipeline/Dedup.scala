@@ -289,6 +289,33 @@ object Dedup {
     * capped and counted — corpus-scale-small, so Catalyst broadcasts it
     * into a left_anti join (the R2 resume-diff shape); the components
     * rounds are O(log n) in the pair graph only. */
+  /** Quality-aware near-dup retention: within each duplicate cluster
+    * (connected component of `pairs`) keep the member with the HIGHEST
+    * quality score (tie: lowest doc_id) instead of [[dedupedCorpus]]'s
+    * positional min-id canonical — the keep-longest/keep-best policy
+    * production curation pipelines apply to near-dup groups (near-dups
+    * differ, so the survivor choice changes the corpus). Emits the full
+    * surviving corpus as (doc_id, n_members, quality); untouched docs
+    * survive with n_members = 1. Scale: components is the existing
+    * bounded op; quality is a narrow codegen pass; the winner is a
+    * partial+final max_by on the component key (one bounded shuffle);
+    * singletons are a doc_id-keyed anti join (co-partitionable). */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = Components.connectedComponents(pairs)
+    val q = TextStats.quality(docs).select(col("doc_id"), col("quality"))
+    val member = comp.join(q, Seq("doc_id"))
+    val winners = member.groupBy(col("component"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("neg"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("w.doc_id").as("doc_id"), col("n_members"),
+        col("w.quality").as("quality"))
+    val singles = q.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("n_members"), col("quality"))
+    winners.unionByName(singles)
+  }
+
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val losers = Components.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component"))

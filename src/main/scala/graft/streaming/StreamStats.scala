@@ -39,6 +39,48 @@ object StreamStats {
   /** Keyed running state. */
   final case class SourceState(nDocs: Long, nTokens: Long)
 
+  /** Dedup state: the doc that claimed this content hash. */
+  final case class SeenState(keptDocId: Long)
+
+  /** Streaming exact dedup — first-seen-wins across the stream's whole
+    * lifetime (the online form of the exact-dedup pipeline op): a doc is
+    * emitted iff its content sha256 has never been seen in ANY earlier
+    * micro-batch; within a batch the lowest doc_id claims the hash
+    * (deterministic regardless of arrival order). The streaming-ingest
+    * counterpart a training pipeline runs in front of StreamIndexer so
+    * re-crawled duplicates never reach the index. Scale: the hash is
+    * computed in a narrow map BEFORE the state shuffle; state is ONE
+    * small record per distinct content, key-partitioned across
+    * executors by the state store exactly like any shuffle — nothing
+    * driver-resident, no cross-key coordination. */
+  def streamingDedup(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = md.digest(text.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (hex, id, text)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeenState, (Long, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[SeenState]) =>
+          if (state.exists) Iterator.empty
+          else {
+            var bestId = Long.MaxValue
+            var bestText: String = null
+            rows.foreach { case (_, id, t) =>
+              if (id < bestId) { bestId = id; bestText = t }
+            }
+            state.update(SeenState(bestId))
+            Iterator.single((bestId, bestText))
+          }
+      }
+  }
+
   /** Per-source running document/token totals via mapGroupsWithState —
     * the custom-state primitive (SURVEY §2.5 streaming row). Each
     * micro-batch folds its rows into the keyed state and emits the

@@ -754,6 +754,73 @@ class EntrySpec extends SparkSpec {
     assert(zero.toSeq == plain.toSeq)
   }
 
+  test("termSuggest == brute-force Levenshtein over the dictionary") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_term_suggest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val docTokens = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(0)).distinct)
+    val df = docTokens.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val expect = Seq("fsat", "merg").flatMap { inp =>
+      assert(!df.contains(inp), s"test input '$inp' must be OOV")
+      df.toSeq.map { case (t, d) =>
+          (t, graft.search.Searcher.editDistance(t, inp, 2).toLong, d)
+        }
+        .filter(_._2 <= 2L)
+        .sortBy { case (t, dist, d) => (dist, -d, t) }
+        .take(5).zipWithIndex
+        .map { case ((t, dist, d), i) => (inp, t, dist, d, i + 1L) }
+    }
+    assert(got.toSeq == expect && got.nonEmpty)
+    // 'table' exists in the dictionary -> suggest_mode=missing skips it
+    assert(df.contains("table") && !got.exists(_._1 == "table"))
+  }
+
+  test("keepBest == brute-force per-cluster quality argmax; laws") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+    val got = SparkEntry.queries("dedup_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pairs = graft.pipeline.Dedup
+      .minhashLshPairs(docs, 3, 64, 16, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = graft.pipeline.TextStats.quality(docs)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // driver union-find over the pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
+      .groupBy(find)
+    val winners = members.values.map { ms =>
+      val best = ms.minBy(id => (-quality(id), id))
+      (best, ms.length.toLong, quality(best))
+    }.toSeq
+    val singles = quality.keySet.diff(
+        members.values.flatten.toSet)
+      .map(id => (id, 1L, quality(id))).toSeq
+    val expect = (winners ++ singles).sortBy(_._1)
+    assert(got == expect && winners.nonEmpty)
+    // exactly one survivor per cluster; winner quality bounds its cluster
+    members.values.foreach { ms =>
+      val kept = got.filter(g => ms.contains(g._1))
+      assert(kept.size == 1)
+      assert(ms.forall(quality(_) <= kept.head._3))
+    }
+  }
+
   test("mixtureWeights == brute-force temperature mixture; alpha laws") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

@@ -125,6 +125,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: first-seen-wins across micro-batches, min-id within") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamStats.streamingDedup(mem.toDS())
+      .toDF("doc_id", "text")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: an in-batch dup (5 vs 2 — min id 2 must win) + a unique
+      mem.addData((5L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc"))
+      q.processAllAvailable()
+      // batch 2: cross-batch re-sends never re-emit; one genuinely new
+      mem.addData((9L, "aaa bbb"), (10L, "ddd eee"), (11L, "ccc"))
+      q.processAllAvailable()
+      // batch 3: even a LOWER id cannot reclaim an already-seen content
+      mem.addData((1L, "aaa bbb"))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((2L, "aaa bbb"), (3L, "ccc"), (10L, "ddd eee")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-source stats across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
