@@ -851,6 +851,27 @@ object SparkEntry {
     "ft_percentiles" -> ((s, dir) =>
       DocsIndex.lenPercentiles(s, dir, "FREE", "fast merge",
         Seq(25, 50, 75, 95))),
+    // sliding-window pipeline aggs over the 10-token histogram:
+    // moving_fn(unweightedAvg, window 3, current-inclusive — pinned)
+    // + serial_diff(lag 2), absent-lag buckets report 0
+    "ft_mov_avg" -> ((s, dir) =>
+      DocsIndex.lenHistogramMoving(s, dir, "FREE", "fast merge", 10, 3, 2)),
+    // multi_terms agg: top-10 (lang, docLen/16 bin) compound buckets by
+    // doc count desc — the count-ordered sibling of ft_composite
+    "ft_multiterms" -> ((s, dir) =>
+      DocsIndex.multiTermsAgg(s, dir, "FREE", "fast merge", 16, 10)),
+    // median-absolute-deviation agg, exact nearest-rank form (the ES
+    // TDigest agg's oracle): MAD = median of |dl - median(dl)|
+    "ft_mad" -> ((s, dir) =>
+      DocsIndex.lenMad(s, dir, "FREE", "fast merge")),
+    // boxplot agg: min/q1/median/q3/max/IQR under the same pinned
+    // nearest-rank rule as ft_percentiles
+    "ft_boxplot" -> ((s, dir) =>
+      DocsIndex.lenBoxplot(s, dir, "FREE", "fast merge")),
+    // Welch t_test agg between two match sets' docLen ('fast' docs vs
+    // 'merge' docs): exact Long moments, mirrored IEEE tree, 6-dp round
+    "ft_ttest" -> ((s, dir) =>
+      DocsIndex.lenTTest(s, dir, "FREE", "fast", "FREE", "merge")),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -2001,6 +2022,103 @@ object SparkEntry {
          |FROM (VALUES (25), (50), (75), (95)) p(pct)
          |JOIN s ON s.rn = (p.pct * s.n + 99) // 100
          |ORDER BY pct""".stripMargin,
+    // moving_fn + serial_diff twin: trailing 3-bucket window average
+    // (current-inclusive) + 2-step difference over the histogram
+    "ft_mov_avg" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), h AS (
+         |  SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
+         |  FROM m JOIN alldl USING (doc_id) GROUP BY 1
+         |)
+         |SELECT bin, n_docs,
+         |       floor(sum(n_docs) OVER tw::DOUBLE / count(*) OVER tw
+         |             * 1e6 + 0.5) / 1e6 AS mov_avg,
+         |       coalesce(n_docs - lag(n_docs, 2) OVER (ORDER BY bin),
+         |                0)::BIGINT AS sdiff
+         |FROM h
+         |WINDOW tw AS (ORDER BY bin ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY bin""".stripMargin,
+    // multi_terms twin: compound buckets, count-desc with the pinned
+    // (lang, bin) tie-break, top 10
+    "ft_multiterms" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |)
+         |SELECT d.lang, (dl // 16) * 16 AS bin, count(*)::BIGINT AS n_docs
+         |FROM m JOIN alldl USING (doc_id) JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2
+         |ORDER BY n_docs DESC, lang, bin LIMIT 10""".stripMargin,
+    // MAD twin: both medians under the shared nearest-rank rule
+    "ft_mad" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), j AS (
+         |  SELECT dl FROM m JOIN alldl USING (doc_id)
+         |), s AS (
+         |  SELECT dl, row_number() OVER (ORDER BY dl) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM j
+         |), med AS (
+         |  SELECT dl AS mdn, n FROM s WHERE rn = (50 * n + 99) // 100
+         |), d AS (
+         |  SELECT abs(j.dl - med.mdn) AS dev FROM j CROSS JOIN med
+         |), s2 AS (
+         |  SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM d
+         |)
+         |SELECT med.n::BIGINT AS n_docs, med.mdn::BIGINT AS median,
+         |       (SELECT dev FROM s2
+         |        WHERE rn = (50 * s2.n + 99) // 100)::BIGINT AS mad
+         |FROM med""".stripMargin,
+    // boxplot twin: quartiles via the shared nearest-rank rule
+    "ft_boxplot" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), j AS (
+         |  SELECT dl FROM m JOIN alldl USING (doc_id)
+         |), s AS (
+         |  SELECT dl, row_number() OVER (ORDER BY dl) AS rn,
+         |         count(*) OVER () AS n
+         |  FROM j
+         |), q AS (
+         |  SELECT (SELECT n FROM s LIMIT 1)::BIGINT AS n_docs,
+         |         (SELECT min(dl) FROM j)::BIGINT AS min_dl,
+         |         (SELECT dl FROM s WHERE rn = (25 * n + 99) // 100)::BIGINT AS q1,
+         |         (SELECT dl FROM s WHERE rn = (50 * n + 99) // 100)::BIGINT AS q2,
+         |         (SELECT dl FROM s WHERE rn = (75 * n + 99) // 100)::BIGINT AS q3,
+         |         (SELECT max(dl) FROM j)::BIGINT AS max_dl
+         |)
+         |SELECT n_docs, min_dl, q1, q2, q3, max_dl,
+         |       (q3 - q1)::BIGINT AS iqr FROM q""".stripMargin,
+    // Welch t_test twin: exact Long moments per side, the Spark IEEE
+    // expression tree mirrored operation-for-operation
+    "ft_ttest" ->
+      s"""$tokCtes, ja AS (
+         |  SELECT dl FROM (SELECT DISTINCT doc_id FROM tf
+         |                  WHERE term IN ('fast')) ma
+         |  JOIN alldl USING (doc_id)
+         |), jb AS (
+         |  SELECT dl FROM (SELECT DISTINCT doc_id FROM tf
+         |                  WHERE term IN ('merge')) mb
+         |  JOIN alldl USING (doc_id)
+         |), sa AS (
+         |  SELECT count(*)::BIGINT AS n_a, sum(dl)::BIGINT AS sum_a,
+         |         sum(dl * dl)::BIGINT AS sumsq_a FROM ja
+         |), sb AS (
+         |  SELECT count(*)::BIGINT AS n_b, sum(dl)::BIGINT AS sum_b,
+         |         sum(dl * dl)::BIGINT AS sumsq_b FROM jb
+         |)
+         |SELECT n_a, n_b,
+         |       floor(sum_a::DOUBLE / n_a * 1e6 + 0.5) / 1e6 AS mean_a,
+         |       floor(sum_b::DOUBLE / n_b * 1e6 + 0.5) / 1e6 AS mean_b,
+         |       floor((sum_a::DOUBLE / n_a - sum_b::DOUBLE / n_b) /
+         |             sqrt(((sumsq_a::DOUBLE - sum_a::DOUBLE * sum_a / n_a)
+         |                   / (n_a - 1)) / n_a +
+         |                  ((sumsq_b::DOUBLE - sum_b::DOUBLE * sum_b / n_b)
+         |                   / (n_b - 1)) / n_b) * 1e6 + 0.5) / 1e6 AS t_stat
+         |FROM sa CROSS JOIN sb""".stripMargin,
     // mixture-sample twin: the weights CTE stack + the strat_sample
     // md5 micro-bucket, integer-vs-integer compare
     "mixture_sample" ->

@@ -690,6 +690,194 @@ object DocsIndex {
       .orderBy("bin")
   }
 
+  /** Sliding-window pipeline aggregations (ES `moving_fn` with the
+    * unweighted-average function + `serial_diff`) over the
+    * [[lenHistogram]] buckets: per bin, the trailing moving average of
+    * `window` buckets (current bucket inclusive — the pinned window
+    * convention, documented because ES's `shift` parameter makes the
+    * endpoint configurable) and the `lag`-step serial difference
+    * (ES serial_diff; buckets without a lag partner report 0, the
+    * explicit-zero posture of the derivative pipeline). Determinism:
+    * the window average is an exact-Long window sum over an exact-Long
+    * window count — one IEEE division, floor(x·1e6+0.5)/1e6-rounded.
+    * Scale: pipeline aggs run on the REDUCED bucket table by
+    * definition, so the unpartitioned ordered window is
+    * bucket-table-sized; the corpus-scale work is the histogram's own
+    * partial+final agg. */
+  def lenHistogramMoving(spark: SparkSession, sfDir: String, kind: String,
+                         text: String, width: Int, window: Int,
+                         lag: Int): DataFrame = {
+    require(window >= 1, "moving window must be positive")
+    require(lag >= 1, "serial-diff lag must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val hist = lenHistogram(spark, sfDir, kind, text, width)
+    val w = Window.orderBy("bin")
+    val trail = w.rowsBetween(-(window - 1).toLong, Window.currentRow)
+    hist.select(col("bin"), col("n_docs"),
+        rnd6(sum(col("n_docs")).over(trail).cast("double") /
+          count(lit(1)).over(trail)).as("mov_avg"),
+        coalesce(col("n_docs") - lag2(col("n_docs"), lag, w), lit(0L))
+          .as("sdiff"))
+      .orderBy("bin")
+  }
+
+  private def lag2(c: org.apache.spark.sql.Column, n: Int,
+                   w: org.apache.spark.sql.expressions.WindowSpec) =
+    org.apache.spark.sql.functions.lag(c, n).over(w)
+
+  /** Multi-terms aggregation (the ES `multi_terms` agg): compound
+    * (lang, docLen-bin) buckets of the query's match set ordered by
+    * descending doc count — the "top compound buckets" sibling of the
+    * key-ordered, paginating composite agg (X79). Tie-break
+    * (lang ASC, bin ASC) is pinned so the top-k cut is total-order
+    * deterministic. Scale: one match-set-sized partial+final hash agg;
+    * the ordered cut is TakeOrderedAndProject over the REDUCED bucket
+    * table (partial top-k per partition, never a full sort). */
+  def multiTermsAgg(spark: SparkSession, sfDir: String, kind: String,
+                    text: String, width: Int, k: Int): DataFrame = {
+    require(width >= 1 && k >= 1, "multi_terms needs width >= 1, k >= 1")
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit("").as("lang"), lit(0L).as("bin"), lit(0L).as("n_docs"))
+      case Some(m) =>
+        m.join(seg.docs.select(col("docId"), col("lang"), col("docLen")),
+            Seq("docId"))
+          .select(col("lang"),
+            (floor(col("docLen") / width) * width).cast("long").as("bin"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("lang").asc, col("bin").asc)
+          .limit(k)
+    }
+  }
+
+  /** Median-absolute-deviation aggregation (the ES
+    * `median_absolute_deviation` agg, exact form): MAD = median of
+    * |docLen − median(docLen)| over the match set, both medians under
+    * the engine's pinned nearest-rank rule (smallest value whose
+    * cumulative count reaches ceil(p·n/100) — the X82 percentiles
+    * regime, so this exact form is the oracle and ES's TDigest is the
+    * approximation). Scale: ONE match-set-sized partial+final agg
+    * produces the (docLen, count) value histogram (≤ |distinct docLen|
+    * rows — a bounded domain); both medians then derive from that
+    * histogram driver-side with zero further corpus passes. */
+  def lenMad(spark: SparkSession, sfDir: String, kind: String,
+             text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("n_docs"), lit(0L).as("median"), lit(0L).as("mad"))
+      case Some(m) =>
+        val hist = m.join(seg.docs.select(col("docId"), col("docLen")),
+            Seq("docId"))
+          .groupBy(col("docLen")).agg(count(lit(1)).as("cnt"))
+          .as[(Int, Long)].collect().sortBy(_._1)
+        val n = hist.map(_._2).sum
+        if (n == 0L) return spark.range(0).select(
+          lit(0L).as("n_docs"), lit(0L).as("median"), lit(0L).as("mad"))
+        def nearestRank(h: Array[(Long, Long)], total: Long): Long = {
+          val rank = (50L * total + 99L) / 100L
+          var cum = 0L; var i = 0
+          while (i < h.length && cum + h(i)._2 < rank) { cum += h(i)._2; i += 1 }
+          h(math.min(i, h.length - 1))._1
+        }
+        val med = nearestRank(hist.map(p => (p._1.toLong, p._2)), n)
+        val devHist = hist.map { case (v, c) => (math.abs(v - med), c) }
+          .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+          .toArray.sortBy(_._1)
+        val mad = nearestRank(devHist, n)
+        Seq((n, med, mad)).toDF("n_docs", "median", "mad")
+    }
+  }
+
+  /** Boxplot aggregation (the ES `boxplot` agg, exact form): min, q1,
+    * median, q3, max and the interquartile range of the match set's
+    * docLen, quartiles under the same pinned nearest-rank rule as
+    * [[lenPercentiles]] (ES documents exactly this reduction to the
+    * percentiles machinery). Same execution regime as [[lenMad]]: one
+    * bounded-domain value-histogram agg, driver-side rank walk. */
+  def lenBoxplot(spark: SparkSession, sfDir: String, kind: String,
+                 text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("n_docs"), lit(0L).as("min_dl"), lit(0L).as("q1"),
+        lit(0L).as("q2"), lit(0L).as("q3"), lit(0L).as("max_dl"),
+        lit(0L).as("iqr"))
+      case Some(m) =>
+        val hist = m.join(seg.docs.select(col("docId"), col("docLen")),
+            Seq("docId"))
+          .groupBy(col("docLen")).agg(count(lit(1)).as("cnt"))
+          .as[(Int, Long)].collect().sortBy(_._1)
+        val n = hist.map(_._2).sum
+        if (n == 0L) return spark.range(0).select(
+          lit(0L).as("n_docs"), lit(0L).as("min_dl"), lit(0L).as("q1"),
+          lit(0L).as("q2"), lit(0L).as("q3"), lit(0L).as("max_dl"),
+          lit(0L).as("iqr"))
+        def pctOf(p: Int): Long = {
+          val rank = (p.toLong * n + 99L) / 100L
+          var cum = 0L; var i = 0
+          while (i < hist.length && cum + hist(i)._2 < rank) {
+            cum += hist(i)._2; i += 1
+          }
+          hist(math.min(i, hist.length - 1))._1.toLong
+        }
+        val q1 = pctOf(25); val q2 = pctOf(50); val q3 = pctOf(75)
+        Seq((n, hist.head._1.toLong, q1, q2, q3, hist.last._1.toLong,
+          q3 - q1))
+          .toDF("n_docs", "min_dl", "q1", "q2", "q3", "max_dl", "iqr")
+    }
+  }
+
+  /** Two-sample Welch t-statistic (the ES `t_test` agg, `heteroscedastic`
+    * type) over the docLen of TWO queries' match sets:
+    * t = (ā − b̄) / √(s²ₐ/nₐ + s²ᵦ/nᵦ) with SAMPLE variances
+    * s² = (Σx² − (Σx)²/n)/(n−1). ES reports the p-value; the output
+    * here is pinned to the t-statistic itself — the CDF lookup has no
+    * portable SQL form, and the statistic is the deterministic part.
+    * Determinism: per-side n/Σx/Σx² are EXACT Longs; every derived
+    * quantity is a fixed tree of IEEE ops over those integers, mirrored
+    * literally in the DuckDB twin, floor(x·1e6+0.5)/1e6-rounded.
+    * Scale: two presence walks + two single-row partial+final aggs —
+    * nothing larger than the match sets moves, and the final cross of
+    * two 1-row frames is trivial. */
+  def lenTTest(spark: SparkSession, sfDir: String, kindA: String,
+               textA: String, kindB: String, textB: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def side(kind: String, text: String, tag: String): DataFrame = {
+      val dl = col("docLen").cast("long")
+      val base = searcher.matchDocIds(kind, text) match {
+        case None => spark.range(0).select(col("id").as("docId"),
+          col("id").cast("int").as("docLen"))
+        case Some(m) =>
+          m.join(seg.docs.select(col("docId"), col("docLen")), Seq("docId"))
+      }
+      base.agg(count(lit(1)).as(s"n_$tag"), sum(dl).as(s"sum_$tag"),
+        sum(dl * dl).as(s"sumsq_$tag"))
+    }
+    val a = side(kindA, textA, "a"); val b = side(kindB, textB, "b")
+    def meanOf(tag: String) =
+      col(s"sum_$tag").cast("double") / col(s"n_$tag")
+    def varOf(tag: String) =
+      (col(s"sumsq_$tag").cast("double") -
+        col(s"sum_$tag").cast("double") * col(s"sum_$tag") / col(s"n_$tag")) /
+        (col(s"n_$tag") - 1)
+    a.crossJoin(b).select(
+      col("n_a"), col("n_b"),
+      rnd6(meanOf("a")).as("mean_a"), rnd6(meanOf("b")).as("mean_b"),
+      rnd6((meanOf("a") - meanOf("b")) /
+        sqrt(varOf("a") / col("n_a") + varOf("b") / col("n_b"))).as("t_stat"))
+  }
+
   /** Matrix-stats aggregation (the ES `matrix_stats` agg) over a query's
     * match set, fields (docLen, n_chars): per-field mean/variance plus
     * covariance and Pearson correlation. Same execution regime as

@@ -855,6 +855,104 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("lenHistogramMoving == brute-force window ops over the histogram") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_mov_avg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val hist = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .filter(t => t.contains("fast") || t.contains("merge"))
+      .map(t => t.length / 10 * 10L)
+      .groupBy(identity).map { case (b, xs) => (b, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = hist.zipWithIndex.map { case ((bin, n), i) =>
+      val win = hist.slice(math.max(0, i - 2), i + 1).map(_._2)
+      val sdiff = if (i >= 2) n - hist(i - 2)._2 else 0L
+      (bin, n, rnd6(win.sum.toDouble / win.length), sdiff)
+    }
+    assert(got == expect && got.size >= 3)
+    // law: the first bucket's moving average is its own count
+    assert(got.head._3 == got.head._2.toDouble)
+  }
+
+  test("multiTermsAgg == brute-force compound top-k by count") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_multiterms")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val buckets = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .flatMap { r =>
+        val toks = graft.tokenize.Tokenizer.tokenize(r.getString(2))
+        if (toks.contains("fast") || toks.contains("merge"))
+          Some((r.getString(1), toks.length / 16 * 16L))
+        else None
+      }
+      .groupBy(identity).map { case ((l, b), xs) => (l, b, xs.length.toLong) }
+      .toSeq.sortBy { case (l, b, n) => (-n, l, b) }.take(10)
+    assert(got == buckets && got.nonEmpty)
+    // law: counts are non-increasing down the page
+    assert(got.map(_._3) == got.map(_._3).sortBy(-_))
+  }
+
+  test("lenMad + lenBoxplot == brute-force nearest-rank forms") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val dls = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .filter(t => t.contains("fast") || t.contains("merge"))
+      .map(_.length.toLong).sorted
+    val n = dls.length.toLong
+    def nr(sorted: Seq[Long], p: Int): Long = {
+      val rank = (p.toLong * n + 99L) / 100L
+      sorted((rank - 1).toInt)
+    }
+    val med = nr(dls, 50)
+    val devs = dls.map(d => math.abs(d - med)).sorted
+    val mad = SparkEntry.queries("ft_mad")(spark, sf).collect().head
+    assert((mad.getLong(0), mad.getLong(1), mad.getLong(2)) ==
+      ((n, med, nr(devs, 50))))
+    val bp = SparkEntry.queries("ft_boxplot")(spark, sf).collect().head
+    val (q1, q3) = (nr(dls, 25), nr(dls, 75))
+    assert((bp.getLong(0), bp.getLong(1), bp.getLong(2), bp.getLong(3),
+      bp.getLong(4), bp.getLong(5), bp.getLong(6)) ==
+      ((n, dls.min, q1, med, q3, dls.max, q3 - q1)))
+    // laws: quartiles are monotone and bounded by the extremes
+    assert(dls.min <= q1 && q1 <= med && med <= q3 && q3 <= dls.max)
+  }
+
+  test("lenTTest == brute-force Welch t over the two match sets") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_ttest")(spark, sf).collect().head
+    val docs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+    def sideOf(term: String): Array[Long] =
+      docs.filter(_.contains(term)).map(_.length.toLong)
+    val a = sideOf("fast"); val b = sideOf("merge")
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def moments(xs: Array[Long]): (Long, Long, Long) =
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    val (na, sa, qa) = moments(a); val (nb, sb, qb) = moments(b)
+    val (ma, mb) = (sa.toDouble / na, sb.toDouble / nb)
+    val va = (qa.toDouble - sa.toDouble * sa / na) / (na - 1)
+    val vb = (qb.toDouble - sb.toDouble * sb / nb) / (nb - 1)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(got.getDouble(2) == rnd6(ma) && got.getDouble(3) == rnd6(mb))
+    assert(got.getDouble(4) == rnd6(t))
+    // law: swapping the sides negates the unrounded statistic
+    val swapped = graft.api.DocsIndex.lenTTest(
+      spark, sf, "FREE", "merge", "FREE", "fast").collect().head
+    assert(math.abs(swapped.getDouble(4) + got.getDouble(4)) <= 2e-6)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
