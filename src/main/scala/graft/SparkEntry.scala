@@ -872,6 +872,16 @@ object SparkEntry {
     // 'merge' docs): exact Long moments, mirrored IEEE tree, 6-dp round
     "ft_ttest" -> ((s, dir) =>
       DocsIndex.lenTTest(s, dir, "FREE", "fast", "FREE", "merge")),
+    // percentile_ranks agg (inverse of ft_percentiles): % of match-set
+    // docLens <= each probe value, exact cumulative form
+    "ft_pct_ranks" -> ((s, dir) =>
+      DocsIndex.lenPercentileRanks(s, dir, "FREE", "fast merge",
+        Seq(40L, 80L, 120L, 100000L))),
+    // bucket_sort + normalize(percent_of_sum) pipeline aggs: histogram
+    // buckets by count desc, page [1, 5), shares computed pre-cut
+    "ft_bucket_sort" -> ((s, dir) =>
+      DocsIndex.lenHistogramBucketSort(s, dir, "FREE", "fast merge",
+        10, 1, 4)),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -2119,6 +2129,36 @@ object SparkEntry {
          |                  ((sumsq_b::DOUBLE - sum_b::DOUBLE * sum_b / n_b)
          |                   / (n_b - 1)) / n_b) * 1e6 + 0.5) / 1e6 AS t_stat
          |FROM sa CROSS JOIN sb""".stripMargin,
+    // percentile_ranks twin: exact cumulative share per probe value,
+    // same 100*cum/n IEEE tree + floor rule
+    "ft_pct_ranks" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), j AS (
+         |  SELECT dl FROM m JOIN alldl USING (doc_id)
+         |), nn AS (
+         |  SELECT count(*)::BIGINT AS n FROM j
+         |)
+         |SELECT v.value::BIGINT AS value,
+         |       floor(100.0 * (SELECT count(*) FROM j WHERE dl <= v.value)
+         |             / nn.n * 1e6 + 0.5) / 1e6 AS pct_rank
+         |FROM (VALUES (40), (80), (120), (100000)) v(value)
+         |CROSS JOIN nn
+         |ORDER BY v.value""".stripMargin,
+    // bucket_sort + normalize twin: percent_of_sum over ALL buckets,
+    // count-desc order, LIMIT/OFFSET page
+    "ft_bucket_sort" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), h AS (
+         |  SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
+         |  FROM m JOIN alldl USING (doc_id) GROUP BY 1
+         |)
+         |SELECT bin, n_docs,
+         |       floor(100.0 * n_docs / sum(n_docs) OVER ()
+         |             * 1e6 + 0.5) / 1e6 AS pct_of_sum
+         |FROM h
+         |ORDER BY n_docs DESC, bin LIMIT 4 OFFSET 1""".stripMargin,
     // mixture-sample twin: the weights CTE stack + the strat_sample
     // md5 micro-bucket, integer-vs-integer compare
     "mixture_sample" ->

@@ -727,6 +727,72 @@ object DocsIndex {
                    w: org.apache.spark.sql.expressions.WindowSpec) =
     org.apache.spark.sql.functions.lag(c, n).over(w)
 
+  /** Percentile-ranks aggregation (the ES `percentile_ranks` agg, exact
+    * cumulative form): for each probe value v, the percentage of the
+    * match set's docLen values ≤ v — the inverse surface of
+    * [[lenPercentiles]] (X82). ES interpolates TDigest centroids; the
+    * exact cumulative count is pinned here (exact-is-the-oracle).
+    * Determinism: the cumulative count is an exact Long; the one IEEE
+    * tree 100·cum/n is floor(x·1e6+0.5)/1e6-rounded. Scale: the X82
+    * regime — ONE match-set-sized partial+final agg to the bounded
+    * (docLen → count) histogram, then a driver walk; zero further
+    * corpus passes. */
+  def lenPercentileRanks(spark: SparkSession, sfDir: String, kind: String,
+                         text: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "percentile_ranks needs at least one value")
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.range(0).select(
+        lit(0L).as("value"), lit(0.0).as("pct_rank"))
+      case Some(m) =>
+        val hist = m.join(seg.docs.select(col("docId"), col("docLen")),
+            Seq("docId"))
+          .groupBy(col("docLen")).agg(count(lit(1)).as("cnt"))
+          .as[(Int, Long)].collect().sortBy(_._1)
+        val n = hist.map(_._2).sum
+        if (n == 0L) return spark.range(0).select(
+          lit(0L).as("value"), lit(0.0).as("pct_rank"))
+        val out = values.sorted.map { v =>
+          val cum = hist.iterator.takeWhile(_._1 <= v).map(_._2).sum
+          (v, math.floor(100.0 * cum / n * 1e6 + 0.5) / 1e6)
+        }
+        out.toDF("value", "pct_rank").orderBy(col("value"))
+    }
+  }
+
+  /** Bucket-sort + normalize pipeline aggregations (ES `bucket_sort`
+    * with from/size over count-desc order, composed with `normalize`
+    * method percent_of_sum) over the [[lenHistogram]] buckets: every
+    * bucket's share of the TOTAL match set is computed first (the ES
+    * pipeline ordering — normalize sees every bucket, the cut happens
+    * after), then buckets re-order by (n_docs desc, bin asc — pinned
+    * total order) and the page [from, from+size) is kept. Determinism:
+    * share = 100·n_docs/Σ — exact Longs, one IEEE tree, floor-rounded.
+    * Scale: the X87 regime — pipeline aggs run on the REDUCED bucket
+    * table (≤|bins| rows), so the unpartitioned share window and the
+    * sort/cut are bucket-table-sized; the corpus pass is the
+    * histogram's own partial+final agg. */
+  def lenHistogramBucketSort(spark: SparkSession, sfDir: String,
+                             kind: String, text: String, width: Int,
+                             from: Int, size: Int): DataFrame = {
+    require(from >= 0, "bucket_sort from must be >= 0")
+    require(size >= 1, "bucket_sort size must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val hist = lenHistogram(spark, sfDir, kind, text, width)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    hist.select(col("bin"), col("n_docs"),
+        rnd6(lit(100.0) * col("n_docs") / sum(col("n_docs")).over(all))
+          .as("pct_of_sum"))
+      .orderBy(col("n_docs").desc, col("bin").asc)
+      .offset(from)
+      .limit(size)
+  }
+
   /** Multi-terms aggregation (the ES `multi_terms` agg): compound
     * (lang, docLen-bin) buckets of the query's match set ordered by
     * descending doc count — the "top compound buckets" sibling of the

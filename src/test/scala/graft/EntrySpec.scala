@@ -953,6 +953,48 @@ class EntrySpec extends SparkSpec {
     assert(math.abs(swapped.getDouble(4) + got.getDouble(4)) <= 2e-6)
   }
 
+  test("lenPercentileRanks == brute-force cumulative shares") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_pct_ranks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dls = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .filter(t => t.contains("fast") || t.contains("merge"))
+      .map(_.length.toLong)
+    val n = dls.length
+    val expect = Seq(40L, 80L, 120L, 100000L).map { v =>
+      (v, math.floor(100.0 * dls.count(_ <= v) / n * 1e6 + 0.5) / 1e6)
+    }
+    assert(got == expect && got.nonEmpty)
+    // laws: cumulative shares are monotone in v; a probe ≥ max is 100%
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(got.last._2 == 100.0)
+  }
+
+  test("lenHistogramBucketSort == brute-force count-desc page with shares") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_bucket_sort")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val hist = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .filter(t => t.contains("fast") || t.contains("merge"))
+      .map(t => t.length / 10 * 10L)
+      .groupBy(identity).map { case (b, xs) => (b, xs.length.toLong) }.toSeq
+    val total = hist.map(_._2).sum
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val full = hist.map { case (b, c) => (b, c, rnd6(100.0 * c / total)) }
+      .sortBy { case (b, c, _) => (-c, b) }
+    val expect = full.slice(1, 5)
+    assert(got == expect && got.nonEmpty)
+    // law: shares are normalized over ALL buckets (pre-cut), so the
+    // full ordering's shares sum to ~100
+    assert(math.abs(full.map(_._3).sum - 100.0) <= 1e-4)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
