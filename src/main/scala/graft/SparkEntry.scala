@@ -882,6 +882,14 @@ object SparkEntry {
     "ft_bucket_sort" -> ((s, dir) =>
       DocsIndex.lenHistogramBucketSort(s, dir, "FREE", "fast merge",
         10, 1, 4)),
+    // string_stats agg over the match set's source field: lengths +
+    // char-distribution Shannon entropy (log2), exact counts
+    "ft_string_stats" -> ((s, dir) =>
+      DocsIndex.stringStats(s, dir, "FREE", "fast merge")),
+    // stats_bucket pipeline agg (subsumes avg/min/max/sum_bucket):
+    // bucket-count stats over the 10-token histogram
+    "ft_stats_bucket" -> ((s, dir) =>
+      DocsIndex.statsBucket(s, dir, "FREE", "fast merge", 10)),
     // term vectors of doc 7 (the ES _termvectors API): tf + positions
     // from re-analysis of the one doc, df/cf from the dictionary
     "ft_termvectors" -> ((s, dir) =>
@@ -1251,6 +1259,11 @@ object SparkEntry {
     "seq_pack" -> ((s, dir) =>
       Curation.packSequences(s, DocsIndex.documents(s, dir), 128)
         .orderBy("seq_id", "doc_id")),
+    // deterministic epoch shuffle: seeded md5 permutation into 4 shards
+    // with dense per-shard positions — the reproducible training order
+    "epoch_shuffle" -> ((s, dir) =>
+      Curation.epochShuffle(DocsIndex.documents(s, dir), 7L, 4)
+        .orderBy("shard", "pos")),
     // BPE vocabulary training (Sennrich ACL'16, word-frequency-table
     // form): one corpus shuffle, merges learned driver-side. The merge
     // loop is iterative — no SQL twin; the hand-computed Sennrich
@@ -2159,6 +2172,57 @@ object SparkEntry {
          |             * 1e6 + 0.5) / 1e6 AS pct_of_sum
          |FROM h
          |ORDER BY n_docs DESC, bin LIMIT 4 OFFSET 1""".stripMargin,
+    // string_stats twin: exact length moments + char-histogram entropy
+    // (log2), both floor-rounded at the boundary
+    "ft_string_stats" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), v AS (
+         |  SELECT d.source AS s FROM m JOIN documents d USING (doc_id)
+         |), ls AS (
+         |  SELECT count(*)::BIGINT AS n_values,
+         |         min(length(s))::BIGINT AS min_len,
+         |         max(length(s))::BIGINT AS max_len,
+         |         sum(length(s))::BIGINT AS sum_len FROM v
+         |), hc AS (
+         |  SELECT count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(string_split(s, '')) AS ch FROM v)
+         |  GROUP BY ch
+         |), et AS (
+         |  SELECT floor(-sum((c::DOUBLE / t.tt) * log2(c::DOUBLE / t.tt))
+         |               * 1e6 + 0.5) / 1e6 AS entropy
+         |  FROM hc CROSS JOIN (SELECT sum(c)::DOUBLE AS tt FROM hc) t
+         |)
+         |SELECT n_values, min_len, max_len,
+         |       floor(sum_len::DOUBLE / n_values * 1e6 + 0.5) / 1e6 AS avg_len,
+         |       entropy
+         |FROM ls CROSS JOIN et""".stripMargin,
+    // stats_bucket twin: one reduction over the histogram's bucket table
+    "ft_stats_bucket" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), h AS (
+         |  SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
+         |  FROM m JOIN alldl USING (doc_id) GROUP BY 1
+         |)
+         |SELECT count(*)::BIGINT AS n_buckets, min(n_docs)::BIGINT AS min_docs,
+         |       max(n_docs)::BIGINT AS max_docs, sum(n_docs)::BIGINT AS sum_docs,
+         |       floor(sum(n_docs)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6
+         |         AS avg_docs
+         |FROM h""".stripMargin,
+    // epoch-shuffle twin: the same md5 15-hex-prefix hash of
+    // "7:doc_id", shard = hash mod 4, dense rank within the shard
+    "epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           AS hv
+        |  FROM documents
+        |)
+        |SELECT doc_id, (hv % 4)::BIGINT AS shard,
+        |       (row_number() OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id)
+        |        - 1)::BIGINT AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     // mixture-sample twin: the weights CTE stack + the strat_sample
     // md5 micro-bucket, integer-vs-integer compare
     "mixture_sample" ->

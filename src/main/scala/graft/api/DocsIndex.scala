@@ -793,6 +793,76 @@ object DocsIndex {
       .limit(size)
   }
 
+  /** String-stats aggregation (the ES `string_stats` agg with
+    * show_distribution's entropy) over the match set's `source` field:
+    * value count, min/max/avg length, and the Shannon entropy (log
+    * base 2) of the field's character distribution — the
+    * keyword-field-profile surface (skew/noise detection on ids, tags,
+    * source labels). Determinism: lengths are exact Longs (avg = one
+    * IEEE division, floor-rounded); entropy derives driver-side from
+    * the exact (char → count) histogram in ascending char order — a
+    * fixed summation order over a bounded charset — floor-rounded at
+    * the boundary (the Σ-of-ln regime: ≤|charset| addends, 1e-6 round
+    * vs ~1e-14 noise). Scale: one match-set-sized single-row agg for
+    * the lengths + one match-set-sized hash agg to the bounded char
+    * histogram (≤|charset| rows out — the collect is charset-sized,
+    * never corpus-sized). */
+  def stringStats(spark: SparkSession, sfDir: String, kind: String,
+                  text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    def empty = spark.range(0).select(
+      lit(0L).as("n_values"), lit(0L).as("min_len"), lit(0L).as("max_len"),
+      lit(0.0).as("avg_len"), lit(0.0).as("entropy"))
+    searcher.matchDocIds(kind, text) match {
+      case None => empty
+      case Some(m) =>
+        val vals = m.join(seg.docs.select(col("docId"), col("repo").as("s")),
+          Seq("docId")).select(col("s"))
+        val lens = vals.agg(count(lit(1)).as("n"),
+          min(length(col("s"))).as("minl"),
+          max(length(col("s"))).as("maxl"),
+          sum(length(col("s")).cast("long")).as("suml")).collect().head
+        val n = lens.getLong(0)
+        if (n == 0L) return empty
+        val hist = vals.select(explode(split(col("s"), "")).as("ch"))
+          .groupBy("ch").agg(count(lit(1)).as("c"))
+          .as[(String, Long)].collect().sortBy(_._1)
+        val total = hist.map(_._2).sum.toDouble
+        val ln2 = math.log(2.0)
+        val ent = -hist.map { case (_, c) =>
+          val p = c / total; p * math.log(p) / ln2
+        }.sum
+        def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        Seq((n, lens.getInt(1).toLong, lens.getInt(2).toLong,
+          rnd6(lens.getLong(3).toDouble / n), rnd6(ent)))
+          .toDF("n_values", "min_len", "max_len", "avg_len", "entropy")
+    }
+  }
+
+  /** Stats-bucket pipeline aggregation (ES `stats_bucket`, subsuming
+    * the avg_bucket / min_bucket / max_bucket / sum_bucket siblings):
+    * one row of bucket-count statistics over the [[lenHistogram]]
+    * buckets — how concentrated the match set's length distribution is.
+    * sum_docs is the match-set size by construction (every matching doc
+    * lands in exactly one bin — asserted as a law in EntrySpec).
+    * Determinism: counts are exact Longs; avg = one IEEE division,
+    * floor-rounded. Scale: the X87 regime — the pipeline agg runs on
+    * the REDUCED bucket table (≤|bins| rows); the corpus pass is the
+    * histogram's own partial+final agg. */
+  def statsBucket(spark: SparkSession, sfDir: String, kind: String,
+                  text: String, width: Int): DataFrame = {
+    def rnd6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    lenHistogram(spark, sfDir, kind, text, width)
+      .agg(count(lit(1)).as("n_buckets"), min(col("n_docs")).as("min_docs"),
+        max(col("n_docs")).as("max_docs"), sum(col("n_docs")).as("sum_docs"))
+      .select(col("n_buckets"), col("min_docs"), col("max_docs"),
+        col("sum_docs"),
+        rnd6(col("sum_docs").cast("double") / col("n_buckets")).as("avg_docs"))
+  }
+
   /** Multi-terms aggregation (the ES `multi_terms` agg): compound
     * (lang, docLen-bin) buckets of the query's match set ordered by
     * descending doc count — the "top compound buckets" sibling of the

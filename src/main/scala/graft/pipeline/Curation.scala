@@ -604,4 +604,31 @@ object Curation {
           + lit(0.5)).cast("long").as("expected"))
       .orderBy(col("domain"))
   }
+
+  /** Deterministic epoch shuffle (the seeded global reorder + shard
+    * assignment a training pipeline runs before reading a corpus:
+    * document order is randomized per epoch and written as fixed shards
+    * so a training run is reproducible and resumable from any shard
+    * boundary). Each doc gets (shard, pos): shard = md5("seed:doc_id")
+    * 15-hex-prefix mod nShards, pos = the doc's rank within its shard
+    * by (hash, doc_id) — a seeded, engine-portable permutation (the
+    * md5 curation-hash family; a different seed is a different epoch).
+    *
+    * Scale: ONE corpus-scale exchange — the shard-keyed repartition IS
+    * the global shuffle being asked for (no cheaper form exists) — and
+    * the within-shard rank is a shard-partitioned window: parallel
+    * across shards, skew-free (md5 is uniform so shards are ~equal),
+    * never a single global sort. Output is invariant to input
+    * parallelism, which is what makes an epoch reproducible. */
+  def epochShuffle(docs: DataFrame, seed: Long, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("long"))
+      .select(col("doc_id"), col("shard"),
+        (row_number().over(w) - 1).cast("long").as("pos"))
+  }
 }

@@ -262,6 +262,38 @@ class CurationSpec extends SparkSpec {
     assert(got(15L) == ((0L, 0.0, false)))
   }
 
+  test("epochShuffle: seeded md5 permutation, dense per-shard positions") {
+    import graft.pipeline.PortableHash
+    val got = Curation.epochShuffle(docs, 7L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc appears exactly once
+    assert(got.map(_._1).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // shard = md5("7:doc_id") 15-hex prefix mod 3; order within a shard
+    // follows (hash, doc_id); positions are dense from 0
+    val hOf = got.map { case (d, _, _) =>
+      d -> PortableHash.md5HexPrefixLong(s"7:$d", 15) }.toMap
+    got.foreach { case (d, sh, _) => assert(sh == hOf(d) % 3, s"doc $d") }
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == byPos.indices.map(_.toLong))
+      assert(byPos.map(r => (hOf(r._1), r._1)).toSeq ==
+        byPos.map(r => (hOf(r._1), r._1)).sortBy(identity).toSeq)
+    }
+    // deterministic: same seed reproduces; another seed permutes
+    val again = Curation.epochShuffle(docs, 7L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    val other = Curation.epochShuffle(docs, 8L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq != other.sorted.toSeq)
+    // invariant to input parallelism (the reproducible-epoch property)
+    val repart = Curation.epochShuffle(docs.repartition(7), 7L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == repart.sorted.toSeq)
+    intercept[IllegalArgumentException](Curation.epochShuffle(docs, 7L, 0))
+  }
+
   test("groupSplit: whole repos land on one side; both sides non-empty") {
     import org.apache.spark.sql.functions.col
     val docs = graft.api.DocsIndex.documents(spark, "/root/testdata/sf0.001")

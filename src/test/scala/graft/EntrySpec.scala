@@ -995,6 +995,63 @@ class EntrySpec extends SparkSpec {
     assert(math.abs(full.map(_._3).sum - 100.0) <= 1e-4)
   }
 
+  test("stringStats == brute-force lengths + char entropy") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_string_stats")(spark, sf).collect().head
+    val srcs = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .flatMap { r =>
+        val toks = graft.tokenize.Tokenizer.tokenize(r.getString(2))
+        if (toks.contains("fast") || toks.contains("merge"))
+          Some(r.getString(1))
+        else None
+      }
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val n = srcs.length.toLong
+    assert(got.getLong(0) == n && n > 0)
+    assert(got.getLong(1) == srcs.map(_.length).min.toLong)
+    assert(got.getLong(2) == srcs.map(_.length).max.toLong)
+    assert(got.getDouble(3) ==
+      rnd6(srcs.map(_.length.toLong).sum.toDouble / n))
+    val chars = srcs.flatMap(_.toSeq)
+    val t = chars.length.toDouble
+    val ent = -chars.groupBy(identity).toSeq.sortBy(_._1).map {
+      case (_, xs) =>
+        val p = xs.length / t; p * math.log(p) / math.log(2.0)
+    }.sum
+    assert(math.abs(got.getDouble(4) - rnd6(ent)) <= 1e-6)
+    // laws: entropy is non-negative and bounded by log2(|distinct chars|)
+    assert(got.getDouble(4) >= 0.0)
+    assert(got.getDouble(4) <=
+      math.log(chars.distinct.length.toDouble) / math.log(2.0) + 1e-9)
+  }
+
+  test("statsBucket == brute-force reduction; sum_docs is the match count") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ft_stats_bucket")(spark, sf).collect().head
+    val hist = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(1)))
+      .filter(t => t.contains("fast") || t.contains("merge"))
+      .map(t => t.length / 10 * 10L)
+      .groupBy(identity).map { case (b, xs) => (b, xs.length.toLong) }.toSeq
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.getLong(0) == hist.length.toLong)
+    assert(got.getLong(1) == hist.map(_._2).min)
+    assert(got.getLong(2) == hist.map(_._2).max)
+    assert(got.getLong(3) == hist.map(_._2).sum)
+    assert(got.getDouble(4) ==
+      rnd6(hist.map(_._2).sum.toDouble / hist.length))
+    // law: every matching doc lands in exactly one bin
+    val matchCount = graft.api.DocsIndex.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(r => graft.tokenize.Tokenizer.tokenize(r.getString(0)))
+      .count(t => t.contains("fast") || t.contains("merge"))
+    assert(got.getLong(3) == matchCount.toLong)
+  }
+
   test("all queries run and return rows on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val empties = Seq("dedup_exact", "q_anti_join") // legitimately empty at this sf
