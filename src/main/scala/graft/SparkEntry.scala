@@ -914,6 +914,11 @@ object SparkEntry {
     // "A away from B" (Lucene SpanNotQuery)
     "ft_span_not" -> ((s, dir) =>
       DocsIndex.spanNotRankedHits(s, dir, "merge", "sort", 3, 20)),
+    // intervals query (Lucene/ES intervals algebra): 'merge' then
+    // 'sort' IN ORDER with ≤4 tokens between them, not_containing
+    // 'fast' inside the interval
+    "ft_intervals" -> ((s, dir) =>
+      DocsIndex.intervalsRankedHits(s, dir, "merge sort", 4, "fast", 20)),
     // boosting query: rank by "fast merge sort", demote docs that also
     // contain "table" to 0.3× (ES boosting / Lucene BoostingQuery)
     "ft_boosting" -> ((s, dir) =>
@@ -1921,6 +1926,47 @@ object SparkEntry {
          |  JOIN alldl USING (doc_id)
          |  CROSS JOIN stats
          |  WHERE tf.term = 'merge'
+         |    AND tf.doc_id IN (SELECT doc_id FROM okDocs)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // intervals twin: per start occurrence of 'merge' the GREEDY chain
+    // end is the min 'sort' position after it (greedy is optimal for
+    // both the gap budget and the containment window — the pinned
+    // matching rule); gaps = e − s − 1 for two terms; the
+    // not_containing filter is a NOT EXISTS over [s, e]; scoring = BM25
+    // over the two ordered terms (the filter term never scores)
+    "ft_intervals" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), spans AS (
+         |  SELECT a.doc_id, a.pos AS s,
+         |         (SELECT min(b.pos) FROM tokp b
+         |          WHERE b.doc_id = a.doc_id AND b.term = 'sort'
+         |            AND b.pos > a.pos) AS e
+         |  FROM tokp a WHERE a.term = 'merge'
+         |), okDocs AS (
+         |  SELECT DISTINCT doc_id FROM spans
+         |  WHERE e IS NOT NULL AND (e - s - 1) <= 4
+         |    AND NOT EXISTS (SELECT 1 FROM tokp c
+         |                    WHERE c.doc_id = spans.doc_id AND c.term = 'fast'
+         |                      AND c.pos BETWEEN s AND e)
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'sort')
          |    AND tf.doc_id IN (SELECT doc_id FROM okDocs)
          |  GROUP BY tf.doc_id
          |)

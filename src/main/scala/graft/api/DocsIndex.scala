@@ -353,6 +353,15 @@ object DocsIndex {
     rank(spark, sfDir, searcher.spanNotHits(incText, excText, window, k + 50), k)
   }
 
+  /** Intervals ranked hits (the Lucene/ES `intervals` algebra: ordered
+    * source with max_gaps + optional not_containing filter) — see
+    * Searcher.intervalsHits. */
+  def intervalsRankedHits(spark: SparkSession, sfDir: String, text: String,
+                          maxGaps: Int, notText: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.intervalsHits(text, maxGaps, notText, k + 50), k)
+  }
+
   /** Term vectors for one document (the ES `_termvectors` API): per
     * distinct term of the doc, its in-doc frequency, 1-based positions
     * over the filtered token stream (the highlight coordinate space),

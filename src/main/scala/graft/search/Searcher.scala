@@ -904,6 +904,50 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** Intervals query (the Lucene/ES `intervals` algebra: `ordered`
+    * source with `max_gaps`, optionally wrapped in `not_containing` a
+    * single filter term): top-k BM25 over documents where the query
+    * terms occur IN ORDER with at most `maxGaps` non-matching tokens
+    * inside the interval, and — when `notText` is non-empty — at least
+    * one such interval contains no occurrence of the filter term.
+    * Matching rule (pinned, shared with the SQL twin): a doc matches
+    * iff some start occurrence's GREEDY ordered chain fits the gap
+    * budget and avoids the filter; greedy is optimal for both criteria
+    * so the existential is exact ([[Wand.intervalsMatch]]). An
+    * out-of-vocabulary filter term degenerates to the unfiltered
+    * intervals query (nothing can be contained); any OOV query term ⇒
+    * empty (ordered conjunction). Scoring: BM25 over the distinct
+    * query terms (the filter-doesn't-rescale rule — the filter term
+    * never scores). */
+  def intervalsHits(text: String, maxGaps: Int, notText: String, k: Int,
+                    qid: Long = 0L): Dataset[Hit] = {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    require(segment.params.positional,
+      "intervals queries need a positional index (BuildParams.positional)")
+    val terms = QueryParser.termsFor("FREE", text)
+    require(terms.length >= 2,
+      s"intervals need >= 2 ordered terms, got '$text'")
+    val entries = dictLookup(terms.distinct)
+    if (entries.length < terms.distinct.length)
+      return spark.emptyDataset[Hit]
+    val notTerms = QueryParser.termsFor("FREE", notText).distinct
+    require(notTerms.length <= 1,
+      s"not_containing must be empty or a single term, got '$notText'")
+    require(notTerms.isEmpty || !terms.contains(notTerms.head),
+      "not_containing term must differ from the ordered query terms")
+    val notE = dictLookup(notTerms)
+    val byTerm = entries.map(e => e.term -> e.termId).toMap
+    val idfByTid: Map[Long, Double] =
+      (entries ++ notE).map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val tids = (entries.map(_.termId) ++ notE.map(_.termId)).distinct.sorted
+    rankTopK(scoredRaw(tids, idfByTid, stats.avgDocLen,
+      conjunctive = true, k, pruned = false, nTerms = entries.length,
+      phraseSlots = terms.map(byTerm),
+      gapsLimit = maxGaps,
+      containTid = notE.headOption.map(_.termId).getOrElse(-1L))
+      .toDF("docId", "score"), k, qid)
+  }
+
   /** Match-phrase-prefix (the Elasticsearch `match_phrase_prefix` /
     * Lucene MultiPhraseQuery surface — "search-as-you-type" over a
     * phrase): the LAST token of `text` is a live prefix, expanded
@@ -1287,7 +1331,9 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 lmdMu: Double = Double.NaN,
                                 lmdP: Map[Long, Double] = null,
                                 exclTid: Long = -1L,
-                                exclWin: Int = 0)
+                                exclWin: Int = 0,
+                                gapsLimit: Int = -1,
+                                containTid: Long = -1L)
       : Dataset[(Long, Double)] = {
     // query-time term weights: scale each cursor's effective idf AND its
     // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
@@ -1352,6 +1398,26 @@ final class Searcher(spark: SparkSession, segment: Segment,
             .orNull)
           Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
             after, boolPhrases, boolWins)
+        } else if (gapsLimit >= 0 && phraseSlots != null) {
+          // intervals: ordered slots in QUERY order; the not_containing
+          // list is OPTIONAL per bucket (a doc without it is unfiltered)
+          val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+          if (phraseSlots.distinct.exists(tid => !plByTid.contains(tid)))
+            Array.empty[Wand.Scored]
+          else {
+            val slots = phraseSlots.map(tid =>
+              new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid), positional,
+                lo, hi, if (bo == null) 1.0 else bo(tid)))
+            val not =
+              if (containTid >= 0L)
+                plByTid.get(containTid)
+                  .map(pl => new Wand.TermCursor(containTid, 0.0, pl,
+                    positional, lo, hi))
+                  .orNull
+              else null
+            Wand.topKIntervals(slots, lens, firstDocId, avgdl, k, gapsLimit,
+              not, accept, after)
+          }
         } else if (exclTid >= 0L) {
           // span-not: the exclude list is OPTIONAL per bucket (a bucket
           // without it matches on the include term alone); the include

@@ -444,6 +444,101 @@ object Wand {
     topk.result()
   }
 
+  /** Intervals query (the Lucene/ES `intervals` algebra: an `ordered`
+    * source with `max_gaps`, optionally wrapped in `not_containing`):
+    * docs align via the same galloping conjunction as ONEAR over the
+    * ordered slots; an aligned doc matches iff some start occurrence's
+    * GREEDY ordered chain has ≤ maxGaps non-matching tokens inside the
+    * interval AND (when a filter cursor is given) contains no filter
+    * occurrence — see [[intervalsMatch]] for why greedy decides the
+    * existential exactly. The filter cursor is OPTIONAL per bucket
+    * (skip-scanned like span-not's exclude; a doc without it is
+    * unfiltered). Scoring is BM25 over the distinct slot terms — the
+    * NEAR/PHRASE filter-doesn't-rescale rule; the filter term never
+    * scores. */
+  def topKIntervals(slots: Array[TermCursor], lens: Array[Int],
+                    firstDocId: Long, avgdl: Double, k: Int, maxGaps: Int,
+                    not: TermCursor,
+                    accept: Long => Boolean = null,
+                    after: Scored = null): Array[Scored] = {
+    if (slots.isEmpty || slots.exists(_.exhausted)) return Array.empty
+    val topk = new TopK(k, after)
+    val distinctSlots: Array[TermCursor] = {
+      val seen = mutable.Set.empty[Long]
+      slots.filter(c => seen.add(c.termId)).sortBy(_.termId)
+    }
+    var target = slots.map(_.docId).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < slots.length && !done) {
+        slots(i).nextGeq(target)
+        if (slots(i).exhausted) done = true
+        else if (slots(i).docId > target) { target = slots(i).docId; aligned = false }
+        i += 1
+      }
+      if (!done && aligned) {
+        if (accept == null || accept(target)) {
+          var notPos: Array[Int] = null
+          if (not != null && !not.exhausted) {
+            not.nextGeq(target)
+            if (!not.exhausted && not.docId == target) notPos = not.positions()
+          }
+          if (intervalsMatch(slots.map(_.positions()), notPos, maxGaps)) {
+            val dl = lens((target - firstDocId).toInt)
+            var score = 0.0
+            var j = 0
+            while (j < distinctSlots.length) {
+              score += BM25.impact(distinctSlots(j).idf, distinctSlots(j).tf, dl, avgdl)
+              j += 1
+            }
+            topk.offer(target, score)
+          }
+        }
+        target += 1
+      }
+    }
+    topk.result()
+  }
+
+  /** ∃ start s ∈ lists(0) whose GREEDY ordered chain (smallest next
+    * position per slot, strictly increasing) ends at e with
+    * (e − s + 1 − m) ≤ maxGaps and no `notPos` position inside [s, e].
+    * Greedy is optimal for BOTH criteria: any valid chain from s ends
+    * at e' ≥ e, so it has at least as many gaps and a ⊇ containment
+    * window — per-start greedy enumeration therefore decides the
+    * existential exactly (the same rule the SQL twin evaluates with a
+    * per-start min() subquery). Every pointer only advances (greedy
+    * ends are non-decreasing in s), so the sweep is O(total positions). */
+  private def intervalsMatch(lists: Array[Array[Int]], notPos: Array[Int],
+                             maxGaps: Int): Boolean = {
+    val m = lists.length
+    val idx = new Array[Int](m)
+    var ni = 0
+    var s = 0
+    while (s < lists(0).length) {
+      val start = lists(0)(s)
+      var prev = start
+      var i = 1
+      var ok = true
+      while (i < m && ok) {
+        while (idx(i) < lists(i).length && lists(i)(idx(i)) <= prev) idx(i) += 1
+        if (idx(i) >= lists(i).length) ok = false
+        else prev = lists(i)(idx(i))
+        i += 1
+      }
+      if (!ok) return false // later starts chain even further right
+      if (prev - start + 1 - m <= maxGaps) {
+        if (notPos == null) return true
+        while (ni < notPos.length && notPos(ni) < start) ni += 1
+        if (ni >= notPos.length || notPos(ni) > prev) return true
+      }
+      s += 1
+    }
+    false
+  }
+
   /** Minimal (last − first) over one pick per list with picks strictly
     * increasing left to right. Greedy chain per start position; every
     * pointer only advances, so the sweep is O(total positions). */

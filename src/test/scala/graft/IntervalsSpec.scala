@@ -1,0 +1,121 @@
+package graft
+
+import graft.build.{BuildParams, SegmentBuilder}
+import graft.corpus.{DatasetCorpusSource, Synthesizer}
+import graft.search.Searcher
+import graft.tokenize.Tokenizer
+
+/** Intervals queries (the Lucene/ES intervals algebra: ordered source
+  * with max_gaps + optional not_containing filter). The engine walks
+  * per-start GREEDY chains; the spec's brute force enumerates ALL
+  * ordered position combinations — passing proves the greedy rule
+  * decides the existential exactly (the optimality argument in
+  * Wand.intervalsMatch), plus the phrase-degeneration and
+  * filter-monotonicity laws and the validation surface. */
+class IntervalsSpec extends SparkSpec {
+
+  lazy val seg = SegmentBuilder.build(spark,
+    DatasetCorpusSource(Synthesizer.tiny(spark)),
+    BuildParams(numPartitions = 4, bucketSize = 64, positional = true))._1
+  lazy val searcher = new Searcher(spark, seg)
+  lazy val toksByDoc: Map[Long, Array[String]] = {
+    import org.apache.spark.sql.functions.col
+    val c = Synthesizer.tiny(spark).toDF()
+      .select(col("repo"), col("path"), col("content"))
+    import spark.implicits._
+    seg.docs.join(c, Seq("repo", "path"))
+      .select(col("docId"), col("content")).as[(Long, String)]
+      .collect().map { case (d, t) => d -> Tokenizer.tokenize(t) }.toMap
+  }
+
+  /** ∃ ANY strictly-increasing ordered chain (one position per term,
+    * all combinations — not just greedy) with ≤ g gaps and no filter
+    * position inside [first, last]. */
+  private def bruteMatch(toks: Array[String], terms: Seq[String], g: Int,
+                         not: Option[String]): Boolean = {
+    val posOf = terms.map(t => toks.zipWithIndex.collect { case (w, i) if w == t => i })
+    if (posOf.exists(_.isEmpty)) return false
+    val notPos = not.map(t => toks.zipWithIndex.collect { case (w, i) if w == t => i })
+      .getOrElse(Array.empty[Int])
+    def chains(i: Int, prev: Int): Iterator[Int] =
+      if (i == terms.length) Iterator(prev)
+      else posOf(i).iterator.filter(_ > prev).flatMap(p => chains(i + 1, p))
+    posOf.head.iterator.exists { s =>
+      chains(1, s).exists { e =>
+        e - s + 1 - terms.length <= g && !notPos.exists(q => q >= s && q <= e)
+      }
+    }
+  }
+
+  private def pickPair: Seq[String] = {
+    val pair = toksByDoc.values.flatMap(_.distinct.take(12))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .filter(_._2 >= 2).sortBy(_._1).take(2).map(_._1)
+    assume(pair.length == 2)
+    pair
+  }
+
+  test("intervalsHits == all-chains brute force across gap budgets") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    val n = seg.stats.numDocs.toInt
+    val andHits = searcher.hitsExhaustive("AND", s"${pair(0)} AND ${pair(1)}", n)
+      .collect()
+    // the filter term: something that co-occurs with the pair somewhere
+    val filterTerm = toksByDoc.values.flatMap(_.distinct)
+      .find(t => !pair.contains(t) && toksByDoc.values.exists(ts =>
+        ts.contains(t) && ts.contains(pair(0)))).get
+    for (g <- Seq(0, 1, 3, 8, 1000); not <- Seq(None, Some(filterTerm))) {
+      val want = {
+        val ok = toksByDoc.collect {
+          case (d, toks) if bruteMatch(toks, pair, g, not) => d
+        }.toSet
+        andHits.filter(h => ok(h.docId))
+          .sortBy(h => (-h.score, h.docId)).take(10)
+          .map(h => (h.docId, h.score)).toSeq
+      }
+      val got = searcher.intervalsHits(q, g, not.getOrElse(""), 10).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"g=$g not=$not")
+    }
+  }
+
+  test("max_gaps=0 with no filter degrades to PHRASE bit-identically") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    val phrase = searcher.hits("PHRASE", s""""$q"""", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    val got = searcher.intervalsHits(q, 0, "", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(got == phrase)
+  }
+
+  test("filtered hits are a subset of unfiltered; OOV filter is neutral") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    val n = seg.stats.numDocs.toInt
+    val unfiltered = searcher.intervalsHits(q, 5, "", n).collect()
+      .map(h => h.docId -> h.score).toMap
+    val filterTerm = toksByDoc.values.flatMap(_.distinct)
+      .find(t => !pair.contains(t)).get
+    val filtered = searcher.intervalsHits(q, 5, filterTerm, n).collect()
+    filtered.foreach(h =>
+      assert(unfiltered.get(h.docId).contains(h.score),
+        s"filtered hit ${h.docId} missing or rescored"))
+    val oov = searcher.intervalsHits(q, 5, "zzzqqqxx", n).collect()
+      .map(h => h.docId -> h.score).toMap
+    assert(oov == unfiltered)
+  }
+
+  test("validation + OOV query term") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    intercept[IllegalArgumentException](searcher.intervalsHits(q, -1, "", 10))
+    intercept[IllegalArgumentException](
+      searcher.intervalsHits(pair(0), 3, "", 10)) // < 2 terms
+    intercept[IllegalArgumentException](
+      searcher.intervalsHits(q, 3, pair(0), 10)) // filter among query terms
+    assert(searcher.intervalsHits(s"${pair(0)} zzzqqqxx", 3, "", 10)
+      .collect().isEmpty)
+  }
+}
