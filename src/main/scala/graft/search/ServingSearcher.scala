@@ -192,6 +192,32 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     ServingSearcher.rankMerge(all, k, qid)
   }
 
+  /** Intervals at serving latency — bit-identical to
+    * Searcher.intervalsHits (IntervalsSpec): ordered terms within a gap
+    * budget, optionally not_containing a filter term. */
+  def intervalsHits(text: String, maxGaps: Int, notText: String, k: Int,
+                    qid: Long = 0L): Array[Hit] = {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    require(positional, "intervals queries need a positional index")
+    val terms = QueryParser.termsFor("FREE", text)
+    require(terms.length >= 2,
+      s"intervals need >= 2 ordered terms, got '$text'")
+    val entries = entriesFor("FREE", terms)
+    if (entries.length < terms.distinct.length) return Array.empty
+    val notTerms = QueryParser.termsFor("FREE", notText).distinct
+    require(notTerms.length <= 1,
+      s"not_containing must be empty or a single term, got '$notText'")
+    require(notTerms.isEmpty || !terms.contains(notTerms.head),
+      "not_containing term must differ from the ordered query terms")
+    val notE = entriesFor("FREE", notTerms)
+    val all = (entries ++ notE).distinctBy(_.termId).sortBy(_.termId)
+    val idfByTid = all.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val scoredAll = rawScored("INTERVALS", text, terms, all, idfByTid,
+      stats.avgDocLen, k, pruned = false, gapsLimit = maxGaps,
+      containTid = notE.headOption.map(_.termId).getOrElse(-1L))
+    ServingSearcher.rankMerge(scoredAll, k, qid)
+  }
+
   /** search_after pagination at serving latency — same cursor contract
     * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
   def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,
@@ -317,7 +343,9 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 lmdMu: Double = Double.NaN,
                                 lmdP: Map[Long, Double] = null,
                                 exclTid: Long = -1L,
-                                exclWin: Int = 0)
+                                exclWin: Int = 0,
+                                gapsLimit: Int = -1,
+                                containTid: Long = -1L)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits);
@@ -369,6 +397,12 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
       case "SPANFIRST" =>
         require(positional, "span-first queries need a positional index")
         entries.map(_.termId)
+      case "INTERVALS" =>
+        require(positional, "intervals queries need a positional index")
+        // QUERY order over the query terms only — the filter term rides
+        // in `entries` for stats/fetch but never becomes a slot
+        val byTerm = entries.map(e => e.term -> e.termId).toMap
+        terms.map(byTerm)
       case _ => null
     }
     // sign convention (all tiers): > 0 NEAR/w, < 0 BEFORE/w, 0 phrase
@@ -412,6 +446,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val lp = lmdP
     val xt = exclTid
     val xw = exclWin
+    val gl = gapsLimit
+    val ct = containTid
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
@@ -419,7 +455,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
           if (rb == null) null else rb.value, aft, bp, bw, bst, fl, lmu, lp,
-          xt, xw))
+          xt, xw, gl, ct))
     perPart.flatten
   }
 }
@@ -587,7 +623,9 @@ object ServingSearcher {
       lmdMu: Double = Double.NaN,
       lmdP: Map[Long, Double] = null,
       exclTid: Long = -1L,
-      exclWin: Int = 0): Array[Wand.Scored] = {
+      exclWin: Int = 0,
+      gapsLimit: Int = -1,
+      containTid: Long = -1L): Array[Wand.Scored] = {
     @inline def bo(tid: Long): Double =
       if (boostByTid == null) 1.0 else boostByTid.getOrElse(tid, 1.0)
     val scoped = lo > 0L || hi != Long.MaxValue
@@ -654,6 +692,27 @@ object ServingSearcher {
                     .orNull
                   Wand.topKSpanNot(inc, exc, lens, firstDocId, avgdl, k,
                     exclWin, exclWin, accept, after)
+              }
+            } else if (gapsLimit >= 0 && phraseSlots != null) {
+              // intervals: ordered slots in QUERY order; not_containing
+              // list OPTIONAL per bucket (same contract as
+              // Searcher.scoredRaw's branch)
+              val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+              if (phraseSlots.distinct.exists(tid => !plByTid.contains(tid)))
+                Array.empty[Wand.Scored]
+              else {
+                val slots = phraseSlots.map(tid =>
+                  new Wand.TermCursor(tid, idfByTid(tid), plByTid(tid),
+                    positional, lo, hi, bo(tid)))
+                val not =
+                  if (containTid >= 0L)
+                    plByTid.get(containTid)
+                      .map(pl => new Wand.TermCursor(containTid, 0.0, pl,
+                        positional, lo, hi))
+                      .orNull
+                  else null
+                Wand.topKIntervals(slots, lens, firstDocId, avgdl, k,
+                  gapsLimit, not, accept, after)
               }
             } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap

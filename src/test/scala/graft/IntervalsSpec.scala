@@ -107,6 +107,24 @@ class IntervalsSpec extends SparkSpec {
     assert(oov == unfiltered)
   }
 
+  test("serving-tier intervals == relational intervals, bit-identical") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    val filterTerm = toksByDoc.values.flatMap(_.distinct)
+      .find(t => !pair.contains(t)).get
+    val srv = new graft.search.ServingSearcher(spark, seg)
+    try {
+      for (g <- Seq(0, 3, 1000); not <- Seq("", filterTerm)) {
+        val rel = searcher.intervalsHits(q, g, not, 10).collect()
+          .map(h => (h.docId, h.score)).toSeq
+        val got = srv.intervalsHits(q, g, not, 10)
+          .map(h => (h.docId, h.score)).toSeq
+        assert(got == rel, s"g=$g not='$not'")
+      }
+      assert(srv.intervalsHits(s"${pair(0)} zzzqqqxx", 3, "", 10).isEmpty)
+    } finally srv.close()
+  }
+
   test("validation + OOV query term") {
     val pair = pickPair
     val q = s"${pair(0)} ${pair(1)}"
