@@ -919,6 +919,12 @@ object SparkEntry {
     // 'fast' inside the interval
     "ft_intervals" -> ((s, dir) =>
       DocsIndex.intervalsRankedHits(s, dir, "merge sort", 4, "fast", 20)),
+    // intervals any_of: (fast OR slow) then 'merge' IN ORDER with ≤4
+    // tokens between them, not_containing 'table' inside the interval
+    // (the Lucene/ES intervals any_of combinator under an ordered source)
+    "ft_intervals_any" -> ((s, dir) =>
+      DocsIndex.intervalsAnyRankedHits(s, dir, "fast|slow merge", 4,
+        "table", 20)),
     // boosting query: rank by "fast merge sort", demote docs that also
     // contain "table" to 0.3× (ES boosting / Lucene BoostingQuery)
     "ft_boosting" -> ((s, dir) =>
@@ -1967,6 +1973,49 @@ object SparkEntry {
          |  JOIN alldl USING (doc_id)
          |  CROSS JOIN stats
          |  WHERE tf.term IN ('merge', 'sort')
+         |    AND tf.doc_id IN (SELECT doc_id FROM okDocs)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // intervals any_of twin: starts = every occurrence of EITHER slot-0
+    // alternative (the merged any_of position list); per start the
+    // greedy chain end is the min 'merge' position after it; gap budget
+    // and not_containing as in ft_intervals; scoring = BM25 over the
+    // PRESENT alternative terms of each matching doc (the BOOL
+    // contract — whichever variant matched, every present query term
+    // scores; tf rows exist only for present terms so the IN-list
+    // filter is exactly presence)
+    "ft_intervals_any" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), spans AS (
+         |  SELECT a.doc_id, a.pos AS s,
+         |         (SELECT min(b.pos) FROM tokp b
+         |          WHERE b.doc_id = a.doc_id AND b.term = 'merge'
+         |            AND b.pos > a.pos) AS e
+         |  FROM tokp a WHERE a.term IN ('fast', 'slow')
+         |), okDocs AS (
+         |  SELECT DISTINCT doc_id FROM spans
+         |  WHERE e IS NOT NULL AND (e - s - 1) <= 4
+         |    AND NOT EXISTS (SELECT 1 FROM tokp c
+         |                    WHERE c.doc_id = spans.doc_id AND c.term = 'table'
+         |                      AND c.pos BETWEEN s AND e)
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'slow', 'merge')
          |    AND tf.doc_id IN (SELECT doc_id FROM okDocs)
          |  GROUP BY tf.doc_id
          |)

@@ -362,6 +362,16 @@ object DocsIndex {
     rank(spark, sfDir, searcher.intervalsHits(text, maxGaps, notText, k + 50), k)
   }
 
+  /** Intervals ranked hits with `any_of` slot alternatives (slot syntax
+    * `alt1|alt2`, e.g. "fast|slow merge") — see
+    * Searcher.intervalsAnyHits. */
+  def intervalsAnyRankedHits(spark: SparkSession, sfDir: String, text: String,
+                             maxGaps: Int, notText: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir,
+      searcher.intervalsAnyHits(text, maxGaps, notText, k + 50), k)
+  }
+
   /** Term vectors for one document (the ES `_termvectors` API): per
     * distinct term of the doc, its in-doc frequency, 1-based positions
     * over the filtered token stream (the highlight coordinate space),

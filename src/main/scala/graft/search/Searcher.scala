@@ -151,6 +151,24 @@ object QueryParser {
     case _ => Map.empty
   }
 
+  /** Ordered intervals slots with `any_of` alternatives: slots are
+    * whitespace-separated, alternatives within a slot are separated by
+    * `|` (the Lucene intervals `any_of` combinator), each alternative
+    * normalized through the tokenizer and required to stay ONE term
+    * (an alternative is a dictionary atom, not a phrase). Duplicate
+    * alternatives within a slot collapse. */
+  def intervalsAnySlots(text: String): Array[Array[String]] =
+    text.trim.split("\\s+").filter(_.nonEmpty).map { slot =>
+      val alts = slot.split('|').filter(_.nonEmpty).map { alt =>
+        val ts = Tokenizer.tokenize(alt)
+        require(ts.length == 1,
+          s"intervals any_of alternative must be one term, got '$alt'")
+        ts.head
+      }.distinct
+      require(alts.nonEmpty, s"empty any_of slot in '$text'")
+      alts
+    }
+
   def termsFor(kind: String, text: String): Array[String] = kind match {
     case "AND" | "OR" => operandTerms(text)
     case "PHRASE" => Tokenizer.tokenize(text.trim.stripPrefix("\"").stripSuffix("\""))
@@ -948,6 +966,50 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** Intervals query with `any_of` slot alternatives (the Lucene/ES
+    * `intervals` algebra: an `ordered` source whose slots are `any_of`
+    * disjunctions, optionally wrapped in `not_containing`): slot syntax
+    * is `alt1|alt2` within the whitespace-separated ordered sequence,
+    * e.g. "fast|slow merge" = (fast OR slow) then merge. A document
+    * matches when some start occurrence's greedy ordered chain over the
+    * per-slot MERGED alternative position lists fits the gap budget and
+    * avoids the filter term — greedy stays exact because a slot's
+    * eligible positions are still one ascending list
+    * ([[Wand.topKIntervalsAny]]). Out-of-vocabulary alternatives drop
+    * from their slot; a slot with NO in-vocabulary alternative ⇒ empty
+    * (ordered conjunction). Scoring is the BOOL contract: BM25 over
+    * every present distinct alternative term (whichever variant
+    * matched); the filter term never scores. */
+  def intervalsAnyHits(text: String, maxGaps: Int, notText: String, k: Int,
+                       qid: Long = 0L): Dataset[Hit] = {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    require(segment.params.positional,
+      "intervals queries need a positional index (BuildParams.positional)")
+    val slots: Array[Array[String]] = QueryParser.intervalsAnySlots(text)
+    require(slots.length >= 2,
+      s"intervals need >= 2 ordered slots, got '$text'")
+    val allAlts = slots.flatten.distinct
+    val entries = dictLookup(allAlts)
+    val byTerm = entries.map(e => e.term -> e.termId).toMap
+    val slotTids = slots.map(_.flatMap(byTerm.get))
+    if (slotTids.exists(_.isEmpty)) return spark.emptyDataset[Hit]
+    val notTerms = QueryParser.termsFor("FREE", notText).distinct
+    require(notTerms.length <= 1,
+      s"not_containing must be empty or a single term, got '$notText'")
+    require(notTerms.isEmpty || !allAlts.contains(notTerms.head),
+      "not_containing term must differ from the slot alternatives")
+    val notE = dictLookup(notTerms)
+    val idfByTid: Map[Long, Double] =
+      (entries ++ notE).map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val tids = (entries.map(_.termId) ++ notE.map(_.termId)).distinct.sorted
+    rankTopK(scoredRaw(tids, idfByTid, stats.avgDocLen,
+      conjunctive = true, k, pruned = false, nTerms = slots.length,
+      gapsLimit = maxGaps,
+      containTid = notE.headOption.map(_.termId).getOrElse(-1L),
+      slotAltTids = slotTids)
+      .toDF("docId", "score"), k, qid)
+  }
+
   /** Match-phrase-prefix (the Elasticsearch `match_phrase_prefix` /
     * Lucene MultiPhraseQuery surface — "search-as-you-type" over a
     * phrase): the LAST token of `text` is a live prefix, expanded
@@ -1333,7 +1395,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 exclTid: Long = -1L,
                                 exclWin: Int = 0,
                                 gapsLimit: Int = -1,
-                                containTid: Long = -1L)
+                                containTid: Long = -1L,
+                                slotAltTids: Array[Array[Long]] = null)
       : Dataset[(Long, Double)] = {
     // query-time term weights: scale each cursor's effective idf AND its
     // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
@@ -1398,6 +1461,34 @@ final class Searcher(spark: SparkSession, segment: Segment,
             .orNull)
           Wand.topKBool(slots, lens, firstDocId, avgdl, k, boolEval, accept,
             after, boolPhrases, boolWins)
+        } else if (gapsLimit >= 0 && slotAltTids != null) {
+          // intervals any_of: each ordered slot carries alternative
+          // termIds; an alternative absent from the bucket just drops
+          // out of its slot, a slot with NO alternative in the bucket
+          // kills the bucket (ordered conjunction of disjunctions). One
+          // cursor per distinct termId, shared across slots.
+          val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+          val curByTid = collection.mutable.Map.empty[Long, Wand.TermCursor]
+          def cursorFor(tid: Long): Option[Wand.TermCursor] =
+            curByTid.get(tid).orElse(plByTid.get(tid).map { pl =>
+              val c = new Wand.TermCursor(tid, idfByTid(tid), pl, positional,
+                lo, hi, if (bo == null) 1.0 else bo(tid))
+              curByTid(tid) = c
+              c
+            })
+          val slotCs = slotAltTids.map(_.flatMap(tid => cursorFor(tid)))
+          if (slotCs.exists(_.isEmpty)) Array.empty[Wand.Scored]
+          else {
+            val not =
+              if (containTid >= 0L)
+                plByTid.get(containTid)
+                  .map(pl => new Wand.TermCursor(containTid, 0.0, pl,
+                    positional, lo, hi))
+                  .orNull
+              else null
+            Wand.topKIntervalsAny(slotCs, lens, firstDocId, avgdl, k,
+              gapsLimit, not, accept, after)
+          }
         } else if (gapsLimit >= 0 && phraseSlots != null) {
           // intervals: ordered slots in QUERY order; the not_containing
           // list is OPTIONAL per bucket (a doc without it is unfiltered)

@@ -502,6 +502,93 @@ object Wand {
     topk.result()
   }
 
+  /** Intervals query with per-slot term ALTERNATIVES (the Lucene/ES
+    * `intervals` algebra's `any_of` combinator under an `ordered`
+    * source): slot i matches at any position of ANY of its alternative
+    * terms, and the ordered chain + gap budget + optional
+    * `not_containing` filter evaluate over the per-slot MERGED position
+    * lists. Greedy stays exact: [[intervalsMatch]] only assumes each
+    * slot's eligible positions form one ascending list, and the union
+    * of a slot's alternative position lists is exactly that (two terms
+    * can never share a token position). Doc alignment is a conjunction
+    * of per-slot disjunctions: a slot's cursor block advances together
+    * and the slot's docId is the min over its live cursors. Scoring is
+    * the BOOL contract (topKBool): BM25 over every PRESENT distinct
+    * alternative term, accumulated in ascending termId order; the
+    * filter term never scores. */
+  def topKIntervalsAny(slotAlts: Array[Array[TermCursor]], lens: Array[Int],
+                       firstDocId: Long, avgdl: Double, k: Int, maxGaps: Int,
+                       not: TermCursor,
+                       accept: Long => Boolean = null,
+                       after: Scored = null): Array[Scored] = {
+    if (slotAlts.isEmpty ||
+        slotAlts.exists(sa => sa.isEmpty || sa.forall(_.exhausted)))
+      return Array.empty
+    val topk = new TopK(k, after)
+    // one scoring cursor per distinct termId (a term repeated across
+    // slots shares its slot instance — same postings, same state)
+    val scoreCursors: Array[TermCursor] = {
+      val seen = mutable.Set.empty[Long]
+      slotAlts.flatten.filter(c => seen.add(c.termId)).sortBy(_.termId)
+    }
+    var target = slotAlts.map(_.filterNot(_.exhausted).map(_.docId).min).max
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < slotAlts.length && !done) {
+        val sa = slotAlts(i)
+        var slotDoc = Long.MaxValue
+        var j = 0
+        while (j < sa.length) {
+          val c = sa(j)
+          if (!c.exhausted) {
+            c.nextGeq(target)
+            if (!c.exhausted && c.docId < slotDoc) slotDoc = c.docId
+          }
+          j += 1
+        }
+        if (slotDoc == Long.MaxValue) done = true // slot fully exhausted
+        else if (slotDoc > target) { target = slotDoc; aligned = false }
+        i += 1
+      }
+      if (!done && aligned) {
+        if (accept == null || accept(target)) {
+          var notPos: Array[Int] = null
+          if (not != null && !not.exhausted) {
+            not.nextGeq(target)
+            if (!not.exhausted && not.docId == target) notPos = not.positions()
+          }
+          val lists = slotAlts.map { sa =>
+            val present = sa.filter(c => !c.exhausted && c.docId == target)
+            if (present.length == 1) present(0).positions()
+            else {
+              // merge the alternatives' ascending lists (disjoint by
+              // construction — one token holds one term)
+              val merged = Array.concat(present.map(_.positions()): _*)
+              java.util.Arrays.sort(merged)
+              merged
+            }
+          }
+          if (intervalsMatch(lists, notPos, maxGaps)) {
+            val dl = lens((target - firstDocId).toInt)
+            var score = 0.0
+            var j = 0
+            while (j < scoreCursors.length) {
+              val c = scoreCursors(j)
+              if (!c.exhausted && c.docId == target)
+                score += BM25.impact(c.idf, c.tf, dl, avgdl)
+              j += 1
+            }
+            topk.offer(target, score)
+          }
+        }
+        target += 1
+      }
+    }
+    topk.result()
+  }
+
   /** ∃ start s ∈ lists(0) whose GREEDY ordered chain (smallest next
     * position per slot, strictly increasing) ends at e with
     * (e − s + 1 − m) ≤ maxGaps and no `notPos` position inside [s, e].

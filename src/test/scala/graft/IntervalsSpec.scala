@@ -125,6 +125,100 @@ class IntervalsSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  /** any_of brute force: slot i's eligible positions = the UNION of its
+    * alternatives' positions; otherwise the ordered all-chains rule. */
+  private def bruteMatchAny(toks: Array[String], slots: Seq[Seq[String]],
+                            g: Int, not: Option[String]): Boolean = {
+    val posOf = slots.map(alts =>
+      toks.zipWithIndex.collect { case (w, i) if alts.contains(w) => i })
+    if (posOf.exists(_.isEmpty)) return false
+    val notPos = not.map(t => toks.zipWithIndex.collect { case (w, i) if w == t => i })
+      .getOrElse(Array.empty[Int])
+    def chains(i: Int, prev: Int): Iterator[Int] =
+      if (i == slots.length) Iterator(prev)
+      else posOf(i).iterator.filter(_ > prev).flatMap(p => chains(i + 1, p))
+    posOf.head.iterator.exists { s =>
+      chains(1, s).exists { e =>
+        e - s + 1 - slots.length <= g && !notPos.exists(q => q >= s && q <= e)
+      }
+    }
+  }
+
+  private def pickTriple: Seq[String] = {
+    val ts = toksByDoc.values.flatMap(_.distinct.take(12))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .filter(_._2 >= 2).sortBy(_._1).take(3).map(_._1)
+    assume(ts.length == 3)
+    ts
+  }
+
+  test("any_of intervals == all-chains brute force over merged alternatives") {
+    val Seq(a, b, c) = pickTriple
+    val slots = Seq(Seq(a, c), Seq(b)) // (a OR c) then b
+    val q = s"$a|$c $b"
+    val n = seg.stats.numDocs.toInt
+    // the BOOL scoring contract: every present alternative term scores —
+    // exactly the exhaustive OR walk's per-doc score
+    val orHits = searcher.hitsExhaustive("OR", s"$a $b $c", n).collect()
+    val filterTerm = toksByDoc.values.flatMap(_.distinct)
+      .find(t => !Seq(a, b, c).contains(t) && toksByDoc.values.exists(ts =>
+        ts.contains(t) && ts.contains(a))).get
+    for (g <- Seq(0, 1, 3, 8, 1000); not <- Seq(None, Some(filterTerm))) {
+      val want = {
+        val ok = toksByDoc.collect {
+          case (d, toks) if bruteMatchAny(toks, slots, g, not) => d
+        }.toSet
+        orHits.filter(h => ok(h.docId))
+          .sortBy(h => (-h.score, h.docId)).take(10)
+          .map(h => (h.docId, h.score)).toSeq
+      }
+      val got = searcher.intervalsAnyHits(q, g, not.getOrElse(""), 10)
+        .collect().map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"g=$g not=$not")
+    }
+  }
+
+  test("single-alternative slots degrade to plain intervals bit-identically") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    for (g <- Seq(0, 3, 1000)) {
+      val plain = searcher.intervalsHits(q, g, "", 10).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      val any = searcher.intervalsAnyHits(q, g, "", 10).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(any == plain, s"g=$g")
+    }
+  }
+
+  test("any_of: OOV alternatives drop from their slot; all-OOV slot is empty") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    val withOov = searcher.intervalsAnyHits(
+      s"${pair(0)}|zzzqqqxx ${pair(1)}", 3, "", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    val plain = searcher.intervalsAnyHits(q, 3, "", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(withOov == plain)
+    assert(searcher.intervalsAnyHits(s"zzzqqqxx|qqqzzzyy ${pair(1)}", 3, "", 10)
+      .collect().isEmpty)
+    // duplicate alternatives collapse (same result as the single form)
+    val dup = searcher.intervalsAnyHits(
+      s"${pair(0)}|${pair(0)} ${pair(1)}", 3, "", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(dup == plain)
+  }
+
+  test("any_of validation") {
+    val pair = pickPair
+    intercept[IllegalArgumentException](
+      searcher.intervalsAnyHits(s"${pair(0)}|${pair(1)}", 3, "", 10)) // 1 slot
+    intercept[IllegalArgumentException](
+      searcher.intervalsAnyHits(s"${pair(0)} ${pair(1)}", -1, "", 10))
+    intercept[IllegalArgumentException]( // filter among the alternatives
+      searcher.intervalsAnyHits(s"${pair(0)}|${pair(1)} ${pair(1)}", 3,
+        pair(0), 10))
+  }
+
   test("validation + OOV query term") {
     val pair = pickPair
     val q = s"${pair(0)} ${pair(1)}"
