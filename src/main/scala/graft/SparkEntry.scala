@@ -998,6 +998,11 @@ object SparkEntry {
     // result collapsing: best hit per source, top-8 sources
     "ft_collapse" -> ((s, dir) =>
       DocsIndex.collapsedRankedHits(s, dir, "FREE", "fast merge sort table", 8)),
+    // parent-child scored join (ES has_child, score_mode=sum): sources
+    // ranked by the SUM of their matching docs' BM25 scores for
+    // "fast merge", keeping sources with >= 3 matching docs
+    "ft_haschild" -> ((s, dir) =>
+      DocsIndex.hasChildRankedHits(s, dir, "FREE", "fast merge", "sum", 3, 8)),
     // hybrid lexical+vector: BM25 top-30 for the text ∪ exact-cosine
     // top-30 neighbors of doc 7's embedding, fused by RRF (C = 60)
     "hybrid_rrf" -> ((s, dir) =>
@@ -3250,6 +3255,34 @@ object SparkEntry {
          |SELECT source, doc_id, score,
          |       row_number() OVER (ORDER BY score DESC, source) AS rank
          |FROM per WHERE rn = 1
+         |ORDER BY score DESC, source LIMIT 8""".stripMargin,
+    // has_child twin: per-doc BM25 (presence-scored FREE) → exact Long
+    // MICROS of the 6-dp rounded score (floor(x*1e6+0.5) = the engine's
+    // Math.round — Long sums are order-free where Σ-of-doubles is not)
+    // → per-source (count, sum) → score_mode=sum as one exact-int-to-
+    // double division, min_children filter, (score desc, source) order
+    "ft_haschild" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge')
+         |  GROUP BY tf.doc_id
+         |), mic AS (
+         |  SELECT doc_id, CAST(floor(round(score, 6) * 1e6 + 0.5) AS BIGINT) AS m
+         |  FROM sc
+         |), rep AS (
+         |  SELECT d.source, count(*)::BIGINT AS n_children, sum(mic.m) AS sm
+         |  FROM mic JOIN documents d USING (doc_id)
+         |  GROUP BY d.source
+         |)
+         |SELECT source, n_children, sm::DOUBLE / 1e6 AS score,
+         |       row_number() OVER (ORDER BY sm::DOUBLE / 1e6 DESC, source) AS rank
+         |FROM rep WHERE n_children >= 3
          |ORDER BY score DESC, source LIMIT 8""".stripMargin,
     // "did you mean": vocabulary within Levenshtein distance 2 of the
     // typo, ranked by document frequency — DuckDB's levenshtein() is the

@@ -1452,6 +1452,28 @@ object DocsIndex {
       .toDF("source", "doc_id", "score", "rank")
   }
 
+  /** Parent-child scored join (ES `has_child`): rank sources by an
+    * aggregate (`score_mode` max|sum|avg) of their matching documents'
+    * BM25 scores, keeping sources with ≥ `minChildren` matches — see
+    * Searcher.hasChildHits. */
+  def hasChildRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                         text: String, scoreMode: String, minChildren: Int,
+                         kRepos: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.hasChildHits(kind, text, scoreMode, minChildren, kRepos)
+      .select(col("repo").as("source"), col("n_children"), col("score"))
+      .orderBy(col("score").desc, col("source").asc)
+      .as[(String, Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (src, n, s) => r += 1; (src, n, s, r) }
+      }
+      .toDF("source", "n_children", "score", "rank")
+  }
+
   /** More-like-this: rank the corpus by BM25 over the `m` most
     * informative terms of document `seedDocId` (Searcher.mltTerms),
     * excluding the seed itself. The seed text is ONE pushdown-pruned row

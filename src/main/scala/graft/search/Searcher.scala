@@ -1981,6 +1981,83 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .limit(kRepos)
   }
 
+  /** Parent-child scored join (the Elasticsearch `has_child` query over
+    * a join field / Lucene ToParentBlockJoinQuery): rank PARENTS (repos)
+    * by an aggregate of their matching children's BM25 scores —
+    * `score_mode` max | sum | avg — keeping only parents with at least
+    * `minChildren` matching children. FREE/OR/AND child queries.
+    *
+    * Plan (the collapse regime, X27): the per-bucket walk scores ALL
+    * matching children exhaustively; each child resolves to its parent
+    * with a binary search over the broadcast repo-boundary array (repos
+    * are contiguous docId ranges, X7), so per-parent partials
+    * (sum, count, max) pre-combine MAP-SIDE and the only post-walk
+    * exchange carries ≤ (parents touched) rows per partition — never
+    * the match set. Determinism across parallelism: per-child scores
+    * enter the aggregate as exact Long MICROS of the 6-dp rounded score
+    * (Long sums are order-free, unlike Σ-of-doubles); `sum`/`max` are
+    * one exact-integer-to-double division, `avg` = micros-mean rounded
+    * to the nearest micro (floor(sm/n + 0.5), one IEEE division) — the
+    * X63/X86 exact-integer regime applied to scores. */
+  def hasChildHits(kind: String, text: String, scoreMode: String,
+                   minChildren: Int, kRepos: Int): DataFrame = {
+    import spark.implicits._
+    require(Set("max", "sum", "avg")(scoreMode),
+      s"score_mode must be max|sum|avg, got $scoreMode")
+    require(minChildren >= 1, s"min_children must be >= 1, got $minChildren")
+    require(kind == "FREE" || kind == "OR" || kind == "AND",
+      s"has_child supports FREE/OR/AND, got $kind")
+    val empty = Seq.empty[(String, Long, Double)]
+      .toDF("repo", "n_children", "score")
+    val terms = QueryParser.termsFor(kind, text).distinct
+    val entries = dictLookup(terms)
+    if (entries.isEmpty || (kind == "AND" && entries.length < terms.length))
+      return empty
+    val bounds: Array[(Long, String)] = segment.docs
+      .groupBy($"repo").agg(min($"docId").as("lo"))
+      .orderBy($"lo").select($"lo", $"repo")
+      .as[(Long, String)].collect()
+    require(bounds.length <= Searcher.CollapseRepoLimit,
+      s"has_child boundary array (${bounds.length} repos) exceeds " +
+        s"${Searcher.CollapseRepoLimit} — shard by repo range")
+    val los = bounds.map(_._1)
+    val bc = spark.sparkContext.broadcast(los)
+    val idfByTid: Map[Long, Double] =
+      entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val mode = scoreMode
+    val perParent = scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
+      conjunctive = kind == "AND", k = segment.params.bucketSize.toInt,
+      pruned = false, entries.length)
+      .mapPartitions { it =>
+        val l = bc.value
+        it.map { case (docId, score) =>
+          var a = 0; var b = l.length - 1
+          while (a < b) { // last boundary <= docId
+            val m = (a + b + 1) >>> 1
+            if (l(m) <= docId) a = m else b = m - 1
+          }
+          (a, Math.round(Searcher.round6(score) * 1e6), 1L,
+            Math.round(Searcher.round6(score) * 1e6))
+        }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        (x._1, x._2 + y._2, x._3 + y._3, math.max(x._4, y._4))
+      }
+      .map { case (idx, (_, sm, n, mx)) =>
+        val score = mode match {
+          case "max" => mx / 1e6
+          case "sum" => sm / 1e6
+          case "avg" => math.floor(sm.toDouble / n + 0.5) / 1e6
+        }
+        (bounds(idx)._2, n, score)
+      }
+    perParent.toDF("repo", "n_children", "score")
+      .filter($"n_children" >= minChildren)
+      .orderBy($"score".desc, $"repo".asc)
+      .limit(kRepos)
+  }
+
   /** Hits joined back to the doc map (SURVEY §2.4 Q9). The HITS side is
     * broadcast — it is ≤k rows by construction, while the docmap is
     * corpus-sized (10^12 rows at the design point): broadcasting the
