@@ -1447,6 +1447,12 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(avg("k"), 6).as("avg_k"))
         .orderBy("event_type")),
+    // auto date histogram (ES auto_date_histogram): bucket by the
+    // smallest minute/hour/day/week rung whose span-bucket count fits
+    // the target (40) — interval chosen from ONE min/max agg
+    "q_events_auto" -> ((s, dir) =>
+      graft.pipeline.Events.autoDateHistogram(
+        s.read.parquet(s"$dir/events.parquet"), 40)),
     // the streaming windowed-agg operator on a bounded frame (watermark
     // is a no-op in batch) — its unbounded behavior (late-event drop,
     // state finalization) is covered in StreamingSpec
@@ -3885,5 +3891,28 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*)::BIGINT AS cnt,
         |       round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // auto-date-histogram twin: the same span-bucket ladder rule in
+    // integer epoch-second floor division (`//`), then the histogram
+    // truncated by the CHOSEN rung via a CASE over date_trunc
+    "q_events_auto" ->
+      """WITH mm AS (
+        |  SELECT floor(epoch(min(ts)))::BIGINT AS lo,
+        |         floor(epoch(max(ts)))::BIGINT AS hi
+        |  FROM events
+        |), u AS (
+        |  SELECT CASE WHEN (hi // 60) - (lo // 60) + 1 <= 40 THEN 'minute'
+        |              WHEN (hi // 3600) - (lo // 3600) + 1 <= 40 THEN 'hour'
+        |              WHEN (hi // 86400) - (lo // 86400) + 1 <= 40 THEN 'day'
+        |              ELSE 'week' END AS unit
+        |  FROM mm
+        |)
+        |SELECT strftime(CASE (SELECT unit FROM u)
+        |         WHEN 'minute' THEN date_trunc('minute', ts)
+        |         WHEN 'hour' THEN date_trunc('hour', ts)
+        |         WHEN 'day' THEN date_trunc('day', ts)
+        |         ELSE date_trunc('week', ts) END, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       (SELECT unit FROM u) AS interval,
+        |       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin)
 }

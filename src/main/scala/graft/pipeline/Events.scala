@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-bucketed analytics over an event-stream table (ts: timestamp,
+  * value: double — the driver testdata `events` shape). */
+object Events {
+
+  /** The calendar-interval ladder (smallest first) with each rung's
+    * epoch-second width and its Monday-alignment offset: epoch second 0
+    * is Thursday 1970-01-01 00:00 UTC, so week indexes shift by +3 days
+    * before the floor division to increment at Mondays (the same
+    * boundary as Spark's and DuckDB's `date_trunc('week', …)`). */
+  private val LadderSecs: Seq[(String, Long, Long)] = Seq(
+    ("minute", 60L, 0L),
+    ("hour", 3600L, 0L),
+    ("day", 86400L, 0L),
+    ("week", 604800L, 3L * 86400L))
+
+  /** Auto date histogram (the Elasticsearch `auto_date_histogram`
+    * aggregation): bucket events by the SMALLEST calendar interval from
+    * the minute→hour→day→week ladder whose bucket count over the data's
+    * time SPAN fits `targetBuckets` — ES's own posture (interval chosen
+    * from the rounded span, so the result never exceeds the target even
+    * when some buckets are empty). Returns one row per non-empty bucket
+    * with the chosen interval echoed in an `interval` column.
+    *
+    * Plan, built for scale: interval selection is ONE narrow min/max
+    * aggregation (two Longs to the driver — no distinct-count, no
+    * Expand), then the ladder arithmetic is integer epoch-second floor
+    * division driver-side; the histogram itself is one partial+final
+    * hash aggregation keyed by the truncated bucket (≤ targetBuckets
+    * rows out). Timestamps are UTC (the session pins
+    * spark.sql.session.timeZone=UTC), so every rung is a fixed
+    * epoch-second width and the bucket rule is exact integer
+    * arithmetic — bit-identical across engines and parallelism. */
+  def autoDateHistogram(events: DataFrame, targetBuckets: Int): DataFrame = {
+    require(targetBuckets >= 1,
+      s"auto_date_histogram target must be >= 1, got $targetBuckets")
+    val mm = events
+      .agg(min(unix_timestamp(col("ts"))).as("lo"),
+        max(unix_timestamp(col("ts"))).as("hi"))
+      .head()
+    if (mm.isNullAt(0)) {
+      // empty input: degenerate single-rung answer, schema preserved
+      return events.sparkSession.emptyDataFrame
+        .withColumn("bucket", lit(null).cast("string"))
+        .withColumn("interval", lit(null).cast("string"))
+        .withColumn("cnt", lit(null).cast("long"))
+        .withColumn("sum_value", lit(null).cast("double"))
+        .limit(0)
+    }
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def spanBuckets(width: Long, shift: Long): Long =
+      Math.floorDiv(hi + shift, width) - Math.floorDiv(lo + shift, width) + 1
+    val unit = LadderSecs
+      .collectFirst { case (u, w, s) if spanBuckets(w, s) <= targetBuckets => u }
+      .getOrElse("week")
+    events
+      .groupBy(date_format(date_trunc(unit, col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .withColumn("interval", lit(unit))
+      .select(col("bucket"), col("interval"), col("cnt"), col("sum_value"))
+      .orderBy("bucket")
+  }
+}
