@@ -925,6 +925,12 @@ object SparkEntry {
     "ft_intervals_any" -> ((s, dir) =>
       DocsIndex.intervalsAnyRankedHits(s, dir, "fast|slow merge", 4,
         "table", 20)),
+    // intervals containing (the not_containing dual): 'merge' then
+    // 'sort' IN ORDER with ≤4 tokens between them, where some minimized
+    // interval CONTAINS a 'fast' occurrence
+    "ft_intervals_within" -> ((s, dir) =>
+      DocsIndex.intervalsContainingRankedHits(s, dir, "merge sort", 4,
+        "fast", 20)),
     // boosting query: rank by "fast merge sort", demote docs that also
     // contain "table" to 0.3× (ES boosting / Lucene BoostingQuery)
     "ft_boosting" -> ((s, dir) =>
@@ -1975,6 +1981,43 @@ object SparkEntry {
          |    AND NOT EXISTS (SELECT 1 FROM tokp c
          |                    WHERE c.doc_id = spans.doc_id AND c.term = 'fast'
          |                      AND c.pos BETWEEN s AND e)
+         |), sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'sort')
+         |    AND tf.doc_id IN (SELECT doc_id FROM okDocs)
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // intervals containing twin: same greedy spans as ft_intervals,
+    // EXISTS (instead of NOT EXISTS) a filter occurrence inside [s, e]
+    "ft_intervals_within" ->
+      s"""$tokCtes, w2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), rawtok AS (
+         |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+         |), tokp AS (
+         |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+         |  FROM rawtok WHERE length(term) >= 2
+         |), spans AS (
+         |  SELECT a.doc_id, a.pos AS s,
+         |         (SELECT min(b.pos) FROM tokp b
+         |          WHERE b.doc_id = a.doc_id AND b.term = 'sort'
+         |            AND b.pos > a.pos) AS e
+         |  FROM tokp a WHERE a.term = 'merge'
+         |), okDocs AS (
+         |  SELECT DISTINCT doc_id FROM spans
+         |  WHERE e IS NOT NULL AND (e - s - 1) <= 4
+         |    AND EXISTS (SELECT 1 FROM tokp c
+         |                WHERE c.doc_id = spans.doc_id AND c.term = 'fast'
+         |                  AND c.pos BETWEEN s AND e)
          |), sc AS (
          |  SELECT tf.doc_id,
          |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /

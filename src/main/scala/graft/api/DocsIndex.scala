@@ -362,6 +362,18 @@ object DocsIndex {
     rank(spark, sfDir, searcher.intervalsHits(text, maxGaps, notText, k + 50), k)
   }
 
+  /** Intervals ranked hits wrapped in `containing` (the dual of
+    * not_containing): ordered terms within the gap budget with a filter
+    * occurrence INSIDE some minimized interval — see
+    * Searcher.intervalsContainingHits. */
+  def intervalsContainingRankedHits(spark: SparkSession, sfDir: String,
+                                    text: String, maxGaps: Int,
+                                    containText: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir,
+      searcher.intervalsContainingHits(text, maxGaps, containText, k + 50), k)
+  }
+
   /** Intervals ranked hits with `any_of` slot alternatives (slot syntax
     * `alt1|alt2`, e.g. "fast|slow merge") — see
     * Searcher.intervalsAnyHits. */

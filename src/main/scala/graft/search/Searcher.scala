@@ -966,6 +966,49 @@ final class Searcher(spark: SparkSession, segment: Segment,
       .toDF("docId", "score"), k, qid)
   }
 
+  /** Intervals query wrapped in `containing` (the dual of
+    * [[intervalsHits]]'s `not_containing` — the other filter of the
+    * Lucene/ES intervals algebra): top-k BM25 over documents where the
+    * ordered terms fit the gap budget AND some such (greedy, minimized)
+    * interval CONTAINS an occurrence of the filter term. The pinned
+    * matching rule stays per-start greedy chains — the algebra's
+    * minimized source intervals — so the existential keeps its exact
+    * SQL form (EXISTS instead of NOT EXISTS). A document without the
+    * filter term can never match (the filter cursor is REQUIRED, unlike
+    * not_containing's optional one); an OOV filter term ⇒ empty.
+    * Scoring: BM25 over the distinct ordered terms; the filter term
+    * never scores (filter-doesn't-rescale). */
+  def intervalsContainingHits(text: String, maxGaps: Int, containText: String,
+                              k: Int, qid: Long = 0L): Dataset[Hit] = {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    require(segment.params.positional,
+      "intervals queries need a positional index (BuildParams.positional)")
+    val terms = QueryParser.termsFor("FREE", text)
+    require(terms.length >= 2,
+      s"intervals need >= 2 ordered terms, got '$text'")
+    val entries = dictLookup(terms.distinct)
+    if (entries.length < terms.distinct.length)
+      return spark.emptyDataset[Hit]
+    val containTerms = QueryParser.termsFor("FREE", containText).distinct
+    require(containTerms.length == 1,
+      s"containing must be a single term, got '$containText'")
+    require(!terms.contains(containTerms.head),
+      "containing term must differ from the ordered query terms")
+    val contE = dictLookup(containTerms)
+    if (contE.isEmpty) return spark.emptyDataset[Hit] // nothing to contain
+    val byTerm = entries.map(e => e.term -> e.termId).toMap
+    val idfByTid: Map[Long, Double] =
+      (entries ++ contE).map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val tids = (entries.map(_.termId) ++ contE.map(_.termId)).distinct.sorted
+    rankTopK(scoredRaw(tids, idfByTid, stats.avgDocLen,
+      conjunctive = true, k, pruned = false, nTerms = entries.length,
+      phraseSlots = terms.map(byTerm),
+      gapsLimit = maxGaps,
+      containTid = contE.head.termId,
+      containMode = true)
+      .toDF("docId", "score"), k, qid)
+  }
+
   /** Intervals query with `any_of` slot alternatives (the Lucene/ES
     * `intervals` algebra: an `ordered` source whose slots are `any_of`
     * disjunctions, optionally wrapped in `not_containing`): slot syntax
@@ -1396,7 +1439,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
                                 exclWin: Int = 0,
                                 gapsLimit: Int = -1,
                                 containTid: Long = -1L,
-                                slotAltTids: Array[Array[Long]] = null)
+                                slotAltTids: Array[Array[Long]] = null,
+                                containMode: Boolean = false)
       : Dataset[(Long, Double)] = {
     // query-time term weights: scale each cursor's effective idf AND its
     // stored block-max bounds (TermCursor.boost) — absent/1.0 = neutral
@@ -1507,7 +1551,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
                   .orNull
               else null
             Wand.topKIntervals(slots, lens, firstDocId, avgdl, k, gapsLimit,
-              not, accept, after)
+              not, accept, after, mustContain = containMode)
           }
         } else if (exclTid >= 0L) {
           // span-not: the exclude list is OPTIONAL per bucket (a bucket

@@ -460,8 +460,13 @@ object Wand {
                     firstDocId: Long, avgdl: Double, k: Int, maxGaps: Int,
                     not: TermCursor,
                     accept: Long => Boolean = null,
-                    after: Scored = null): Array[Scored] = {
+                    after: Scored = null,
+                    mustContain: Boolean = false): Array[Scored] = {
     if (slots.isEmpty || slots.exists(_.exhausted)) return Array.empty
+    // `containing` mode: a doc without the filter term can never match
+    // (some greedy interval must CONTAIN a filter occurrence), so the
+    // filter cursor is REQUIRED, not optional
+    if (mustContain && (not == null || not.exhausted)) return Array.empty
     val topk = new TopK(k, after)
     val distinctSlots: Array[TermCursor] = {
       val seen = mutable.Set.empty[Long]
@@ -485,7 +490,13 @@ object Wand {
             not.nextGeq(target)
             if (!not.exhausted && not.docId == target) notPos = not.positions()
           }
-          if (intervalsMatch(slots.map(_.positions()), notPos, maxGaps)) {
+          val matched =
+            if (mustContain)
+              notPos != null &&
+                intervalsMatch(slots.map(_.positions()), notPos, maxGaps,
+                  mustContain = true)
+            else intervalsMatch(slots.map(_.positions()), notPos, maxGaps)
+          if (matched) {
             val dl = lens((target - firstDocId).toInt)
             var score = 0.0
             var j = 0
@@ -599,7 +610,8 @@ object Wand {
     * per-start min() subquery). Every pointer only advances (greedy
     * ends are non-decreasing in s), so the sweep is O(total positions). */
   private def intervalsMatch(lists: Array[Array[Int]], notPos: Array[Int],
-                             maxGaps: Int): Boolean = {
+                             maxGaps: Int,
+                             mustContain: Boolean = false): Boolean = {
     val m = lists.length
     val idx = new Array[Int](m)
     var ni = 0
@@ -617,9 +629,15 @@ object Wand {
       }
       if (!ok) return false // later starts chain even further right
       if (prev - start + 1 - m <= maxGaps) {
-        if (notPos == null) return true
-        while (ni < notPos.length && notPos(ni) < start) ni += 1
-        if (ni >= notPos.length || notPos(ni) > prev) return true
+        if (notPos == null) { if (!mustContain) return true }
+        else {
+          // `ni` only moves right: starts ascend, so positions below the
+          // current start can never serve a later interval either
+          while (ni < notPos.length && notPos(ni) < start) ni += 1
+          val inside = ni < notPos.length && notPos(ni) <= prev
+          if (mustContain) { if (inside) return true } // containing
+          else if (!inside) return true // not_containing
+        }
       }
       s += 1
     }

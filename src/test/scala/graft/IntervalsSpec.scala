@@ -125,6 +125,68 @@ class IntervalsSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  /** containing brute force: the PINNED minimized-source rule — ∃ start
+    * whose per-start GREEDY chain fits the budget AND holds a filter
+    * position inside [s, e]. (Unlike not_containing, greedy here is the
+    * rule itself, not an optimization of an all-chains existential.) */
+  private def bruteContain(toks: Array[String], terms: Seq[String], g: Int,
+                           filter: String): Boolean = {
+    val posOf = terms.map(t => toks.zipWithIndex.collect { case (w, i) if w == t => i })
+    if (posOf.exists(_.isEmpty)) return false
+    val fPos = toks.zipWithIndex.collect { case (w, i) if w == filter => i }
+    posOf.head.exists { s =>
+      var prev = s
+      var ok = true
+      for (i <- 1 until terms.length if ok) {
+        posOf(i).find(_ > prev) match {
+          case Some(p) => prev = p
+          case None => ok = false
+        }
+      }
+      ok && prev - s + 1 - terms.length <= g &&
+        fPos.exists(q => q >= s && q <= prev)
+    }
+  }
+
+  test("containing == per-start greedy brute force; partition law") {
+    val pair = pickPair
+    val q = s"${pair(0)} ${pair(1)}"
+    val n = seg.stats.numDocs.toInt
+    val andHits = searcher.hitsExhaustive("AND", s"${pair(0)} AND ${pair(1)}", n)
+      .collect()
+    val filterTerm = toksByDoc.values.flatMap(_.distinct)
+      .find(t => !pair.contains(t) && toksByDoc.values.exists(ts =>
+        ts.contains(t) && ts.contains(pair(0)))).get
+    for (g <- Seq(0, 1, 3, 8, 1000)) {
+      val want = {
+        val ok = toksByDoc.collect {
+          case (d, toks) if bruteContain(toks, pair, g, filterTerm) => d
+        }.toSet
+        andHits.filter(h => ok(h.docId))
+          .sortBy(h => (-h.score, h.docId)).take(10)
+          .map(h => (h.docId, h.score)).toSeq
+      }
+      val got = searcher.intervalsContainingHits(q, g, filterTerm, 10)
+        .collect().map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"g=$g")
+      // partition law: containing ∪ not_containing = unfiltered doc set,
+      // with identical scores (the filter never rescales)
+      val unf = searcher.intervalsHits(q, g, "", n).collect()
+        .map(h => h.docId -> h.score).toMap
+      val notC = searcher.intervalsHits(q, g, filterTerm, n).collect()
+        .map(h => h.docId -> h.score).toMap
+      val cont = searcher.intervalsContainingHits(q, g, filterTerm, n)
+        .collect().map(h => h.docId -> h.score).toMap
+      assert((notC.keySet ++ cont.keySet) == unf.keySet, s"g=$g partition")
+      (notC ++ cont).foreach { case (d, s) => assert(unf(d) == s) }
+    }
+    // OOV filter can never be contained; filter among query terms rejected
+    assert(searcher.intervalsContainingHits(q, 3, "zzzqqqxx", 10)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](
+      searcher.intervalsContainingHits(q, 3, pair(0), 10))
+  }
+
   /** any_of brute force: slot i's eligible positions = the UNION of its
     * alternatives' positions; otherwise the ordered all-chains rule. */
   private def bruteMatchAny(toks: Array[String], slots: Seq[Seq[String]],
