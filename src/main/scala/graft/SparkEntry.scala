@@ -1459,6 +1459,12 @@ object SparkEntry {
     "q_events_auto" -> ((s, dir) =>
       graft.pipeline.Events.autoDateHistogram(
         s.read.parquet(s"$dir/events.parquet"), 40)),
+    // cumulative cardinality (ES cumulative_cardinality pipeline agg):
+    // per day, distinct users + first-time users + EXACT cumulative
+    // distinct users to date via the first-seen decomposition
+    "q_events_cumcard" -> ((s, dir) =>
+      graft.pipeline.Events.cumulativeCardinality(
+        s.read.parquet(s"$dir/events.parquet"))),
     // the streaming windowed-agg operator on a bounded frame (watermark
     // is a no-op in batch) — its unbounded behavior (late-event drop,
     // state finalization) is covered in StreamingSpec
@@ -3935,6 +3941,28 @@ object SparkEntry {
         |       event_type, count(*)::BIGINT AS cnt,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // cumulative-cardinality twin: the same first-seen decomposition —
+    // cumulative distinct to day D = #{users with min event day <= D},
+    // running-summed over the reduced day table
+    "q_events_cumcard" ->
+      """WITH daily AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |         count(DISTINCT user_id)::BIGINT AS daily_users
+        |  FROM events GROUP BY 1
+        |), fs AS (
+        |  SELECT user_id, min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+        |  FROM events GROUP BY 1
+        |), nu AS (
+        |  SELECT day, count(*)::BIGINT AS new_users FROM fs GROUP BY 1
+        |)
+        |SELECT d.day, d.daily_users,
+        |       coalesce(nu.new_users, 0)::BIGINT AS new_users,
+        |       CAST(sum(coalesce(nu.new_users, 0)) OVER (
+        |         ORDER BY d.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_users
+        |FROM daily d LEFT JOIN nu USING (day)
+        |ORDER BY d.day""".stripMargin,
     // auto-date-histogram twin: the same span-bucket ladder rule in
     // integer epoch-second floor division (`//`), then the histogram
     // truncated by the CHOSEN rung via a CASE over date_trunc

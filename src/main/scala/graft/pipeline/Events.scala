@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-bucketed analytics over an event-stream table (ts: timestamp,
@@ -64,5 +65,40 @@ object Events {
       .withColumn("interval", lit(unit))
       .select(col("bucket"), col("interval"), col("cnt"), col("sum_value"))
       .orderBy("bucket")
+  }
+
+  /** Cumulative cardinality (the Elasticsearch `cumulative_cardinality`
+    * pipeline aggregation over a daily date histogram of distinct
+    * users — "total users to date", the canonical new-vs-returning
+    * funnel metric): per event day, the distinct users THAT day
+    * (`daily_users`), the users whose FIRST event falls on it
+    * (`new_users` — ES's cumulative delta), and the cumulative distinct
+    * users to date (`cum_users`).
+    *
+    * Plan, built for scale — EXACT without any per-day set union or
+    * sketch: cumulative distinct to day D ≡ #{users whose first event
+    * day ≤ D}, so the corpus-scale work is two hash aggregations (the
+    * user-keyed min-day agg and the day-keyed distinct-count agg) and
+    * everything after runs on the REDUCED day table (≤ #days rows —
+    * the X87 pipeline-agg regime, where the unpartitioned running-sum
+    * window is bucket-table-sized by construction). ES itself cannot do
+    * this exactly (HLL sketches under the hood); the first-seen
+    * decomposition is the classic exact equivalent. */
+  def cumulativeCardinality(events: DataFrame): DataFrame = {
+    val day = date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+    val daily = events.groupBy(day.as("day"))
+      .agg(countDistinct(col("user_id")).as("daily_users"))
+    val firstSeen = events.groupBy(col("user_id")).agg(min(day).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    // first-seen days ⊆ event days, so the left join is lossless; a day
+    // whose users all returned gets new_users = 0
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("day"), col("daily_users"), col("new_users"),
+        col("cum_users"))
+      .orderBy("day")
   }
 }

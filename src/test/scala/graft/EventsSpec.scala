@@ -68,6 +68,36 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("cumulative cardinality == set-union brute force + laws") {
+    import spark.implicits._
+    // deterministic (day, user) pattern: user u appears on day d iff
+    // d % (u % 5 + 1) == 0 — returners and late first-timers both occur
+    val rows = for {
+      d <- 0 until 14
+      u <- 0 until 23
+      if d % (u % 5 + 1) == 0
+    } yield (new Timestamp((base + d * 86400L + u * 37L) * 1000L), u.toLong)
+    val df = rows.toDF("ts", "user_id")
+    val got = graft.pipeline.Events.cumulativeCardinality(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: running set union per day, in day order
+    val byDay = rows.groupBy(r => fmt(r._1.getTime / 1000L).take(10))
+      .view.mapValues(_.map(_._2).toSet).toSeq.sortBy(_._1)
+    var seen = Set.empty[Long]
+    val want = byDay.map { case (day, users) =>
+      val nu = (users -- seen).size.toLong
+      seen ++= users
+      (day, users.size.toLong, nu, seen.size.toLong)
+    }
+    assert(got.toSeq == want)
+    // laws: cum nondecreasing, ends at the global distinct count,
+    // new_users sums to it, and daily >= new
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(got.last._4 == rows.map(_._2).distinct.size)
+    assert(got.map(_._3).sum == got.last._4)
+    assert(got.forall(r => r._2 >= r._3))
+  }
+
   test("sub-target span picks the smallest rung; empty input is empty") {
     val got = Events.autoDateHistogram(mkEvents(Seq(base, base + 30L)), 40)
       .collect()
