@@ -1014,6 +1014,12 @@ object SparkEntry {
     "hybrid_rrf" -> ((s, dir) =>
       DocsIndex.hybridRankedHits(s, dir, "FREE", "fast merge sort table",
         7L, 30, 15)),
+    // linear hybrid retriever (ES `linear`, the normalized-score
+    // alternative to RRF): min-max normalize each retriever's top-30
+    // window, fuse 0.7·text + 0.3·vector
+    "hybrid_linear" -> ((s, dir) =>
+      DocsIndex.hybridLinearRankedHits(s, dir, "FREE", "fast merge sort table",
+        7L, 30, 0.7, 0.3, 15)),
     // re-rank window: BM25 top-50, re-ordered by BM25 + 0.1·ln(1+n_chars)
     "ft_rescore" -> ((s, dir) =>
       DocsIndex.rescoredRankedHits(s, dir, "FREE", "fast merge sort table",
@@ -3181,6 +3187,50 @@ object SparkEntry {
          |SELECT doc_id, rrf,
          |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
          |FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    // linear-hybrid twin: the same two top-30 windows as hybrid_rrf,
+    // min-max normalized over the 6-dp rounded scores each window
+    // already carries (degenerate all-equal window → 1.0), fused as
+    // 0.7·text + 0.3·vector with absent sides contributing 0
+    "hybrid_linear" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort', 'table')
+         |  GROUP BY tf.doc_id
+         |),
+         |ftk AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, round(score, 6) AS s, row_number() OVER (
+         |    ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
+         |  WHERE rn <= 30),
+         |ftn AS (SELECT doc_id,
+         |               CASE WHEN mx = mn THEN 1.0
+         |                    ELSE (s - mn) / (mx - mn) END AS ft_norm
+         |        FROM ftk, (SELECT min(s) AS mn, max(s) AS mx FROM ftk)),
+         |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+         |cs AS (SELECT e.vec_id AS doc_id,
+         |              round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6) AS c
+         |       FROM embeddings e, qv WHERE e.vec_id <> 7),
+         |ank AS (SELECT doc_id, c FROM (
+         |  SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id) AS rn
+         |  FROM cs) WHERE rn <= 30),
+         |ann AS (SELECT doc_id,
+         |               CASE WHEN mx = mn THEN 1.0
+         |                    ELSE (c - mn) / (mx - mn) END AS ann_norm
+         |        FROM ank, (SELECT min(c) AS mn, max(c) AS mx FROM ank)),
+         |fused AS (
+         |  SELECT coalesce(ftn.doc_id, ann.doc_id) AS doc_id,
+         |         round(0.7 * coalesce(ft_norm, 0.0) +
+         |               0.3 * coalesce(ann_norm, 0.0), 6) AS fused
+         |  FROM ftn FULL OUTER JOIN ann ON ftn.doc_id = ann.doc_id
+         |)
+         |SELECT doc_id, fused,
+         |       row_number() OVER (ORDER BY fused DESC, doc_id) AS rank
+         |FROM fused ORDER BY fused DESC, doc_id LIMIT 15""".stripMargin,
     // re-rank window: the bm25 rank window (same CTE as the standalone
     // oracles) re-ordered by the blended function score
     "ft_rescore" ->

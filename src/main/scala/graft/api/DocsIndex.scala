@@ -1981,6 +1981,59 @@ object DocsIndex {
       .toDF("doc_id", "rrf", "rank")
   }
 
+  /** Linear hybrid retriever (the Elasticsearch `linear` retriever —
+    * the modern alternative to RRF fusion): min-max normalize each
+    * retriever's scores over ITS OWN retrieved window (lexical BM25
+    * top-`kEach`; exact-cosine vector top-`kEach` around a seed
+    * embedding), then fuse as `wText·normText + wVec·normVec`, a doc
+    * missing from one side contributing 0 there. Normalization is
+    * pinned: norm = (s − min)/(max − min) over the ≤kEach-row window,
+    * degenerate all-equal windows normalize to 1.0 (every doc is the
+    * best), inputs are the 6-dp rounded scores both tiers already emit
+    * — so the fused score is a fixed tree of IEEE ops on
+    * cross-engine-identical inputs. The min/max aggs and the fusion
+    * join run on the two ≤kEach-row windows (broadcast), never the
+    * corpus — the corpus-scale work is exactly the two retrievers'
+    * own walks. */
+  def hybridLinearRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                             text: String, seedVecId: Long, kEach: Int,
+                             wText: Double, wVec: Double, k: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    def minmax(df: DataFrame, c: String, out: String): DataFrame = {
+      val stats = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+      df.crossJoin(broadcast(stats))
+        .withColumn(out, when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col(c) - col("mn")) / (col("mx") - col("mn"))))
+        .select(col("doc_id"), col(out))
+    }
+    val ft = minmax(
+      rankedHits(spark, sfDir, kind, text, kEach)
+        .select(col("doc_id"), col("score")), "score", "ft_norm")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val seedVec = emb.filter(col("vec_id") === seedVecId).collect()
+      .headOption.map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"no embedding $seedVecId"))
+    val ann = minmax(
+      graft.pipeline.Ann.bruteTopK(emb, Array((seedVecId, seedVec)), kEach)
+        .select(col("neighbor_id").as("doc_id"), col("cos")), "cos", "ann_norm")
+    val fused = round(
+      lit(wText) * coalesce(col("ft_norm"), lit(0.0)) +
+        lit(wVec) * coalesce(col("ann_norm"), lit(0.0)), 6)
+    ft.join(ann, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), fused.as("fused"))
+      .orderBy(col("fused").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, s) => r += 1; (d, s, r) }
+      }
+      .toDF("doc_id", "fused", "rank")
+  }
+
   /** Re-rank window (the Lucene/Elasticsearch rescore pattern and the
     * shape every learning-to-rank deployment uses): retrieve the BM25
     * top-`window`, then re-order ONLY that window by a blended function

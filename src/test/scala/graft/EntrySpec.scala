@@ -72,6 +72,39 @@ class EntrySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("hybridLinear == brute-force min-max fusion of the two windows") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.api.DocsIndex.hybridLinearRankedHits(spark, sf, "FREE",
+      "fast merge sort table", 7L, 30, 0.7, 0.3, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def norm(xs: Seq[(Long, Double)]): Map[Long, Double] = {
+      val (mn, mx) = (xs.map(_._2).min, xs.map(_._2).max)
+      xs.map { case (d, s) =>
+        d -> (if (mx == mn) 1.0 else (s - mn) / (mx - mn))
+      }.toMap
+    }
+    val ft = norm(graft.api.DocsIndex.rankedHits(spark, sf, "FREE",
+      "fast merge sort table", 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val seed = emb.filter(col("vec_id") === 7L).collect().head._2
+    val ann = norm(graft.pipeline.Ann.bruteTopK(emb, Array((7L, seed)), 30)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+    val want = (ft.keySet ++ ann.keySet).toSeq.map { d =>
+      val f = 0.7 * ft.getOrElse(d, 0.0) + 0.3 * ann.getOrElse(d, 0.0)
+      (d, BigDecimal.valueOf(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }.sortBy { case (d, s) => (-s, d) }.take(15)
+    assert(got == want && got.nonEmpty)
+    // laws: fused in [0, 1]; each window's champion carries norm 1.0
+    assert(got.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    assert(ft.values.max == 1.0 && ann.values.max == 1.0)
+  }
+
   test("sortedMatches == the AND match set ordered longest-first") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
