@@ -1,5 +1,7 @@
 package graft.search
 
+import scala.collection.mutable
+
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
@@ -218,6 +220,61 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     ServingSearcher.rankMerge(scoredAll, k, qid)
   }
 
+  /** Intervals `containing` at serving latency — bit-identical to
+    * Searcher.intervalsContainingHits (IntervalsSpec). */
+  def intervalsContainingHits(text: String, maxGaps: Int, containText: String,
+                              k: Int, qid: Long = 0L): Array[Hit] = {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    require(positional, "intervals queries need a positional index")
+    val terms = QueryParser.termsFor("FREE", text)
+    require(terms.length >= 2,
+      s"intervals need >= 2 ordered terms, got '$text'")
+    val entries = entriesFor("FREE", terms)
+    if (entries.length < terms.distinct.length) return Array.empty
+    val containTerms = QueryParser.termsFor("FREE", containText).distinct
+    require(containTerms.length == 1,
+      s"containing must be a single term, got '$containText'")
+    require(!terms.contains(containTerms.head),
+      "containing term must differ from the ordered query terms")
+    val contE = entriesFor("FREE", containTerms)
+    if (contE.isEmpty) return Array.empty // nothing to contain
+    val all = (entries ++ contE).distinctBy(_.termId).sortBy(_.termId)
+    val idfByTid = all.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val scoredAll = rawScored("INTERVALS", text, terms, all, idfByTid,
+      stats.avgDocLen, k, pruned = false, gapsLimit = maxGaps,
+      containTid = contE.head.termId, containMode = true)
+    ServingSearcher.rankMerge(scoredAll, k, qid)
+  }
+
+  /** Intervals `any_of` at serving latency — bit-identical to
+    * Searcher.intervalsAnyHits (IntervalsSpec). */
+  def intervalsAnyHits(text: String, maxGaps: Int, notText: String, k: Int,
+                       qid: Long = 0L): Array[Hit] = {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    require(positional, "intervals queries need a positional index")
+    val slots = QueryParser.intervalsAnySlots(text)
+    require(slots.length >= 2,
+      s"intervals need >= 2 ordered slots, got '$text'")
+    val allAlts = slots.flatten.distinct
+    val entries = entriesFor("FREE", allAlts)
+    val byTerm = entries.map(e => e.term -> e.termId).toMap
+    val slotTids = slots.map(_.flatMap(byTerm.get))
+    if (slotTids.exists(_.isEmpty)) return Array.empty
+    val notTerms = QueryParser.termsFor("FREE", notText).distinct
+    require(notTerms.length <= 1,
+      s"not_containing must be empty or a single term, got '$notText'")
+    require(notTerms.isEmpty || !allAlts.contains(notTerms.head),
+      "not_containing term must differ from the slot alternatives")
+    val notE = entriesFor("FREE", notTerms)
+    val all = (entries ++ notE).distinctBy(_.termId).sortBy(_.termId)
+    val idfByTid = all.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
+    val scoredAll = rawScored("INTERVALS_ANY", text, allAlts, all, idfByTid,
+      stats.avgDocLen, k, pruned = false, gapsLimit = maxGaps,
+      containTid = notE.headOption.map(_.termId).getOrElse(-1L),
+      slotAltTids = slotTids)
+    ServingSearcher.rankMerge(scoredAll, k, qid)
+  }
+
   /** search_after pagination at serving latency — same cursor contract
     * and bit-identical pages as Searcher.hitsAfter (PageSpec). */
   def hitsAfter(kind: String, text: String, k: Int, afterScore: Double,
@@ -345,7 +402,9 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
                                 exclTid: Long = -1L,
                                 exclWin: Int = 0,
                                 gapsLimit: Int = -1,
-                                containTid: Long = -1L)
+                                containTid: Long = -1L,
+                                slotAltTids: Array[Array[Long]] = null,
+                                containMode: Boolean = false)
       : Array[Wand.Scored] = {
     // nested boolean: compile the presence predicate over the entries'
     // ascending-termId slot order (same contract as Searcher.boolHits);
@@ -448,6 +507,8 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
     val xw = exclWin
     val gl = gapsLimit
     val ct = containTid
+    val sat = slotAltTids
+    val cm = containMode
     val perPart: Array[Array[Wand.Scored]] = sc.runJob(parts,
       (it: Iterator[Map[Long, Array[PostingList]]]) =>
         if (!it.hasNext) Array.empty[Wand.Scored]
@@ -455,7 +516,7 @@ final class ServingSearcher(spark: SparkSession, segment: Segment) {
           avgdl, conjunctive, phraseSlots, nw, nTerms, kk, pos, rlo, rhi, bs,
           boolEval, pr, if (ab == null) null else ab.value,
           if (rb == null) null else rb.value, aft, bp, bw, bst, fl, lmu, lp,
-          xt, xw, gl, ct))
+          xt, xw, gl, ct, sat, cm))
     perPart.flatten
   }
 }
@@ -625,7 +686,9 @@ object ServingSearcher {
       exclTid: Long = -1L,
       exclWin: Int = 0,
       gapsLimit: Int = -1,
-      containTid: Long = -1L): Array[Wand.Scored] = {
+      containTid: Long = -1L,
+      slotAltTids: Array[Array[Long]] = null,
+      containMode: Boolean = false): Array[Wand.Scored] = {
     @inline def bo(tid: Long): Double =
       if (boostByTid == null) 1.0 else boostByTid.getOrElse(tid, 1.0)
     val scoped = lo > 0L || hi != Long.MaxValue
@@ -693,6 +756,32 @@ object ServingSearcher {
                   Wand.topKSpanNot(inc, exc, lens, firstDocId, avgdl, k,
                     exclWin, exclWin, accept, after)
               }
+            } else if (gapsLimit >= 0 && slotAltTids != null) {
+              // intervals any_of: one cursor per distinct termId shared
+              // across slots; a slot with no alternative in the bucket
+              // kills the bucket (same contract as Searcher.scoredRaw)
+              val plByTid = plArr.map(pl => pl.termId -> pl).toMap
+              val curByTid = mutable.Map.empty[Long, Wand.TermCursor]
+              def cursorFor(tid: Long): Option[Wand.TermCursor] =
+                curByTid.get(tid).orElse(plByTid.get(tid).map { pl =>
+                  val c = new Wand.TermCursor(tid, idfByTid(tid), pl,
+                    positional, lo, hi, bo(tid))
+                  curByTid(tid) = c
+                  c
+                })
+              val slotCs = slotAltTids.map(_.flatMap(tid => cursorFor(tid)))
+              if (slotCs.exists(_.isEmpty)) Array.empty[Wand.Scored]
+              else {
+                val not =
+                  if (containTid >= 0L)
+                    plByTid.get(containTid)
+                      .map(pl => new Wand.TermCursor(containTid, 0.0, pl,
+                        positional, lo, hi))
+                      .orNull
+                  else null
+                Wand.topKIntervalsAny(slotCs, lens, firstDocId, avgdl, k,
+                  gapsLimit, not, accept, after)
+              }
             } else if (gapsLimit >= 0 && phraseSlots != null) {
               // intervals: ordered slots in QUERY order; not_containing
               // list OPTIONAL per bucket (same contract as
@@ -712,7 +801,7 @@ object ServingSearcher {
                       .orNull
                   else null
                 Wand.topKIntervals(slots, lens, firstDocId, avgdl, k,
-                  gapsLimit, not, accept, after)
+                  gapsLimit, not, accept, after, mustContain = containMode)
               }
             } else if (phraseSlots != null) {
               val plByTid = plArr.map(pl => pl.termId -> pl).toMap

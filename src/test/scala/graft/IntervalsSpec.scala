@@ -122,6 +122,25 @@ class IntervalsSpec extends SparkSpec {
         assert(got == rel, s"g=$g not='$not'")
       }
       assert(srv.intervalsHits(s"${pair(0)} zzzqqqxx", 3, "", 10).isEmpty)
+      // containing + any_of parity on the same fixtures
+      val Seq(a, b, c) = pickTriple
+      val filt3 = toksByDoc.values.flatMap(_.distinct)
+        .find(t => !Seq(a, b, c).contains(t)).get
+      for (g <- Seq(0, 3, 1000)) {
+        val relC = searcher.intervalsContainingHits(q, g, filterTerm, 10)
+          .collect().map(h => (h.docId, h.score)).toSeq
+        val gotC = srv.intervalsContainingHits(q, g, filterTerm, 10)
+          .map(h => (h.docId, h.score)).toSeq
+        assert(gotC == relC, s"containing g=$g")
+        val relA = searcher.intervalsAnyHits(s"$a|$c $b", g, filt3, 10)
+          .collect().map(h => (h.docId, h.score)).toSeq
+        val gotA = srv.intervalsAnyHits(s"$a|$c $b", g, filt3, 10)
+          .map(h => (h.docId, h.score)).toSeq
+        assert(gotA == relA, s"any g=$g")
+      }
+      assert(srv.intervalsContainingHits(q, 3, "zzzqqqxx", 10).isEmpty)
+      assert(srv.intervalsAnyHits(s"zzzqqqxx|qqqzzzyy ${pair(1)}", 3, "", 10)
+        .isEmpty)
     } finally srv.close()
   }
 
