@@ -868,6 +868,10 @@ object SparkEntry {
     // + serial_diff(lag 2), absent-lag buckets report 0
     "ft_mov_avg" -> ((s, dir) =>
       DocsIndex.lenHistogramMoving(s, dir, "FREE", "fast merge", 10, 3, 2)),
+    // moving percentiles (ES moving_percentiles, exact nearest-rank):
+    // per bin, the window-3 trailing MEDIAN of bucket counts
+    "ft_mov_pct" -> ((s, dir) =>
+      DocsIndex.lenHistogramMovingPct(s, dir, "FREE", "fast merge", 10, 3, 50)),
     // multi_terms agg: top-10 (lang, docLen/16 bin) compound buckets by
     // doc count desc — the count-ordered sibling of ft_composite
     "ft_multiterms" -> ((s, dir) =>
@@ -2248,6 +2252,24 @@ object SparkEntry {
          |FROM h
          |WINDOW tw AS (ORDER BY bin ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          |ORDER BY bin""".stripMargin,
+    // moving-percentiles twin: the same trailing window as ft_mov_avg,
+    // exact nearest-rank pick from the per-row sorted window list
+    // (1-based index ceil(q*m/100) in both engines)
+    "ft_mov_pct" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf WHERE term IN ('fast', 'merge')
+         |), h AS (
+         |  SELECT (dl // 10) * 10 AS bin, count(*)::BIGINT AS n_docs
+         |  FROM m JOIN alldl USING (doc_id) GROUP BY 1
+         |), wins AS (
+         |  SELECT bin, n_docs, list(n_docs) OVER (
+         |    ORDER BY bin ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS wl
+         |  FROM h
+         |)
+         |SELECT bin, n_docs,
+         |       list_sort(wl)[CAST(ceil(50 * len(wl) / 100.0) AS INT)]::BIGINT
+         |         AS mov_pct
+         |FROM wins ORDER BY bin""".stripMargin,
     // multi_terms twin: compound buckets, count-desc with the pinned
     // (lang, bin) tie-break, top 10
     "ft_multiterms" ->

@@ -758,6 +758,33 @@ object DocsIndex {
                    w: org.apache.spark.sql.expressions.WindowSpec) =
     org.apache.spark.sql.functions.lag(c, n).over(w)
 
+  /** Moving percentiles (the ES `moving_percentiles` pipeline agg over
+    * the X87 histogram buckets): per bin, the EXACT q-percentile of the
+    * bucket counts in the trailing current-inclusive window — the
+    * shared X82 nearest-rank rule (element at rank ceil(q·m/100) of the
+    * sorted m-value window), pinned exact where ES slides TDigest
+    * sketches. Scale is the X94 regime: the window (and its per-row
+    * sorted copy — ≤`window` Longs) lives on the REDUCED bucket table,
+    * ≤|bins| rows by construction; integer ranks make the value
+    * cross-engine exact with no float path at all. */
+  def lenHistogramMovingPct(spark: SparkSession, sfDir: String, kind: String,
+                            text: String, width: Int, window: Int,
+                            q: Int): DataFrame = {
+    require(window >= 1, "moving window must be positive")
+    require(q >= 1 && q <= 100, s"percentile must be in [1,100], got $q")
+    import org.apache.spark.sql.expressions.Window
+    val hist = lenHistogram(spark, sfDir, kind, text, width)
+    val trail = Window.orderBy("bin")
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    hist.select(col("bin"), col("n_docs"),
+        sort_array(collect_list(col("n_docs")).over(trail)).as("wl"))
+      .select(col("bin"), col("n_docs"),
+        element_at(col("wl"),
+          ceil(lit(q) * size(col("wl")) / lit(100.0)).cast("int"))
+          .as("mov_pct"))
+      .orderBy("bin")
+  }
+
   /** Percentile-ranks aggregation (the ES `percentile_ranks` agg, exact
     * cumulative form): for each probe value v, the percentage of the
     * match set's docLen values ≤ v — the inverse surface of

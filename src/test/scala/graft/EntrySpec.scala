@@ -72,6 +72,30 @@ class EntrySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("lenHistogramMovingPct == brute-force sorted-window nearest rank") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq(25, 50, 100); win <- Seq(1, 3)) {
+      val got = graft.api.DocsIndex
+        .lenHistogramMovingPct(spark, sf, "FREE", "fast merge", 10, win, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val hist = graft.api.DocsIndex
+        .lenHistogram(spark, sf, "FREE", "fast merge", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      val want = hist.indices.map { i =>
+        val wl = hist.slice(math.max(0, i - win + 1), i + 1).map(_._2).sorted
+        val idx = math.ceil(q * wl.length / 100.0).toInt
+        (hist(i)._1, hist(i)._2, wl(idx - 1))
+      }
+      assert(got == want && got.nonEmpty, s"q=$q win=$win")
+      // laws: window 1 is the identity; q=100 is the window max
+      if (win == 1) assert(got.forall(r => r._3 == r._2))
+      if (q == 100) got.indices.foreach { i =>
+        assert(got(i)._3 == hist.slice(math.max(0, i - win + 1), i + 1)
+          .map(_._2).max)
+      }
+    }
+  }
+
   test("hybridLinear == brute-force min-max fusion of the two windows") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
