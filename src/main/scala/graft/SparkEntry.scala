@@ -1475,6 +1475,18 @@ object SparkEntry {
     "q_events_cumcard" -> ((s, dir) =>
       graft.pipeline.Events.cumulativeCardinality(
         s.read.parquet(s"$dir/events.parquet"))),
+    // as-of join (merge_asof / DuckDB ASOF JOIN / kdb aj): each purchase
+    // event joined to the user's most recent STRICTLY-prior click — the
+    // one-shuffle union+window form, no pair expansion
+    "q_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      graft.pipeline.AsOf.asOfPrior(side("purchase"), side("click"))
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("prior_id").as("prior_event_id"), col("gap_us"))
+        .orderBy("event_id")
+    }),
     // the streaming windowed-agg operator on a bounded frame (watermark
     // is a no-op in batch) — its unbounded behavior (late-event drop,
     // state finalization) is covered in StreamingSpec
@@ -4013,6 +4025,29 @@ object SparkEntry {
         |       event_type, count(*)::BIGINT AS cnt,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // as-of twin: the SAME union + keyed-window carry-forward (total
+    // (ts, side, id) order, frame ending 1 PRECEDING ⇒ strict-<), kept
+    // deliberately over DuckDB's native ASOF JOIN whose equal-ts
+    // tie-break is not pinned
+    "q_asof" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, ts AS t, 0 AS side, event_id AS id,
+        |         NULL::BIGINT AS rid, NULL::TIMESTAMP AS rt
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, event_id, ts
+        |  FROM events WHERE event_type = 'click'
+        |), c AS (
+        |  SELECT k, t, side, id,
+        |         last_value(rid IGNORE NULLS) OVER w AS prior_event_id,
+        |         last_value(rt IGNORE NULLS) OVER w AS prior_t
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY k ORDER BY t, side, id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT id AS event_id, k AS user_id, prior_event_id,
+        |       (epoch_us(t) - epoch_us(prior_t))::BIGINT AS gap_us
+        |FROM c WHERE side = 0 ORDER BY event_id""".stripMargin,
     // cumulative-cardinality twin: the same first-seen decomposition —
     // cumulative distinct to day D = #{users with min event day <= D},
     // running-summed over the reduced day table
