@@ -1475,6 +1475,11 @@ object SparkEntry {
     "q_events_cumcard" -> ((s, dir) =>
       graft.pipeline.Events.cumulativeCardinality(
         s.read.parquet(s"$dir/events.parquet"))),
+    // sessionization (session_window batch form): per-user sessions cut
+    // at >6h inactivity gaps, rolled up to session stats
+    "q_sessions" -> ((s, dir) =>
+      graft.pipeline.Events.sessionize(
+        s.read.parquet(s"$dir/events.parquet"), 21600L)),
     // as-of join (merge_asof / DuckDB ASOF JOIN / kdb aj): each purchase
     // event joined to the user's most recent STRICTLY-prior click — the
     // one-shuffle union+window form, no pair expansion
@@ -4025,6 +4030,28 @@ object SparkEntry {
         |       event_type, count(*)::BIGINT AS cnt,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sessionization twin: identical lag-flag/running-sum windows over
+    // the same total (ts, event_id) per-user order
+    "q_sessions" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   > 21600000000::BIGINT THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sid AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(is_new) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+        |       (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS duration_us,
+        |       round(sum(value), 4) AS sum_value
+        |FROM sid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // as-of twin: the SAME union + keyed-window carry-forward (total
     // (ts, side, id) order, frame ending 1 PRECEDING ⇒ strict-<), kept
     // deliberately over DuckDB's native ASOF JOIN whose equal-ts

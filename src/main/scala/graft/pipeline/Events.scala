@@ -67,6 +67,39 @@ object Events {
       .orderBy("bucket")
   }
 
+  /** Sessionization (inactivity-gap session windows — the Spark
+    * `session_window` / Flink session-gap / GA-style sessions shape,
+    * batch form): events of one user belong to one session while
+    * consecutive gaps stay ≤ `gapSecs`; a strictly-greater gap starts a
+    * new session. Returns per-session rollups with 1-based per-user
+    * session ids.
+    *
+    * Plan: ONE shuffle (user-keyed) serves both the lag/flag window and
+    * the session rollup — session ids are the running sum of
+    * new-session flags inside the same keyed sort, then the groupBy
+    * reuses the partitioning. Determinism: the window order is total
+    * ((ts, event_id)) and the gap test is exact microsecond Long
+    * arithmetic; sums round at 4 dp like every events rollup. Skew: a
+    * hot user serializes its own window only. */
+  def sessionize(events: DataFrame, gapSecs: Long): DataFrame = {
+    require(gapSecs >= 1, s"session gap must be >= 1s, got $gapSecs")
+    val ts = col("ts").cast("timestamp")
+    val w = Window.partitionBy("user_id").orderBy(ts.asc, col("event_id").asc)
+    val prevTs = lag(ts, 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(ts) - unix_micros(prevTs) > gapSecs * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_id",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(ts)) - min(unix_micros(ts))).as("duration_us"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Cumulative cardinality (the Elasticsearch `cumulative_cardinality`
     * pipeline aggregation over a daily date histogram of distinct
     * users — "total users to date", the canonical new-vs-returning

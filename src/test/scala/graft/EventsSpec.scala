@@ -98,6 +98,45 @@ class EventsSpec extends SparkSpec {
     assert(got.forall(r => r._2 >= r._3))
   }
 
+  test("sessionize == brute-force gap cutting + laws") {
+    import spark.implicits._
+    // (user, epochSec, id, value): crafted gaps exactly AT and just
+    // OVER the 100 s budget (<= stays, > cuts), multi-user
+    val rows = Seq(
+      (1L, 0L, 1L, 1.0), (1L, 100L, 2L, 2.0), (1L, 200L, 3L, 3.0),
+      (1L, 301L, 4L, 4.0), // gap 101 > 100 -> new session
+      (1L, 400L, 5L, 5.0),
+      (2L, 50L, 6L, 6.0), (2L, 151L, 7L, 7.0), // gap 101 -> cut
+      (3L, 9L, 8L, 8.0))
+    val df = rows.map { case (u, t, i, v) =>
+      (u, new Timestamp(t * 1000L), i, v) }.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.pipeline.Events.sessionize(df, 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // brute force: sort per user, cut at gap > 100 s
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var out = Seq(Seq(sorted.head))
+      sorted.tail.foreach { e =>
+        if (e._2 - out.last.last._2 > 100L) out = out :+ Seq(e)
+        else out = out.init :+ (out.last :+ e)
+      }
+      out.zipWithIndex.map { case (ses, i) =>
+        (u, (i + 1).toLong, ses.length.toLong,
+          (ses.map(_._2).max - ses.map(_._2).min) * 1000000L,
+          BigDecimal(ses.map(_._4).sum).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got == want)
+    // laws: session ids 1..k per user; event counts preserved
+    assert(got.groupBy(_._1).forall { case (_, ss) =>
+      ss.map(_._2).sorted == (1L to ss.length).toSeq })
+    assert(got.map(_._3).sum == rows.length)
+    // the crafted cuts: user 1 -> sessions (3 events)(2 events)
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq(3L, 2L))
+  }
+
   test("as-of prior join == brute-force strict-< argmax per key") {
     import spark.implicits._
     // interleaved fixture with equal-ts collisions (cross-side AND
