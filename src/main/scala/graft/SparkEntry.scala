@@ -1475,6 +1475,11 @@ object SparkEntry {
     "q_events_cumcard" -> ((s, dir) =>
       graft.pipeline.Events.cumulativeCardinality(
         s.read.parquet(s"$dir/events.parquet"))),
+    // ordered funnel (view -> click -> purchase, each step within 6h of
+    // the previous): per step, users reaching it + conversion pct
+    "q_funnel" -> ((s, dir) =>
+      graft.pipeline.Events.funnel(s.read.parquet(s"$dir/events.parquet"),
+        Seq("view", "click", "purchase"), 21600L)),
     // sessionization (session_window batch form): per-user sessions cut
     // at >6h inactivity gaps, rolled up to session stats
     "q_sessions" -> ((s, dir) =>
@@ -4030,6 +4035,48 @@ object SparkEntry {
         |       event_type, count(*)::BIGINT AS cnt,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // funnel twin: the same per-start greedy chains as nested min()
+    // subqueries (the intervals-twin pattern over time instead of
+    // positions), furthest step maxed per user
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_type = 'purchase'),
+        |chain AS (
+        |  SELECT v.user_id, v.t AS t1,
+        |         (SELECT min(c.t) FROM c
+        |          WHERE c.user_id = v.user_id AND c.t > v.t
+        |            AND c.t <= v.t + 21600000000::BIGINT) AS t2
+        |  FROM v
+        |), chain3 AS (
+        |  SELECT user_id, t2,
+        |         CASE WHEN t2 IS NULL THEN NULL ELSE
+        |           (SELECT min(p.t) FROM p
+        |            WHERE p.user_id = chain.user_id AND p.t > t2
+        |              AND p.t <= t2 + 21600000000::BIGINT) END AS t3
+        |  FROM chain
+        |), per_user AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN t3 IS NOT NULL THEN 3
+        |                  WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS furthest
+        |  FROM chain3 GROUP BY 1
+        |), counts AS (
+        |  SELECT furthest, count(*)::BIGINT AS n FROM per_user GROUP BY 1
+        |)
+        |SELECT s.step,
+        |       CASE s.step WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+        |            ELSE 'purchase' END AS event_type,
+        |       (SELECT coalesce(sum(n), 0) FROM counts
+        |        WHERE furthest >= s.step)::BIGINT AS n_users,
+        |       floor((SELECT coalesce(sum(n), 0) FROM counts
+        |              WHERE furthest >= s.step) * 100.0
+        |             / (SELECT sum(n) FROM counts) * 1e6 + 0.5) / 1e6
+        |         AS pct_of_first
+        |FROM (SELECT unnest(range(1, 4)) AS step) s
+        |ORDER BY step""".stripMargin,
     // sessionization twin: identical lag-flag/running-sum windows over
     // the same total (ts, event_id) per-user order
     "q_sessions" ->

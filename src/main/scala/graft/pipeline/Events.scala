@@ -100,6 +100,80 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Ordered funnel analysis (the Amplitude/GA-style conversion funnel:
+    * step events in order, each within `windowSecs` of the PREVIOUS
+    * step): per funnel step, how many users reach it and the
+    * conversion percentage relative to step 1.
+    *
+    * Matching rule PINNED (the X105/X109 minimized-chain posture): a
+    * user reaches step k iff some step-1 occurrence's GREEDY chain —
+    * earliest qualifying event per subsequent step, strictly later and
+    * ≤ window after the previous step — extends to k; the user's
+    * furthest step is the max over starts. (First-match-per-step from
+    * every start is the funnel-product semantics; an all-chains
+    * existential would differ and has no exact SQL form.)
+    *
+    * Plan: filter to step events (pushdown), ONE user-keyed shuffle,
+    * per-user sorted step arrays walked by binary search inside
+    * mapGroups (a user's funnel events fit memory — the sessionization
+    * assumption), then the per-furthest counts reduce to ≤|steps| rows
+    * driver-side. Determinism: exact microsecond Longs; the one float
+    * per row (pct) is a fixed floor(x·1e6+0.5)/1e6 tree. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             windowSecs: Long): DataFrame = {
+    require(steps.length >= 2, "funnel needs at least two steps")
+    require(steps.distinct.length == steps.length, "funnel steps must differ")
+    require(windowSecs >= 1, s"funnel window must be >= 1s, got $windowSecs")
+    val sess = events.sparkSession
+    import sess.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val wUs = windowSecs * 1000000L
+    val nSteps = steps.length
+    val perUser: Array[(Int, Long)] = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        val lists = Array.fill(nSteps)(scala.collection.mutable.ArrayBuilder
+          .make[Long])
+        it.foreach { case (_, t, us) => lists(stepIdx(t)) += us }
+        val sorted = lists.map { b => val a = b.result(); java.util.Arrays.sort(a); a }
+        var best = if (sorted(0).isEmpty) 0 else 1
+        var s = 0
+        while (best < nSteps && s < sorted(0).length) {
+          var prev = sorted(0)(s)
+          var k = 1
+          var ok = true
+          while (ok && k < nSteps) {
+            val arr = sorted(k)
+            // earliest element strictly after prev and within the window
+            var i = java.util.Arrays.binarySearch(arr, prev + 1)
+            if (i < 0) i = -i - 1
+            if (i < arr.length && arr(i) <= prev + wUs) { prev = arr(i); k += 1 }
+            else ok = false
+          }
+          if (k > best) best = k
+          s += 1
+        }
+        best
+      }
+      .filter(_ > 0)
+      .groupByKey(identity).count().collect()
+    val byFurthest = perUser.toMap
+    val n1 = byFurthest.values.sum
+    val rows = (1 to nSteps).map { step =>
+      val n = (step to nSteps).map(f => byFurthest.getOrElse(f, 0L)).sum
+      val pct =
+        if (n1 == 0L) 0.0
+        else math.floor(n * 100.0 / n1 * 1e6 + 0.5) / 1e6
+      (step.toLong, steps(step - 1), n, pct)
+    }
+    sess.createDataFrame(rows)
+      .toDF("step", "event_type", "n_users", "pct_of_first")
+  }
+
   /** Cumulative cardinality (the Elasticsearch `cumulative_cardinality`
     * pipeline aggregation over a daily date histogram of distinct
     * users — "total users to date", the canonical new-vs-returning

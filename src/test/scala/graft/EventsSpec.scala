@@ -137,6 +137,61 @@ class EventsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._3) == Seq(3L, 2L))
   }
 
+  test("funnel == brute-force per-start greedy chains + laws") {
+    import spark.implicits._
+    // (user, type, epochSec) — crafted so greedy-from-the-first-start
+    // fails but a later start converts (the per-start rule matters),
+    // plus step-2-only and full-converter users
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 60L), (1L, "view", 50L),
+      (1L, "purchase", 170L), // v@0->c@60 ok, p@170 > 60+100; v@50->c@60->p@170 > 160 fail... see asserts
+      (2L, "view", 0L), (2L, "click", 90L), (2L, "purchase", 150L),
+      (3L, "view", 10L), (3L, "purchase", 20L), // no click: step 1 only
+      (4L, "click", 5L), (4L, "purchase", 10L), // no view: outside funnel
+      (5L, "view", 0L), (5L, "view", 100L), (5L, "click", 150L))
+    val df = rows.zipWithIndex.map { case ((u, t, sec), i) =>
+      (u, t, new Timestamp(sec * 1000L), i.toLong, 0.0)
+    }.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val steps = Seq("view", "click", "purchase")
+    val got = graft.pipeline.Events.funnel(df, steps, 100L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    // brute force of the PINNED rule: per start, greedy-earliest chain
+    def furthest(u: Long): Int = {
+      val byStep = steps.map(t => rows.collect {
+        case (`u`, `t`, s) => s }.sorted)
+      if (byStep.head.isEmpty) return 0
+      byStep.head.map { s0 =>
+        var prev = s0; var k = 1; var ok = true
+        while (ok && k < steps.length) {
+          byStep(k).find(t => t > prev && t <= prev + 100L) match {
+            case Some(t) => prev = t; k += 1
+            case None => ok = false
+          }
+        }
+        k
+      }.max
+    }
+    val fs = rows.map(_._1).distinct.map(u => u -> furthest(u)).toMap
+    val n1 = fs.values.count(_ >= 1)
+    val want = steps.indices.map { i =>
+      val n = fs.values.count(_ >= i + 1).toLong
+      (i + 1L, steps(i),
+        n, math.floor(n * 100.0 / n1 * 1e6 + 0.5) / 1e6)
+    }
+    assert(got == want)
+    // laws: monotone nonincreasing counts; step-1 pct is 100
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(got.head._4 == 100.0)
+    // the crafted cases: user 2 converts fully; user 1 reaches step 2
+    // (v@0->c@60, p@170 outside 60+100; v@50->c@60, same p fail);
+    // user 3 step 1; user 4 never enters; user 5 proves the PER-START
+    // rule (v@0 finds no click in (0,100], v@100 -> c@150 does)
+    assert(fs(2L) == 3 && fs(1L) == 2 && fs(3L) == 1 && fs(4L) == 0)
+    assert(fs(5L) == 2)
+    assert(got.map(_._3) == Seq(4L, 3L, 1L))
+  }
+
   test("as-of prior join == brute-force strict-< argmax per key") {
     import spark.implicits._
     // interleaved fixture with equal-ts collisions (cross-side AND
