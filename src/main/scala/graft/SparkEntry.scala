@@ -1475,6 +1475,11 @@ object SparkEntry {
     "q_events_cumcard" -> ((s, dir) =>
       graft.pipeline.Events.cumulativeCardinality(
         s.read.parquet(s"$dir/events.parquet"))),
+    // cohort retention triangle: users cohorted by first-activity day,
+    // returning share per day-offset 1..7
+    "q_retention" -> ((s, dir) =>
+      graft.pipeline.Events.retention(
+        s.read.parquet(s"$dir/events.parquet"), 7)),
     // ordered funnel (view -> click -> purchase, each step within 6h of
     // the previous): per step, users reaching it + conversion pct
     "q_funnel" -> ((s, dir) =>
@@ -4035,6 +4040,31 @@ object SparkEntry {
         |       event_type, count(*)::BIGINT AS cnt,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // retention twin: the same first-seen decomposition + integer
+    // epoch-day arithmetic + floor-rounded pct
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events
+        |), fs AS (
+        |  SELECT user_id, min(day) AS cohort FROM act GROUP BY 1
+        |), sizes AS (
+        |  SELECT cohort, count(*)::BIGINT AS cohort_users FROM fs GROUP BY 1
+        |), ret AS (
+        |  SELECT fs.cohort, act.day - fs.cohort AS day_offset,
+        |         count(*)::BIGINT AS returning
+        |  FROM act JOIN fs USING (user_id)
+        |  WHERE act.day - fs.cohort BETWEEN 1 AND 7
+        |  GROUP BY 1, 2
+        |)
+        |SELECT strftime(epoch_ms(ret.cohort * 86400000), '%Y-%m-%d')
+        |         AS cohort_day,
+        |       ret.day_offset, sizes.cohort_users, ret.returning,
+        |       floor(ret.returning * 100.0 / sizes.cohort_users * 1e6 + 0.5)
+        |         / 1e6 AS pct
+        |FROM ret JOIN sizes USING (cohort)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // funnel twin: the same per-start greedy chains as nested min()
     // subqueries (the intervals-twin pattern over time instead of
     // positions), furthest step maxed per user

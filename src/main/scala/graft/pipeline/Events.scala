@@ -100,6 +100,41 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Cohort retention (the classic retention triangle: users cohorted by
+    * FIRST-activity day, then for each later day-offset the share of the
+    * cohort active again): one row per (cohort_day, day_offset ≥ 1) with
+    * the returning-user count and the floor-rounded retention pct.
+    *
+    * Plan: the X110 first-seen decomposition again — ONE user-keyed
+    * min-agg pins each user's cohort day (broadcastable only if users
+    * fit, so instead it JOINS back by user: two corpus-scale hash
+    * shuffles total, both on user_id, and AQE coalesces the tiny
+    * (cohort, offset) agg); cohort sizes come from the same first-seen
+    * table. Exact integer day arithmetic (UTC epoch-day floor division);
+    * pct = one floor(x·1e6+0.5)/1e6 tree per reduced row. */
+  def retention(events: DataFrame, maxOffset: Int): DataFrame = {
+    require(maxOffset >= 1, s"retention offset must be >= 1, got $maxOffset")
+    val day = floor(unix_timestamp(col("ts").cast("timestamp")) / lit(86400L))
+      .cast("long")
+    val act = events.select(col("user_id"), day.as("day")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val ret = act.join(first, Seq("user_id"))
+      .withColumn("day_offset", col("day") - col("cohort"))
+      .filter(col("day_offset") >= 1 && col("day_offset") <= maxOffset)
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("returning"))
+    ret.join(sizes, Seq("cohort"))
+      .select(
+        date_format(timestamp_seconds(col("cohort") * lit(86400L)),
+          "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("cohort_users"), col("returning"),
+        (floor(col("returning") * lit(100.0) / col("cohort_users") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("pct"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Ordered funnel analysis (the Amplitude/GA-style conversion funnel:
     * step events in order, each within `windowSecs` of the PREVIOUS
     * step): per funnel step, how many users reach it and the

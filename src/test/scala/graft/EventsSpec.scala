@@ -137,6 +137,33 @@ class EventsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._3) == Seq(3L, 2L))
   }
 
+  test("retention == brute-force cohort triangle + laws") {
+    import spark.implicits._
+    // (user, day): cohorts on day 0 and 1; varying return patterns,
+    // incl. a beyond-maxOffset return that must be cut
+    val rows = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L), (1L, 9L), // cohort 0, returns d1,d3 (d9 > 7 cut)
+      (2L, 0L), (2L, 1L), // cohort 0, returns d1
+      (3L, 0L), // cohort 0, never returns
+      (4L, 1L), (4L, 3L), (4L, 3L)) // cohort 1, returns offset 2 (dup day collapses)
+    val df = rows.zipWithIndex.map { case ((u, d), i) =>
+      (u, new Timestamp((base + d * 86400L + u) * 1000L), i.toLong, "view", 0.0)
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.pipeline.Events.retention(df, 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val day0 = fmt(base).take(10)
+    val day1 = fmt(base + 86400L).take(10)
+    def pct(n: Long, c: Long) = math.floor(n * 100.0 / c * 1e6 + 0.5) / 1e6
+    val want = Seq(
+      (day0, 1L, 3L, 2L, pct(2, 3)), // users 1,2 back at offset 1 of 3
+      (day0, 3L, 3L, 1L, pct(1, 3)), // user 1 at offset 3
+      (day1, 2L, 1L, 1L, pct(1, 1))) // user 4 at offset 2
+    assert(got == want)
+    // laws: returning <= cohort_users; offsets within [1, maxOffset]
+    assert(got.forall(r => r._4 <= r._3 && r._2 >= 1 && r._2 <= 7))
+  }
+
   test("funnel == brute-force per-start greedy chains + laws") {
     import spark.implicits._
     // (user, type, epochSec) — crafted so greedy-from-the-first-start
