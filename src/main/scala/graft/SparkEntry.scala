@@ -1416,6 +1416,23 @@ object SparkEntry {
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
         .orderBy("o_custkey")
     }),
+    // cube (the rollup sibling: ALL grouping-set combinations)
+    "q_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("cnt"), col("sum_price"))
+        .orderBy("st", "pri")),
+    // pivot/crosstab: daily event counts widened to one column per type
+    "q_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
     "q_rollup" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -4002,6 +4019,23 @@ object SparkEntry {
     "ft_sql_udtf" ->
       s"""$tokCtes
          |SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""".stripMargin,
+    // cube twin: GROUP BY CUBE with the same ALL-coalesce render
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pri,
+        |       count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    // pivot twin: conditional aggregation (FILTER) — deterministic and
+    // engine-portable where PIVOT syntax is not
+    "q_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+        |       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,
