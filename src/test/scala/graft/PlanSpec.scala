@@ -134,6 +134,35 @@ class PlanSpec extends SparkSpec {
       s"winnow must not shuffle:\n$wPlan")
   }
 
+  test("events ops: as-of is one exchange; funnel pushes its type filter") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+    // as-of: the union + keyed window must cost exactly ONE shuffle —
+    // the key hashpartitioning for the window sort; a join-based plan
+    // (range replicate, broadcast-nested-loop) would show more
+    val aPlan = graft.pipeline.AsOf.asOfPrior(side("purchase"), side("click"))
+      .queryExecution.executedPlan.toString
+    val nEx = "(?<!Broadcast)Exchange".r.findAllIn(aPlan).length
+    assert(nEx == 1, s"as-of must shuffle exactly once, saw $nEx:\n$aPlan")
+    assert(!aPlan.contains("NestedLoop"), s"as-of must not pair-expand:\n$aPlan")
+    // funnel/sessionize inputs: the event_type pushdown reaches parquet
+    val fPlan = ev.filter(col("event_type")
+        .isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(fPlan.contains("PushedFilters") && fPlan.contains("event_type"),
+      s"funnel type filter must push down:\n$fPlan")
+    // sessionize: one user-keyed exchange serves window AND rollup
+    val sPlan = graft.pipeline.Events.sessionize(ev, 21600L)
+      .queryExecution.executedPlan.toString
+    val sEx = "(?<!Broadcast)Exchange".r.findAllIn(sPlan).length
+    // window exchange + the final orderBy's range exchange are expected;
+    // the groupBy must NOT add a third (partitioning reused)
+    assert(sEx <= 2, s"sessionize must reuse the keyed partitioning, saw $sEx:\n$sPlan")
+  }
+
   test("termVectors: the doc_id predicate reaches the documents scan") {
     val sf = "/root/testdata/sf0.001"
     val q = graft.api.DocsIndex.termVectors(spark, sf, 7L)
