@@ -1175,6 +1175,14 @@ object SparkEntry {
     // vectors pass. The filter is a semi join of the embedding table
     // against the docmap predicate (co-partitionable at 100 TB; here one
     // narrow join), then the same broadcast-queries exact pass
+    // radius (similarity-threshold) vector search: every neighbor of
+    // queries 0..4 with rounded cosine >= 0.3, unbounded by k
+    "ann_radius" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(_._1 < 5).collect().sortBy(_._1)
+      graft.pipeline.Ann.radius(emb, qs, 0.3)
+    }),
     "ann_filtered" -> ((s, dir) => {
       import s.implicits._
       val emb = embeddings(s, dir)
@@ -3663,6 +3671,17 @@ object SparkEntry {
     // pairing dedup_minhash/dedup_jaccard use
     "dedup_embed_lsh" -> embedDupSql,
     "ann_topk" -> annTopkSql,
+    // radius twin: the brute cosine CTE with the >= threshold on the
+    // SAME 6-dp rounded value
+    "ann_radius" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT q.query_id, e.vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6) AS cos
+        |FROM q, embeddings e
+        |WHERE e.vec_id <> q.query_id
+        |  AND round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6) >= 0.3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
     // filtered kNN twin: the brute-force CTE with the candidate side
     // pre-filtered by the docmap predicate (queries stay unfiltered)
     "ann_filtered" ->

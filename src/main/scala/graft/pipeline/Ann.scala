@@ -49,6 +49,32 @@ object Ann {
       .select($"query_id", $"neighbor_id", $"cos", $"rank")
   }
 
+  /** Radius (similarity-threshold) vector search — the ES `knn` query's
+    * `similarity` floor / FAISS range_search: EVERY neighbor of each
+    * query with cosine ≥ `minCos`, unbounded by k (the recall-first
+    * retrieval mode: dedup candidate pools, near-duplicate audits).
+    * One narrow pass over the corpus — broadcast queries, per-row
+    * cosine, filter; the predicate keeps whole-stage codegen and the
+    * output is result-sized, never corpus-sized. Threshold compares the
+    * 6-dp ROUNDED cosine (≥ is then exact cross-engine); order
+    * (query_id, cos desc, neighbor_id) pinned. */
+  def radius(embeddings: Dataset[(Long, Array[Float])],
+             queries: Array[(Long, Array[Float])], minCos: Double): DataFrame = {
+    require(minCos >= -1.0 && minCos <= 1.0,
+      s"cosine threshold must be in [-1,1], got $minCos")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qs = spark.sparkContext.broadcast(queries)
+    embeddings.flatMap { case (vid, emb) =>
+      qs.value.iterator.collect {
+        case (qid, qemb) if qid != vid => (qid, vid, cosine(qemb, emb))
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+      .withColumn("cos", round($"cos", 6))
+      .filter($"cos" >= minCos)
+      .orderBy($"query_id", $"cos".desc, $"neighbor_id")
+  }
+
   /** Deterministic random hyperplanes (SplittableRandom gaussians). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rng = new java.util.SplittableRandom(seed)

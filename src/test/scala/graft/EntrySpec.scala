@@ -72,6 +72,37 @@ class EntrySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ann radius == brute-force threshold scan; topK-consistency law") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val qs = emb.filter(_._1 < 3).collect().sortBy(_._1)
+    val theta = 0.25
+    val got = graft.pipeline.Ann.radius(emb, qs, theta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val all = emb.collect()
+    val want = (for {
+      (qid, qv) <- qs.toSeq
+      (vid, v) <- all if vid != qid
+      c = BigDecimal.valueOf(graft.pipeline.Ann.cosine(qv, v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= theta
+    } yield (qid, vid, c)).sortBy(r => (r._1, -r._3, r._2))
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(_._3 >= theta))
+    assert(!got.exists(r => r._1 == r._2)) // self excluded
+    // consistency: radius results above a top-k's floor appear in top-k
+    val topk = graft.pipeline.Ann.bruteTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    qs.foreach { case (qid, _) =>
+      val r5 = got.filter(_._1 == qid).sortBy(r => (-r._3, r._2)).take(5)
+      r5.foreach(r => assert(topk((qid, r._2)), s"radius top row $r not in topK"))
+    }
+  }
+
   test("lenHistogramMovingPct == brute-force sorted-window nearest rank") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq(25, 50, 100); win <- Seq(1, 3)) {
