@@ -105,13 +105,14 @@ object Events {
     * cohort active again): one row per (cohort_day, day_offset ≥ 1) with
     * the returning-user count and the floor-rounded retention pct.
     *
-    * Plan: the X110 first-seen decomposition again — ONE user-keyed
-    * min-agg pins each user's cohort day (broadcastable only if users
-    * fit, so instead it JOINS back by user: two corpus-scale hash
-    * shuffles total, both on user_id, and AQE coalesces the tiny
-    * (cohort, offset) agg); cohort sizes come from the same first-seen
-    * table. Exact integer day arithmetic (UTC epoch-day floor division);
-    * pct = one floor(x·1e6+0.5)/1e6 tree per reduced row. */
+    * Plan: the X110 first-seen decomposition again — a user-keyed
+    * min-agg pins each user's cohort day, joined back by user (users
+    * need not fit in a broadcast). Corpus-scale exchanges: the
+    * (user, day) distinct, the user-keyed min agg, and the user-keyed
+    * join — all on the same user-led keys, so sort-merge reuses the
+    * layout; the (cohort, offset) agg and the sizes join run on
+    * reduced tables. Exact integer day arithmetic (UTC epoch-day floor
+    * division); pct = one floor(x·1e6+0.5)/1e6 tree per reduced row. */
   def retention(events: DataFrame, maxOffset: Int): DataFrame = {
     require(maxOffset >= 1, s"retention offset must be >= 1, got $maxOffset")
     val day = floor(unix_timestamp(col("ts").cast("timestamp")) / lit(86400L))
