@@ -19,6 +19,10 @@ for t in tables:
 
 def norm(v):
     if isinstance(v, float):
+        # pandas renders parquet NULL doubles as NaN; NaN != NaN would
+        # flag byte-equal rows as differing (both engines emit NULL)
+        if math.isnan(v):
+            return None
         return round(v, 6)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)

@@ -1246,6 +1246,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // oversampled quantized retrieval + exact float rescore (the ES
+    // knn rescore_vector / FAISS IndexRefineFlat pattern): the SQ8 code
+    // table answers the corpus-scale scan at a quarter of the bytes for
+    // k·3 candidates; exact float cosine re-ranks only those
+    "ann_sq8_rescore" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(_._1 < 5).collect().sortBy(_._1)
+      val (st, codes) = sq8Index(s, dir)
+      graft.pipeline.Sq8.topKRescored(codes, st, embeddings(s, dir), qs, 10, 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // exact kNN JOIN (the kNN-graph step of semantic curation): every
     // vector's 3 nearest neighbors via block-pair partial top-k heaps
     "knn_join" -> ((s, dir) =>
@@ -3736,6 +3747,50 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // rescore twin: the ann_sq8 CTE stack widened to k·3 candidates,
+    // then exact float cosine re-ranked over the candidate set only
+    "ann_sq8_rescore" ->
+      """WITH st AS (
+        |  SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+        |    SELECT generate_subscripts(embedding, 1) AS pos,
+        |           unnest(embedding)::DOUBLE AS v
+        |    FROM embeddings) GROUP BY pos
+        |),
+        |xd AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings
+        |),
+        |rec AS (
+        |  SELECT x.vec_id, x.pos,
+        |    CASE WHEN st.mx > st.mn
+        |      THEN st.mn + floor((x.v - st.mn) / (st.mx - st.mn) * 255.0 + 0.5)
+        |                   * (st.mx - st.mn) / 255.0
+        |      ELSE st.mn END AS xhat
+        |  FROM xd x JOIN st USING (pos)
+        |),
+        |recl AS (
+        |  SELECT vec_id, list(xhat ORDER BY pos) AS vhat FROM rec GROUP BY vec_id
+        |),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |              round(list_cosine_similarity(q.v, r.vhat), 6) AS qcos
+        |       FROM q, recl r WHERE r.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+        |    FROM sc)
+        |  WHERE rank <= 30),
+        |ex AS (SELECT c.query_id, c.neighbor_id,
+        |              round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6) AS cos
+        |       FROM cand c JOIN q USING (query_id)
+        |       JOIN embeddings e ON e.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM ex)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,

@@ -96,6 +96,59 @@ object Sq8 {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Oversampled quantized retrieval + exact float rescore — the ES
+    * quantized-kNN `rescore_vector` oversample pattern / FAISS
+    * IndexRefineFlat: the 4×-smaller CODE table answers the corpus-scale
+    * scan for the top k·oversample candidates per query, then EXACT
+    * float cosine is recomputed for those ≤|q|·k·oversample candidates
+    * only and the top k re-ranked by (round(exactCos,6) desc,
+    * neighbor_id) — the [[topK]]/Ann.bruteTopK order.
+    *
+    * Scale posture: the only corpus-scale pass is the quantized scan
+    * (a quarter of the float bytes — the SQ8 point at 100 TB); the
+    * candidate list is QUERY-sized (≤|q|·k·m rows — bounded by the
+    * query batch, never by the corpus), so it collects to the driver
+    * and pushes back down as a vec_id IN filter, turning the rescore
+    * into a pushdown-pruned point read of the float table (parquet
+    * row-group pruning on vec_id), not a second corpus scan.
+    *
+    * Containment theorem (tested in Sq8Spec): a true top-k neighbor
+    * that survives into the candidate pool ALWAYS survives the rescore
+    * (fewer than k vectors outrank it globally, so fewer than k pool
+    * members do) — per-query recall is ≥ the quantized-only recall,
+    * and with oversample covering the corpus the result is bit-identical
+    * to Ann.bruteTopK. */
+  def topKRescored(codeTable: DataFrame, st: Stats,
+                   floats: Dataset[(Long, Array[Float])],
+                   queries: Array[(Long, Array[Float])],
+                   k: Int, oversample: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val spark = codeTable.sparkSession
+    import spark.implicits._
+    val cand = topK(codeTable, st, queries, k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect() // ≤ |q|·k·m rows — query-batch-sized
+    val byNeighbor: Map[Long, Array[Long]] =
+      cand.groupBy(_._2).map { case (n, xs) => (n, xs.map(_._1)) }
+    val qmap = spark.sparkContext.broadcast(queries.toMap)
+    val bByN = spark.sparkContext.broadcast(byNeighbor)
+    val ids = byNeighbor.keys.toSeq
+    val rescored = floats.toDF("vec_id", "embedding")
+      .filter(col("vec_id").isin(ids: _*))
+      .as[(Long, Array[Float])]
+      .flatMap { case (vid, emb) =>
+        bByN.value.getOrElse(vid, Array.empty[Long]).iterator
+          .map(qid => (qid, vid, Ann.cosine(qmap.value(qid), emb)))
+      }.toDF("query_id", "neighbor_id", "cos")
+      .withColumn("cos", round(col("cos"), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Exact top-k over the CODE table (excludes self): broadcast
     * queries, one narrow scan, per-query top-k — ranked by
     * (round(cos,6) desc, neighbor_id), the cross-engine-reproducible

@@ -77,4 +77,54 @@ class Sq8Spec extends SparkSpec {
       approxMap.get(k).foreach(a => assert(math.abs(cos - a) < 0.01, s"$k $cos vs $a"))
     }
   }
+
+  test("oversample covering the corpus makes the rescore ≡ brute force") {
+    val qs = embeddings.collect().filter(_._1 < 8)
+    val codes = Sq8.codes(embeddings, stats)
+    // k·oversample = 160 ≥ N−1 ⇒ every vector is a candidate
+    val rescored = Sq8.topKRescored(codes, stats, embeddings, qs, 10, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val exact = Ann.bruteTopK(embeddings, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rescored.sortBy(t => (t._1, t._4)).toSeq ==
+      exact.sortBy(t => (t._1, t._4)).toSeq)
+  }
+
+  test("rescore emits exact cosines, candidates contain the result, and " +
+       "per-query recall never drops below the quantized-only recall") {
+    val qs = embeddings.collect().filter(_._1 < 16)
+    val qmap = qs.toMap
+    val all = embeddings.collect().toMap
+    val codes = Sq8.codes(embeddings, stats)
+    val k = 10; val m = 3
+    val pool = Sq8.topK(codes, stats, qs, k * m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val poolSets = pool.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val quant = Sq8.topK(codes, stats, qs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quantSets = quant.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val res = Sq8.topKRescored(codes, stats, embeddings, qs, k, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val resSets = res.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exactSets = Ann.bruteTopK(embeddings, qs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    res.foreach { case (qid, nid, cos) =>
+      // every emitted score is the exact float cosine, 6-dp rounded
+      val want = math.rint(Ann.cosine(qmap(qid), all(nid)) * 1e6) / 1e6
+      assert(cos == want, s"($qid,$nid) $cos != $want")
+      assert(poolSets(qid).contains(nid), s"$nid not in $qid's candidate pool")
+    }
+    qs.foreach { case (qid, _) =>
+      val rRecall = exactSets(qid).intersect(resSets(qid)).size
+      val qRecall = exactSets(qid).intersect(quantSets(qid)).size
+      assert(rRecall >= qRecall, s"query $qid rescore recall $rRecall < quantized $qRecall")
+      // the containment theorem: true top-k ∩ pool ⊆ rescored top-k
+      assert(exactSets(qid).intersect(poolSets(qid)).subsetOf(resSets(qid)))
+    }
+    intercept[IllegalArgumentException](
+      Sq8.topKRescored(codes, stats, embeddings, qs, 10, 0))
+    intercept[IllegalArgumentException](
+      Sq8.topKRescored(codes, stats, embeddings, qs, 0, 2))
+  }
 }
