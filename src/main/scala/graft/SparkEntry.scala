@@ -1279,6 +1279,24 @@ object SparkEntry {
     "winnow" -> ((s, dir) =>
       TextStats.winnow(DocsIndex.documents(s, dir), 4, 5)
         .orderBy("doc_id", "pos")),
+    // count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    // the exact top-15 terms probed against the fixed-memory 4×512
+    // grid — est ≥ cf by the CMS guarantee, byte-equal cross-engine
+    // via the md5-portable hash family
+    "cms_topterms" -> ((s, dir) => {
+      import graft.pipeline.Cms
+      val docs = DocsIndex.documents(s, dir)
+      val p = Cms.Params(depth = 4, width = 512)
+      val exact = docs
+        .select(explode(filter(split(col("text"), " "),
+          w => length(w) >= 2)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("term")).limit(15)
+      exact.join(Cms.estimate(Cms.sketch(docs, p), exact.select("term"), p),
+          "term")
+        .select(col("term"), col("cf"), col("est"))
+        .orderBy(col("cf").desc, col("term"))
+    }),
 
     // ── curation layer: decontamination / PII / repetition / mixing ──
     // benchmark partition = source 'src0'; 3-gram overlap >= 0.5 flags
@@ -3866,6 +3884,27 @@ object SparkEntry {
         |)
         |SELECT DISTINCT doc_id, pos::BIGINT AS pos, h FROM sel
         |ORDER BY doc_id, pos""".stripMargin,
+    // count-min twin: the identical 4×512 md5 grid (cells from every
+    // token occurrence), probed by the exact top-15 terms
+    "cms_topterms" ->
+      s"""$tokCtes,
+         |cells AS (
+         |  SELECT r.i,
+         |         ('0x' || substr(md5(r.i::VARCHAR || ':' || t.term), 1, 15))::BIGINT
+         |           % 512 AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |  FROM tok2 t, range(4) r(i) GROUP BY 1, 2
+         |),
+         |top AS (SELECT term, cf FROM df ORDER BY cf DESC, term LIMIT 15),
+         |pc AS (SELECT term, r.i,
+         |         ('0x' || substr(md5(r.i::VARCHAR || ':' || term), 1, 15))::BIGINT
+         |           % 512 AS bucket
+         |       FROM top, range(4) r(i)),
+         |est AS (SELECT pc.term, min(coalesce(c.cnt, 0))::BIGINT AS est
+         |        FROM pc LEFT JOIN cells c ON pc.i = c.i AND pc.bucket = c.bucket
+         |        GROUP BY pc.term)
+         |SELECT t.term, t.cf, e.est FROM top t JOIN est e USING (term)
+         |ORDER BY cf DESC, term""".stripMargin,
     "decontam" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |g AS (

@@ -52,4 +52,69 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  // count-min, unlike the two sketches above, IS cross-engine-exact
+  // (md5-portable hashes, integer counters) — so it gets both a DuckDB
+  // twin (cms_topterms) and cell-level brute-force checks here.
+
+  private def cmsDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta beta gamma x"), // 'x' drops (len < 2)
+      (2L, "alpha alpha delta epsilon"),
+      (3L, "beta gamma gamma gamma zeta kappa"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  private def cmsTokens: Seq[String] =
+    Seq("alpha", "beta", "beta", "gamma", "alpha", "alpha", "delta",
+      "epsilon", "beta", "gamma", "gamma", "gamma", "zeta", "kappa")
+
+  test("count-min grid equals the brute-force grid; estimates are exact " +
+       "per the min-over-rows rule and never under the true count") {
+    import graft.pipeline.Cms
+    import spark.implicits._
+    val p = Cms.Params(depth = 3, width = 8) // tiny width forces collisions
+    val grid = Cms.sketch(cmsDocs, p).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val counts = cmsTokens.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val bruteGrid = (for {
+      i <- 0 until p.depth
+      (t, c) <- counts.toSeq // toSeq: a Map here would collapse colliding cells
+    } yield ((i, Cms.bucket(i, t, p.width)), c))
+      .groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2).sum) }
+    assert(grid == bruteGrid)
+    val est = Cms.estimate(Cms.sketch(cmsDocs, p),
+        counts.keys.toSeq.toDF("term"), p)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    counts.foreach { case (t, c) =>
+      val want = (0 until p.depth)
+        .map(i => bruteGrid((i, Cms.bucket(i, t, p.width)))).min
+      assert(est(t) == want, s"$t est ${est(t)} != brute $want")
+      assert(est(t) >= c, s"$t est ${est(t)} under true $c")
+    }
+    // a probe absent from the corpus still answers (possibly 0)
+    val miss = Cms.estimate(Cms.sketch(cmsDocs, p),
+        Seq("nosuchterm").toDF("term"), p)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(miss.keySet == Set("nosuchterm") && miss("nosuchterm") >= 0L)
+  }
+
+  test("count-min is mergeable (cellwise sum) and parallelism-invariant") {
+    import graft.pipeline.Cms
+    val p = Cms.Params(depth = 3, width = 8)
+    def gridOf(df: org.apache.spark.sql.DataFrame) =
+      Cms.sketch(df, p).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val whole = gridOf(cmsDocs)
+    val a = gridOf(cmsDocs.filter(col("doc_id") <= 2))
+    val b = gridOf(cmsDocs.filter(col("doc_id") > 2))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(whole == merged)
+    assert(gridOf(cmsDocs.repartition(7)) == whole)
+    intercept[IllegalArgumentException](Cms.Params(depth = 0))
+    intercept[IllegalArgumentException](Cms.Params(width = 0))
+  }
 }
