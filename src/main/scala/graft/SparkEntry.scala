@@ -1523,6 +1523,12 @@ object SparkEntry {
     "q_events_auto" -> ((s, dir) =>
       graft.pipeline.Events.autoDateHistogram(
         s.read.parquet(s"$dir/events.parquet"), 40)),
+    // gap-filled daily histogram (ES date_histogram min_doc_count=0 +
+    // extended_bounds 2023-12-29..2024-02-02): every day in the widened
+    // span reported, empty edge days zero-filled
+    "q_events_gapfill" -> ((s, dir) =>
+      graft.pipeline.Events.gapFilledDaily(
+        s.read.parquet(s"$dir/events.parquet"), Some(19720L), Some(19755L))),
     // cumulative cardinality (ES cumulative_cardinality pipeline agg):
     // per day, distinct users + first-time users + EXACT cumulative
     // distinct users to date via the first-seen decomposition
@@ -4343,5 +4349,22 @@ object SparkEntry {
         |         ELSE date_trunc('week', ts) END, '%Y-%m-%d %H:%M:%S') AS bucket,
         |       (SELECT unit FROM u) AS interval,
         |       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // gap-fill twin: same integer epoch-day buckets, dense range() spine,
+    // least/greatest bounds widening, zero-filled absences
+    "q_events_gapfill" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, value FROM events
+        |), agg AS (
+        |  SELECT d, count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+        |  FROM d GROUP BY 1
+        |), mm AS (
+        |  SELECT least(min(d), 19720) AS lo, greatest(max(d), 19755) AS hi FROM d
+        |), spine AS (
+        |  SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm
+        |)
+        |SELECT strftime(to_timestamp(s.d * 86400), '%Y-%m-%d') AS day,
+        |       coalesce(a.cnt, 0)::BIGINT AS cnt,
+        |       coalesce(a.sum_value, 0) AS sum_value
+        |FROM spine s LEFT JOIN agg a USING (d) ORDER BY day""".stripMargin)
 }

@@ -67,6 +67,54 @@ object Events {
       .orderBy("bucket")
   }
 
+  /** Gap-filled daily date histogram (ES `date_histogram` with
+    * `min_doc_count: 0` + `extended_bounds`): one row for EVERY day in
+    * [min(dataLo, boundLo), max(dataHi, boundHi)] — empty days report
+    * cnt 0 / sum 0.0 (ES's empty-bucket sum), and explicit bounds only
+    * WIDEN the span (the ES extended_bounds rule: they never shrink the
+    * data's own range). The zero-fill is what makes the histogram safe
+    * to difference/derive over (X87's pipeline aggs assume a dense
+    * bucket axis).
+    *
+    * Plan: ONE day-keyed partial+final hash agg (≤ span-days rows out)
+    * + ONE narrow min/max agg (two Longs to the driver); the zero-fill
+    * spine is `spark.range` over the reduced day span left-joined to
+    * the reduced agg — no corpus-scale work beyond the two aggs. Day
+    * arithmetic is exact integer UTC epoch-day floor division, so the
+    * bucket rule is bit-identical across engines and parallelism. */
+  def gapFilledDaily(events: DataFrame, boundLoDay: Option[Long] = None,
+                     boundHiDay: Option[Long] = None): DataFrame = {
+    val spark = events.sparkSession
+    boundLoDay.zip(boundHiDay).foreach { case (lo, hi) =>
+      require(lo <= hi, s"extended bounds must have lo <= hi, got $lo > $hi")
+    }
+    val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")
+    val agg = events.groupBy(day.as("d"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+    val mm = events
+      .agg(min(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")),
+        max(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")))
+      .head()
+    val dataSpan =
+      if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))
+    val span = (dataSpan, boundLoDay, boundHiDay) match {
+      case (Some((dl, dh)), bl, bh) =>
+        Some((math.min(dl, bl.getOrElse(dl)), math.max(dh, bh.getOrElse(dh))))
+      case (None, Some(bl), Some(bh)) => Some((bl, bh))
+      case _ => None // empty input and no complete bounds: empty result
+    }
+    val spine = span match {
+      case Some((lo, hi)) => spark.range(lo, hi + 1).toDF("d")
+      case None => spark.range(0).toDF("d")
+    }
+    spine.join(agg, Seq("d"), "left")
+      .na.fill(0L, Seq("cnt")).na.fill(0.0, Seq("sum_value"))
+      .select(
+        date_format(timestamp_seconds(col("d") * 86400L), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("sum_value"))
+      .orderBy("day")
+  }
+
   /** Sessionization (inactivity-gap session windows — the Spark
     * `session_window` / Flink session-gap / GA-style sessions shape,
     * batch form): events of one user belong to one session while

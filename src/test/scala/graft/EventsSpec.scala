@@ -264,4 +264,47 @@ class EventsSpec extends SparkSpec {
     assert(Events.autoDateHistogram(empty, 40).collect().isEmpty)
     intercept[IllegalArgumentException](Events.autoDateHistogram(empty, 0))
   }
+
+  private def fmtDay(epochDay: Long): String =
+    java.time.LocalDate.ofEpochDay(epochDay).toString
+
+  test("gap-filled daily histogram: dense spine, zero-filled gaps, " +
+       "bounds only widen, empty-input postures") {
+    import spark.implicits._
+    // days 19723, 19725 (×2), 19730 — gaps at 19724 and 19726..19729
+    val secs = Seq(19723L * 86400 + 5, 19725L * 86400 + 60,
+      19725L * 86400 + 61, 19730L * 86400)
+    val df = mkEvents(secs)
+    def rows(g: org.apache.spark.sql.DataFrame) =
+      g.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = rows(Events.gapFilledDaily(df))
+    assert(got.map(_._1) == (19723L to 19730L).map(fmtDay))
+    val brute = secs.groupBy(s => Math.floorDiv(s, 86400L)).map { case (d, es) =>
+      d -> (es.size.toLong,
+        BigDecimal(es.map(_.toDouble / 10.0).sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    got.foreach { case (day, cnt, sv) =>
+      val d = java.time.LocalDate.parse(day).toEpochDay
+      brute.get(d) match {
+        case Some((bc, bs)) => assert(cnt == bc && sv == bs, s"$day: ($cnt,$sv)")
+        case None => assert(cnt == 0L && sv == 0.0, s"$day not zero-filled")
+      }
+    }
+    // extended bounds INSIDE the data span never shrink it (the ES rule)
+    assert(rows(Events.gapFilledDaily(df, Some(19725L), Some(19726L))) == got)
+    // widening bounds add zero-filled edge days
+    val wide = rows(Events.gapFilledDaily(df, Some(19721L), Some(19732L)))
+    assert(wide.map(_._1) == (19721L to 19732L).map(fmtDay))
+    assert(wide.take(2).forall(r => r._2 == 0L && r._3 == 0.0))
+    assert(wide.takeRight(2).forall(r => r._2 == 0L && r._3 == 0.0))
+    assert(wide.filter(r => got.map(_._1).contains(r._1)) == got)
+    // empty input: complete bounds give an all-zero spine; none give empty
+    val empty = Seq.empty[(Timestamp, Double)].toDF("ts", "value")
+    assert(rows(Events.gapFilledDaily(empty, Some(19723L), Some(19724L))) ==
+      Seq((fmtDay(19723L), 0L, 0.0), (fmtDay(19724L), 0L, 0.0)))
+    assert(Events.gapFilledDaily(empty).collect().isEmpty)
+    intercept[IllegalArgumentException](
+      Events.gapFilledDaily(df, Some(5L), Some(4L)))
+  }
 }
