@@ -1303,6 +1303,18 @@ object SparkEntry {
     "decontam" -> ((s, dir) =>
       Curation.decontaminate(DocsIndex.documents(s, dir), "src0", 3, 0.5)
         .orderBy("doc_id")),
+    // bloom-prefiltered blocklist check (Bloom, CACM 1970): src0's
+    // sha256 set as the m-bit image, ONE narrow broadcast-bitset
+    // corpus pass, exact verify over the positive survivors only —
+    // false positives (deterministic under the md5-portable hashes)
+    // carry exact = false
+    "bloom_prefilter" -> ((s, dir) => {
+      val docs = DocsIndex.documents(s, dir)
+      val block = docs.filter(col("source") === "src0")
+        .select(sha2(col("text"), 256).as("key"))
+      graft.pipeline.Bloom.prefilter(docs, block,
+        graft.pipeline.Bloom.Params(bits = 1 << 16, hashes = 4))
+    }),
     // scrub synthetic PII injected by a pure-SQL-portable expression (the
     // testdata carries none), so counts are nonzero and the redaction
     // path is genuinely exercised end-to-end
@@ -3911,6 +3923,29 @@ object SparkEntry {
          |        GROUP BY pc.term)
          |SELECT t.term, t.cf, e.est FROM top t JOIN est e USING (term)
          |ORDER BY cf DESC, term""".stripMargin,
+    // bloom twin: the identical md5 position rule — a doc is positive
+    // iff EVERY one of its (distinct) positions was set by some
+    // blocklist key; exact = sha membership in the blocklist itself
+    "bloom_prefilter" ->
+      """WITH bl AS (
+        |  SELECT DISTINCT sha256(text) AS key FROM documents WHERE source = 'src0'
+        |), setpos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(r.i::VARCHAR || ':' || key), 1, 15))::BIGINT
+        |           % 65536 AS pos
+        |  FROM bl, range(4) r(i)
+        |), dk AS (
+        |  SELECT doc_id, sha256(text) AS key FROM documents
+        |), dp AS (
+        |  SELECT DISTINCT doc_id, key,
+        |         ('0x' || substr(md5(r.i::VARCHAR || ':' || key), 1, 15))::BIGINT
+        |           % 65536 AS pos
+        |  FROM dk, range(4) r(i)
+        |), m AS (
+        |  SELECT d.doc_id, d.key, count(*) AS tot, count(s.pos) AS hit
+        |  FROM dp d LEFT JOIN setpos s USING (pos) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, (key IN (SELECT key FROM bl)) AS exact
+        |FROM m WHERE tot = hit ORDER BY doc_id""".stripMargin,
     "decontam" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |g AS (
