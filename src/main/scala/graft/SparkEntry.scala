@@ -1112,6 +1112,13 @@ object SparkEntry {
       Dedup.simhashPairs(DocsIndex.documents(s, dir), 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")),
+    // the PORTABLE simhash sibling: md5-derived 60-bit signatures make
+    // the signature — and the whole banded pair set — SQL-expressible,
+    // closing the family's oracle gap (dedup_simhash stays as the
+    // murmur3 scalatest-gated variant)
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashPairsPortable(DocsIndex.documents(s, dir), 3)
+        .orderBy("doc_a", "doc_b")),
     // semantic dedup (SemDeDup): k-means cells + within-cell cosine
     // pairs, lowest-centroid-cos survivor per group (no SQL twin:
     // clustering is approximate by design — within-cell pair exactness,
@@ -3635,6 +3642,29 @@ object SparkEntry {
         |         AS keep
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // portable-simhash twin: identical md5 bit rule (bit b set iff the
+    // tf-weighted ± sum over words' hash-bit-b signs is >= 0), then the
+    // exact all-pairs hamming filter — the banding only ACCELERATES
+    // candidate generation (pigeonhole-complete at <= 3), so the pair
+    // sets coincide
+    "dedup_simhash_md5" ->
+      s"""$tokCtes,
+         |wh AS (SELECT DISTINCT term,
+         |         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+         |bits AS (
+         |  SELECT t.doc_id, b.b,
+         |    CASE WHEN sum(CASE WHEN (wh.h >> b.b) & 1 = 1
+         |                       THEN t.tf ELSE -t.tf END) >= 0
+         |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM tf t JOIN wh USING (term), range(60) b(b)
+         |  GROUP BY 1, 2
+         |),
+         |sig AS (SELECT doc_id, sum(bit << b)::BIGINT AS sig FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure of the exact-Jaccard pair graph (recursive CTE)
     // — component = min reachable doc_id, the same canonical rule
     "dedup_clusters" ->

@@ -230,6 +230,67 @@ object Dedup {
     pairs.toDF("doc_a", "doc_b", "hamming")
   }
 
+  /** Portable 60-bit SimHash (Charikar STOC'02 sign-random-projection,
+    * applied hash-wise per Manku et al. WWW'07) over tf-weighted word
+    * hashes from the md5-portable family (md5 15-hex prefix — the same
+    * digest DuckDB computes): bit b is set iff Σ_w ±tf(w) ≥ 0 with the
+    * sign taken from bit b of hash(w). Tokens follow the fulltext
+    * convention (split ' ', drop length < 2). Returns None for a doc
+    * with no tokens — pinned: a signal-free doc's degenerate all-ones
+    * signature would band every such doc together, so they are excluded
+    * from the pair search in BOTH engines. */
+  def simhash60(text: String): Option[Long] = {
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    text.split(" ").foreach(w =>
+      if (w.length >= 2) counts.update(w, counts.getOrElse(w, 0) + 1))
+    if (counts.isEmpty) return None
+    val acc = new Array[Long](60)
+    counts.foreach { case (w, tf) =>
+      val h = PortableHash.md5HexPrefixLong(w, 15)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += tf else acc(b) -= tf
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (acc(b) >= 0L) sig |= (1L << b); b += 1 }
+    Some(sig)
+  }
+
+  /** SimHash near-dup pairs over the PORTABLE [[simhash60]] signature,
+    * banded into 4×15-bit chunks (pigeonhole-complete to hamming ≤ 3 —
+    * the [[simhashPairs]] regime and the same scale posture: banded
+    * candidate generation, never all-pairs). Unlike the murmur3
+    * [[simhashPairs]] (scalatest-gated only), every step here —
+    * tokenize, tf weights, md5 bit rule, recovered pair set — has an
+    * exact ANSI-SQL form, so the operator is DuckDB-oracled end to end
+    * (`dedup_simhash_md5`), closing the simhash family's oracle gap. */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-chunk banding guarantees recall only to distance 3")
+    val sigs = docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, t) => simhash60(t).map(s => (id, s)) }
+    val chunks = sigs.flatMap { case (id, sig) =>
+      (0 until 4).iterator
+        .map(c => ((c.toLong << 15) | ((sig >>> (c * 15)) & 0x7fffL), id, sig))
+    }
+    val pairs = chunks.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      for {
+        i <- rows.indices.iterator
+        j <- (i + 1 until rows.length).iterator
+        if rows(i)._1 != rows(j)._1
+        h = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
+        if h <= maxHamming
+      } yield (rows(i)._1, rows(j)._1, h.toLong)
+    }.distinct()
+    pairs.toDF("doc_a", "doc_b", "hamming")
+  }
+
   /** Chunk-level exact duplication (the scalable coarse form of exact
     * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better" — their suffix-array exact-substring pass

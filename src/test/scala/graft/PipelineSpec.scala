@@ -61,6 +61,33 @@ class PipelineSpec extends SparkSpec {
     assert(want.nonEmpty, "planted near-dups should collide in simhash space")
   }
 
+  test("portable simhash banding == brute force over simhash60; " +
+       "token-free docs are excluded; validation") {
+    import spark.implicits._
+    // 300 has no tokens at all; 301 only length-1 tokens — both excluded
+    val withEmpty = docs.union(
+      Seq((300L, ""), (301L, "x y z")).toDF("doc_id", "text"))
+    val got = Dedup.simhashPairsPortable(withEmpty, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(Dedup.simhash60("") == None && Dedup.simhash60("x y z") == None)
+    val sigs = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, t) => Dedup.simhash60(t).map(s => (id, s)) }
+    val want = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      a = if (sigs(i)._1 < sigs(j)._1) sigs(i) else sigs(j)
+      b = if (sigs(i)._1 < sigs(j)._1) sigs(j) else sigs(i)
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 3
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "planted near-dups should collide in simhash space")
+    assert(!got.exists(p => p._1 >= 300L || p._2 >= 300L))
+    // signatures use only the low 60 bits
+    assert(sigs.forall { case (_, s) => (s >>> 60) == 0L })
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsPortable(docs, 4))
+  }
+
   lazy val embeddings = {
     import spark.implicits._
     val rng = new java.util.SplittableRandom(11)
