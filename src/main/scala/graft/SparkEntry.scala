@@ -1253,6 +1253,18 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // fully PORTABLE LSH top-k: md5-parity ±1 hyperplanes over the SQ8
+    // integer codes — approximate retrieval that is nonetheless
+    // bit-identical cross-engine (closing the ann_lsh family's oracle
+    // gap; the float-hyperplane AnnIndex stays the recall-gated path)
+    "ann_lsh_md5" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(_._1 < 5).collect().sortBy(_._1)
+      val (st, codes) = sq8Index(s, dir)
+      graft.pipeline.LshPortable.topK(codes, embeddings(s, dir), st, qs, 10,
+        graft.pipeline.LshPortable.Params(tables = 8, planes = 10, dim = 64))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // oversampled quantized retrieval + exact float rescore (the ES
     // knn rescore_vector / FAISS IndexRefineFlat pattern): the SQ8 code
     // table answers the corpus-scale scan at a quarter of the bytes for
@@ -3809,6 +3821,61 @@ object SparkEntry {
         |sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
         |              round(list_cosine_similarity(q.v, r.vhat), 6) AS cos
         |       FROM q, recl r WHERE r.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // portable-LSH twin: md5-parity signs × SQ8 integer codes — exact
+    // integer projections, so even the approximate bucket structure
+    // (and thus the whole candidate/result set) reproduces byte-equal
+    "ann_lsh_md5" ->
+      """WITH st AS (
+        |  SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+        |    SELECT generate_subscripts(embedding, 1) AS pos,
+        |           unnest(embedding)::DOUBLE AS v
+        |    FROM embeddings) GROUP BY pos
+        |),
+        |xd AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings
+        |),
+        |code AS (
+        |  SELECT x.vec_id, x.pos,
+        |    CASE WHEN st.mx > st.mn
+        |      THEN CAST(floor((x.v - st.mn) / (st.mx - st.mn) * 255.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS c
+        |  FROM xd x JOIN st USING (pos)
+        |),
+        |sg AS (
+        |  SELECT rt.t, rp.p, rd.d,
+        |    CASE WHEN ('0x' || substr(md5(rt.t::VARCHAR || ':' || rp.p::VARCHAR
+        |                                  || ':' || rd.d::VARCHAR), 1, 15))::BIGINT
+        |              & 1 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM range(8) rt(t), range(10) rp(p), range(64) rd(d)
+        |),
+        |proj AS (
+        |  SELECT c.vec_id, sg.t, sg.p, sum(sg.s * c.c) AS acc
+        |  FROM code c JOIN sg ON sg.d = c.pos - 1
+        |  GROUP BY 1, 2, 3
+        |),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |         sum(CASE WHEN acc >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+        |  FROM proj GROUP BY 1, 2
+        |),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+        |  FROM sig qs JOIN sig cs ON qs.t = cs.t AND qs.sig = cs.sig
+        |  WHERE qs.vec_id < 5 AND cs.vec_id <> qs.vec_id
+        |),
+        |sc AS (SELECT c.query_id, c.neighbor_id,
+        |              round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6) AS cos
+        |       FROM cand c JOIN q USING (query_id)
+        |       JOIN embeddings e ON e.vec_id = c.neighbor_id)
         |SELECT query_id, neighbor_id, cos, rank FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
