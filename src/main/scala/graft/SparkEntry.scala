@@ -1389,6 +1389,21 @@ object SparkEntry {
     "epoch_shuffle" -> ((s, dir) =>
       Curation.epochShuffle(DocsIndex.documents(s, dir), 7L, 4)
         .orderBy("shard", "pos")),
+    // z-order layout clustering (the Delta OPTIMIZE ZORDER class):
+    // per-file skipping stats of the Morton (source-rank, n_chars)
+    // curve vs the naive id-order layout — narrow per-file n_chars
+    // spans are the data-skipping win the curve buys
+    "zorder_layout" -> ((s, dir) => {
+      import graft.pipeline.Layout
+      val docs = DocsIndex.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val n = docs.count()
+      val naive = docs.select(col("doc_id"),
+        expr(s"CAST(doc_id * 8 div $n AS BIGINT)").as("file"))
+      Layout.fileStats(docs, Layout.zorder(docs, 8), "zorder")
+        .union(Layout.fileStats(docs, naive, "docid"))
+        .orderBy("layout", "file")
+    }),
     // BPE vocabulary training (Sennrich ACL'16, word-frequency-table
     // form): one corpus shuffle, merges learned driver-side. The merge
     // loop is iterative — no SQL twin; the hand-computed Sennrich
@@ -2549,6 +2564,46 @@ object SparkEntry {
         |       (row_number() OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id)
         |        - 1)::BIGINT AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // z-order twin: identical dense source ranks, 16-bit interleave
+    // (correlated bit sum over range(16)), prefix files, and the same
+    // id-order baseline — stats byte-equal
+    "zorder_layout" ->
+      """WITH ranks AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS xr
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |), dims AS (
+        |  SELECT (SELECT count(*) FROM ranks) AS s,
+        |         min(n_chars) AS lo, max(n_chars) AS hi
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, d0.source, n_chars,
+        |         CASE WHEN dims.s > 1
+        |              THEN xr * 65535 // (dims.s - 1) ELSE 0 END AS xs,
+        |         CASE WHEN dims.hi > dims.lo
+        |              THEN (n_chars - dims.lo) * 65535 // (dims.hi - dims.lo)
+        |              ELSE 0 END AS ys
+        |  FROM documents d0 JOIN ranks USING (source), dims
+        |), z AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (SELECT sum((((xs >> b.b) & 1) << (2 * b.b))
+        |              + (((ys >> b.b) & 1) << (2 * b.b + 1)))
+        |     FROM range(16) b(b))::BIGINT AS z
+        |  FROM d
+        |), za AS (SELECT doc_id, source, n_chars, z >> 29 AS file FROM z),
+        |na AS (SELECT doc_id, source, n_chars,
+        |         (doc_id * 8 // (SELECT count(*) FROM documents))::BIGINT AS file
+        |       FROM documents),
+        |stats AS (
+        |  SELECT 'zorder' AS layout, file, count(*)::BIGINT AS n_docs,
+        |         count(DISTINCT source)::BIGINT AS n_sources,
+        |         min(n_chars)::BIGINT AS nc_lo, max(n_chars)::BIGINT AS nc_hi
+        |  FROM za GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'docid', file, count(*)::BIGINT, count(DISTINCT source)::BIGINT,
+        |         min(n_chars)::BIGINT, max(n_chars)::BIGINT
+        |  FROM na GROUP BY 2
+        |)
+        |SELECT * FROM stats ORDER BY layout, file""".stripMargin,
     // mixture-sample twin: the weights CTE stack + the strat_sample
     // md5 micro-bucket, integer-vs-integer compare
     "mixture_sample" ->
