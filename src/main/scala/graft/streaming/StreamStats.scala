@@ -81,6 +81,86 @@ object StreamStats {
       }
   }
 
+  /** Open-session state: `nextId` numbers the user's sessions 1-based
+    * (kept across closes so later sessions keep counting); n == 0 means
+    * no session is open. */
+  final case class SessState(nextId: Long, startUs: Long, lastUs: Long,
+                             n: Long, sum: Double)
+
+  /** Streaming sessionization — the Structured-Streaming sibling of the
+    * batch `Events.sessionize` (X114), built on flatMapGroupsWithState
+    * with an EVENT-TIME timeout: a user's session closes either when a
+    * later event arrives with a gap strictly over the budget (in-batch
+    * close — the batch rule verbatim) or when the watermark passes
+    * lastEvent + gap (the timeout close that a pure batch op never
+    * needs). Emits one row per CLOSED session, shaped exactly like the
+    * batch rollup: (user_id, session_id, n_events, duration_us,
+    * sum_value@4dp).
+    *
+    * Pinned contract: admitted events fold in per-batch (ts, event_id)
+    * order; an in-watermark late event older than the open session's
+    * last event MERGES into it (sessions never retro-split — the
+    * standard streaming approximation). Under in-order delivery the
+    * output is row-identical to the batch operator on the same frame —
+    * the law StreamingSpec checks.
+    *
+    * Scale: state is ONE small record per user, partitioned by the
+    * state store across executors; a hot user folds only its own
+    * batch slice. Timeouts are event-time, so idle users cost nothing
+    * until the watermark actually passes their gap. */
+  def streamingSessionize(events: Dataset[(Long, Long, java.sql.Timestamp, Double)],
+                          gapSecs: Long, watermark: String = "1 hour")
+      : Dataset[(Long, Long, Long, Long, Double)] = {
+    require(gapSecs >= 1, s"session gap must be >= 1s, got $gapSecs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSecs * 1000000L
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events.toDF("user_id", "event_id", "ts", "value")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessState]) =>
+          def close(s: SessState) =
+            (user, s.nextId, s.n, s.lastUs - s.startUs, round4(s.sum))
+          if (!rows.hasNext && state.hasTimedOut) {
+            val s = state.get
+            state.update(SessState(s.nextId + 1, 0L, 0L, 0L, 0.0))
+            Iterator.single(close(s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, Double)]
+            var st = state.getOption.getOrElse(SessState(1L, 0L, 0L, 0L, 0.0))
+            rows.toArray
+              .map { case (_, eid, ts, v) => (micros(ts), eid, v) }
+              .sortBy(r => (r._1, r._2))
+              .foreach { case (us, _, v) =>
+                if (st.n == 0L) st = SessState(st.nextId, us, us, 1L, v)
+                else if (us - st.lastUs > gapUs) {
+                  out += close(st)
+                  st = SessState(st.nextId + 1, us, us, 1L, v)
+                } else st = st.copy(
+                  startUs = math.min(st.startUs, us),
+                  lastUs = math.max(st.lastUs, us),
+                  n = st.n + 1, sum = st.sum + v)
+              }
+            state.update(st)
+            if (st.n > 0L)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1L,
+                st.lastUs / 1000L + gapSecs * 1000L))
+            out.iterator
+          }
+      }
+  }
+
   /** Per-source running document/token totals via mapGroupsWithState —
     * the custom-state primitive (SURVEY §2.5 streaming row). Each
     * micro-batch folds its rows into the keyed state and emits the

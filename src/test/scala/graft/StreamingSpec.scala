@@ -150,6 +150,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization matches the batch operator; in-batch " +
+       "splits, cross-batch continuation, timeout closes, late-merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = StreamStats.streamingSessionize(mem.toDS(), 60L, "1 hour")
+      .toDF("user_id", "session_id", "n_events", "duration_us", "sum_value")
+      .writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val realEvents = Seq(
+      (1L, 1L, t(0), 1.0), (1L, 2L, t(10), 2.0), (2L, 10L, t(5), 5.0),
+      // gap exactly 60 (t70 vs t10) stays; 61 (t131 vs t70) splits in-batch
+      (1L, 3L, t(70), 3.0), (1L, 4L, t(131), 4.0),
+      // in-watermark late event for user 2 — merges, never retro-splits
+      (2L, 11L, t(3), 1.0))
+    try {
+      mem.addData(realEvents.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(realEvents.drop(3): _*)
+      q.processAllAvailable()
+      // flush: push the watermark far past every open session's gap,
+      // then one more batch so the event-time timeouts actually fire
+      mem.addData((99L, 99L, t(100000), 0.0))
+      q.processAllAvailable()
+      mem.addData((99L, 98L, t(200000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+        .filter(_._1 != 99L).toSet
+      val want = graft.pipeline.Events.sessionize(
+          realEvents.toDF("user_id", "event_id", "ts", "value"), 60L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(got == want, s"streaming $got vs batch $want")
+      // the in-batch split emitted user 1's first session BEFORE any
+      // flush batch: 2 sessions for user 1, 1 for user 2
+      assert(got.count(_._1 == 1L) == 2 && got.count(_._1 == 2L) == 1)
+      intercept[IllegalArgumentException](
+        StreamStats.streamingSessionize(mem.toDS(), 0L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-source stats across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
