@@ -1575,6 +1575,12 @@ object SparkEntry {
     "q_events_gapfill" -> ((s, dir) =>
       graft.pipeline.Events.gapFilledDaily(
         s.read.parquet(s"$dir/events.parquet"), Some(19720L), Some(19755L))),
+    // absence detection (CEP "A not followed by B": clicks with no
+    // purchase by the same user within 6h — the abandonment signal);
+    // one user-keyed RANGE-frame window, no self-join
+    "q_events_absence" -> ((s, dir) =>
+      graft.pipeline.Events.absence(
+        s.read.parquet(s"$dir/events.parquet"), "click", "purchase", 21600L)),
     // cumulative cardinality (ES cumulative_cardinality pipeline agg):
     // per day, distinct users + first-time users + EXACT cumulative
     // distinct users to date via the first-seen decomposition
@@ -4537,6 +4543,20 @@ object SparkEntry {
         |       (SELECT unit FROM u) AS interval,
         |       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // absence twin: identical value-RANGE frame over epoch micros —
+    // inclusive [t, t+w] B-count, zero means abandoned
+    "q_events_absence" ->
+      """WITH ab AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), x AS (
+        |  SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us
+        |          RANGE BETWEEN CURRENT ROW AND 21600000000 FOLLOWING) AS nb
+        |  FROM ab
+        |)
+        |SELECT event_id, user_id, us AS ts_us FROM x
+        |WHERE event_type = 'click' AND nb = 0 ORDER BY event_id""".stripMargin,
     // gap-fill twin: same integer epoch-day buckets, dense range() spine,
     // least/greatest bounds widening, zero-filled absences
     "q_events_gapfill" ->

@@ -67,6 +67,36 @@ object Events {
       .orderBy("bucket")
   }
 
+  /** Absence detection (the negation dual of the X115 funnel — the
+    * CEP "A not followed by B" pattern behind churn/abandonment
+    * analytics, cf. Flink CEP `notFollowedBy` / MATCH_RECOGNIZE
+    * negation): every `aType` event with NO `bType` event of the same
+    * user in [t, t + window] — inclusive on BOTH ends, pinned: a
+    * same-microsecond B cancels (value-based RANGE frames see every
+    * equal-timestamp row regardless of sort position, which is exactly
+    * what makes this rule total-order-free and engine-portable).
+    *
+    * Plan: pushdown type filter to the two event types, then ONE
+    * user-keyed shuffle serves a value-RANGE window counting B events
+    * in the forward interval — no self-join, no per-A probe; exact
+    * microsecond Long arithmetic. A hot user serializes only its own
+    * window. */
+  def absence(events: DataFrame, aType: String, bType: String,
+              windowSecs: Long): DataFrame = {
+    require(windowSecs >= 1, s"absence window must be >= 1s, got $windowSecs")
+    require(aType != bType, "A and B must be distinct event types")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val ab = events.filter(col("event_type").isin(aType, bType))
+      .select(col("event_id"), col("user_id"), col("event_type"), us.as("us"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(0L, windowSecs * 1000000L)
+    ab.withColumn("nb",
+        sum(when(col("event_type") === bType, 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === aType && col("nb") === 0L)
+      .select(col("event_id"), col("user_id"), col("us").as("ts_us"))
+      .orderBy("event_id")
+  }
+
   /** Gap-filled daily date histogram (ES `date_histogram` with
     * `min_doc_count: 0` + `extended_bounds`): one row for EVERY day in
     * [min(dataLo, boundLo), max(dataHi, boundHi)] — empty days report

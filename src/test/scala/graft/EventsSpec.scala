@@ -268,6 +268,35 @@ class EventsSpec extends SparkSpec {
   private def fmtDay(epochDay: Long): String =
     java.time.LocalDate.ofEpochDay(epochDay).toString
 
+  test("absence detection: forward-only inclusive window, same-us cancel, " +
+       "brute force, validation") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val w = 60L
+    val evs = Seq(
+      (1L, 1L, t(0), "A"), (2L, 1L, t(60), "B"),     // B at exactly t+w cancels
+      (3L, 1L, t(200), "A"), (4L, 1L, t(261), "B"),  // B just outside: abandoned
+      (5L, 2L, t(10), "A"), (6L, 2L, t(10), "B"),    // same-us B cancels
+      (7L, 2L, t(500), "A"),                         // lone A: abandoned
+      (8L, 3L, t(5), "B"), (9L, 3L, t(50), "A"),     // B BEFORE A never cancels
+      (10L, 4L, t(0), "C"), (11L, 4L, t(1), "A"), (12L, 4L, t(30), "B"))
+    val df = evs.toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.absence(df, "A", "B", w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def us(ts: java.sql.Timestamp) = ts.getTime * 1000L
+    val bs = evs.filter(_._4 == "B")
+    val want = evs.filter(_._4 == "A").filterNot { a =>
+      bs.exists { b =>
+        val d = us(b._3) - us(a._3)
+        b._2 == a._2 && d >= 0L && d <= w * 1000000L
+      }
+    }.map(a => (a._1, a._2, us(a._3))).sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.map(_._1).toSet == Set(3L, 7L, 9L))
+    intercept[IllegalArgumentException](Events.absence(df, "A", "B", 0L))
+    intercept[IllegalArgumentException](Events.absence(df, "A", "A", w))
+  }
+
   test("gap-filled daily histogram: dense spine, zero-filled gaps, " +
        "bounds only widen, empty-input postures") {
     import spark.implicits._
