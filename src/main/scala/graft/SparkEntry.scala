@@ -1581,6 +1581,12 @@ object SparkEntry {
     "q_events_absence" -> ((s, dir) =>
       graft.pipeline.Events.absence(
         s.read.parquet(s"$dir/events.parquet"), "click", "purchase", 21600L)),
+    // daily-count anomaly flags (2σ control chart over the trailing 7
+    // days, self-excluded) — the σ test is exact-Long cross-multiplied,
+    // no float path at all
+    "q_events_anomaly" -> ((s, dir) =>
+      graft.pipeline.Events.dailyAnomaly(
+        s.read.parquet(s"$dir/events.parquet"), 7)),
     // cumulative cardinality (ES cumulative_cardinality pipeline agg):
     // per day, distinct users + first-time users + EXACT cumulative
     // distinct users to date via the first-seen decomposition
@@ -4543,6 +4549,26 @@ object SparkEntry {
         |       (SELECT unit FROM u) AS interval,
         |       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // anomaly twin: identical trailing ROWS frame + the exact-Long
+    // cross-multiplied 2σ rule
+    "q_events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1
+        |), x AS (
+        |  SELECT d, cnt,
+        |    count(cnt) OVER w AS n,
+        |    coalesce(sum(cnt) OVER w, 0)::BIGINT AS s1,
+        |    coalesce(sum(cnt * cnt) OVER w, 0)::BIGINT AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT strftime(to_timestamp(d * 86400), '%Y-%m-%d') AS day, cnt,
+        |       n::BIGINT AS n_base,
+        |       (n >= 2 AND (n * cnt - s1) * (n * cnt - s1)
+        |                   > 4 * (n * s2 - s1 * s1)) AS anomalous
+        |FROM x ORDER BY day""".stripMargin,
     // absence twin: identical value-RANGE frame over epoch micros —
     // inclusive [t, t+w] B-count, zero means abandoned
     "q_events_absence" ->

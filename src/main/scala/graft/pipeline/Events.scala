@@ -67,6 +67,41 @@ object Events {
       .orderBy("bucket")
   }
 
+  /** Daily-count anomaly flags (the ES `moving_fn` stddev-band alert /
+    * classic 2σ control-chart rule, exact-integer form): per day, flag
+    * the count anomalous iff |x − μ| > 2σ over the TRAILING window of
+    * the previous `window` days (self-excluded — the tested value never
+    * contaminates its own baseline). The σ comparison never touches a
+    * float: with S1 = Σx, S2 = Σx² and n window days, |x−μ| > 2σ ⇔
+    * (n·x − S1)² > 4·(n·S2 − S1²) — exact Long cross-multiplication
+    * (safe for daily counts up to ~3·10⁹; beyond that switch the sums
+    * to DECIMAL). Days with fewer than 2 trailing observations report
+    * false (no baseline, pinned).
+    *
+    * Plan: ONE day-keyed partial+final hash agg reduces the corpus to
+    * ≤ span-days rows; the trailing window, integer flag rule, and
+    * ordering all run on that reduced table (the X87 regime). */
+  def dailyAnomaly(events: DataFrame, window: Int): DataFrame = {
+    require(window >= 2, s"anomaly window must be >= 2 days, got $window")
+    val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")
+    val daily = events.groupBy(day.as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(-window.toLong, -1L)
+    daily
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("s1", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .withColumn("anomalous",
+        col("n") >= 2 &&
+          (col("n") * col("cnt") - col("s1")) * (col("n") * col("cnt") - col("s1"))
+            > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(
+        date_format(timestamp_seconds(col("d") * 86400L), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("n").as("n_base"), col("anomalous"))
+      .orderBy("day")
+  }
+
   /** Absence detection (the negation dual of the X115 funnel — the
     * CEP "A not followed by B" pattern behind churn/abandonment
     * analytics, cf. Flink CEP `notFollowedBy` / MATCH_RECOGNIZE

@@ -268,6 +268,33 @@ class EventsSpec extends SparkSpec {
   private def fmtDay(epochDay: Long): String =
     java.time.LocalDate.ofEpochDay(epochDay).toString
 
+  test("daily anomaly: 2σ exact-integer rule vs brute force; spike flagged, " +
+       "flat days not; <2-baseline days report false; validation") {
+    // per-day counts: 7 flat days, a 3× spike, recovery, a mild bump
+    val counts = Seq(10L, 11L, 10L, 9L, 10L, 11L, 10L, 30L, 10L, 13L)
+    val secs = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0L until c).map(j => 19723L * 86400 + i * 86400L + j)
+    }
+    val got = Events.dailyAnomaly(mkEvents(secs), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == counts.length)
+    counts.indices.foreach { i =>
+      val base = counts.slice(math.max(0, i - 7), i)
+      val n = base.length.toLong
+      val (s1, s2) = (base.sum, base.map(x => x * x).sum)
+      val x = counts(i)
+      val want = n >= 2 &&
+        (n * x - s1) * (n * x - s1) > 4L * (n * s2 - s1 * s1)
+      assert(got(i)._2 == x && got(i)._3 == n && got(i)._4 == want,
+        s"day $i: ${got(i)} want ($x, $n, $want)")
+    }
+    // the spike is flagged; the flat prefix and the mild bump are not
+    assert(got(7)._4 && !got(6)._4 && !got(9)._4)
+    assert(!got(0)._4 && !got(1)._4) // 0- and 1-day baselines: false
+    intercept[IllegalArgumentException](
+      Events.dailyAnomaly(mkEvents(secs), 1))
+  }
+
   test("absence detection: forward-only inclusive window, same-us cancel, " +
        "brute force, validation") {
     import spark.implicits._
