@@ -206,6 +206,50 @@ class PlanSpec extends SparkSpec {
       s"random top-k must be TakeOrderedAndProject:\n$rPlan")
   }
 
+  test("sketch/layout/events additions keep their promised shuffle shapes") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // count-min: map-side partial agg before ONE exchange (linearity)
+    val cPlan = graft.pipeline.Cms
+      .sketch(docs, graft.pipeline.Cms.Params(4, 512))
+      .queryExecution.executedPlan.toString
+    val cEx = "(?<!Broadcast)Exchange".r.findAllIn(cPlan).length
+    assert(cEx == 1, s"cms sketch must shuffle exactly once, saw $cEx:\n$cPlan")
+    val firstAgg = cPlan.indexOf("HashAggregate")
+    val exch = cPlan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exch >= 0 && cPlan.indexOf("HashAggregate", exch) >= 0,
+      s"cms must partial-aggregate map-side:\n$cPlan")
+    // bloom prefilter: the corpus pass is a narrow filter — no exchange
+    // upstream of the positives (the join exchanges only survivors)
+    val block = docs.filter(col("source") === "src0")
+      .select(sha2(col("text"), 256).as("key"))
+    val bWords = graft.pipeline.Bloom.build(block,
+      graft.pipeline.Bloom.Params(1 << 12, 4))
+    assert(bWords.length == (1 << 12) / 64)
+    // absence: ONE user-keyed exchange serves the RANGE window (the
+    // final orderBy adds its range exchange; nothing else)
+    val aPlan = graft.pipeline.Events.absence(ev, "click", "purchase", 21600L)
+      .queryExecution.executedPlan.toString
+    val aEx = "(?<!Broadcast)Exchange".r.findAllIn(aPlan).length
+    assert(aEx <= 2, s"absence must shuffle once (+orderBy), saw $aEx:\n$aPlan")
+    assert(aPlan.contains("PushedFilters") && aPlan.contains("event_type"),
+      s"absence type filter must push down:\n$aPlan")
+    // z-order: the source-rank join must broadcast (the rank table is
+    // |sources|-sized), leaving the corpus pass narrow
+    val zPlan = graft.pipeline.Layout.zorder(
+        docs.select(col("doc_id"), col("source"), col("n_chars")), 8)
+      .queryExecution.executedPlan.toString
+    assert(zPlan.contains("BroadcastHashJoin"),
+      s"zorder rank join must broadcast:\n$zPlan")
+    // gap-fill: the corpus contributes via ONE day-keyed agg; the spine
+    // join must not shuffle the corpus again
+    val gPlan = graft.pipeline.Events.gapFilledDaily(ev)
+      .queryExecution.executedPlan.toString
+    val gAggs = "HashAggregate".r.findAllIn(gPlan).length
+    assert(gAggs >= 2, s"gapfill needs partial+final day agg:\n$gPlan")
+  }
+
   test("TPC-H style join picks broadcast for the small dimension") {
     val sf = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_join_rev")(spark, sf)
