@@ -1253,6 +1253,15 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // Matryoshka two-tier retrieval (MRL, Kusupati et al. NeurIPS'22):
+    // candidates from a prefix-16-of-64-dim cosine scan (a quarter of
+    // the multiply-adds), exact full-dim rescore of the k·3 survivors
+    "ann_matryoshka" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(_._1 < 5).collect().sortBy(_._1)
+      Ann.truncatedTopK(embeddings(s, dir), qs, 10, 16, 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // fully PORTABLE LSH top-k: md5-parity ±1 hyperplanes over the SQ8
     // integer codes — approximate retrieval that is nonetheless
     // bit-identical cross-engine (closing the ann_lsh family's oracle
@@ -3892,6 +3901,28 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // matryoshka twin: prefix-slice cosine candidates + full-dim rescore
+    "ann_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.v[1:16],
+        |               (e.embedding::DOUBLE[])[1:16]), 6) AS pcos
+        |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rank
+        |    FROM sc)
+        |  WHERE rank <= 30),
+        |ex AS (SELECT c.query_id, c.neighbor_id,
+        |         round(list_cosine_similarity(q.v, e.embedding::DOUBLE[]), 6) AS cos
+        |       FROM cand c JOIN q USING (query_id)
+        |       JOIN embeddings e ON e.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM ex)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // portable-LSH twin: md5-parity signs × SQ8 integer codes — exact
     // integer projections, so even the approximate bucket structure

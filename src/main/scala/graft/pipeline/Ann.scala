@@ -75,6 +75,62 @@ object Ann {
       .orderBy($"query_id", $"cos".desc, $"neighbor_id")
   }
 
+  /** Matryoshka (MRL) two-tier retrieval (Kusupati et al., NeurIPS'22
+    * "Matryoshka Representation Learning"; the embedding-truncation
+    * practice ES/OpenAI expose as dimension reduction): rank candidates
+    * by cosine over the FIRST `dPrime` dimensions only — an MRL-trained
+    * embedding front-loads its information, so the prefix scan reads
+    * and multiplies dPrime/dim of the bytes (the cheap corpus pass at
+    * 100 TB) — then recompute EXACT full-dimension cosine for the
+    * k·oversample survivors and re-rank. Both tiers pin the
+    * (round(cos,6) desc, neighbor_id) order.
+    *
+    * The candidate list is QUERY-batch-sized (≤|q|·k·m — the Sq8
+    * rescore posture), so it collects and pushes back down as a vec_id
+    * IN filter: the full-dim rescore is a pushdown-pruned point read,
+    * never a second corpus scan. The same containment theorem applies:
+    * a true top-k neighbor surviving into the candidate pool always
+    * survives the rescore. */
+  def truncatedTopK(embeddings: Dataset[(Long, Array[Float])],
+                    queries: Array[(Long, Array[Float])],
+                    k: Int, dPrime: Int, oversample: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dPrime >= 1, s"dPrime must be >= 1, got $dPrime")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qs = spark.sparkContext.broadcast(
+      queries.map { case (id, e) => (id, e.take(dPrime)) })
+    val prefixScores = embeddings.flatMap { case (vid, emb) =>
+      val pe = emb.take(dPrime)
+      qs.value.iterator.collect {
+        case (qid, qp) if qid != vid => (qid, vid, cosine(qp, pe))
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+      .withColumn("cos", round($"cos", 6))
+    val wp = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    val cand = prefixScores.withColumn("rank", row_number().over(wp))
+      .filter($"rank" <= k * oversample)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect() // ≤ |q|·k·m rows — query-batch-sized
+    val byNeighbor = cand.groupBy(_._2).map { case (n, xs) => (n, xs.map(_._1)) }
+    val qmap = spark.sparkContext.broadcast(queries.toMap)
+    val bByN = spark.sparkContext.broadcast(byNeighbor)
+    val ids = byNeighbor.keys.toSeq
+    val rescored = embeddings.toDF("vec_id", "embedding")
+      .filter(col("vec_id").isin(ids: _*))
+      .as[(Long, Array[Float])]
+      .flatMap { case (vid, emb) =>
+        bByN.value.getOrElse(vid, Array.empty[Long]).iterator
+          .map(qid => (qid, vid, cosine(qmap.value(qid), emb)))
+      }.toDF("query_id", "neighbor_id", "cos")
+      .withColumn("cos", round($"cos", 6))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")
+  }
+
   /** Deterministic random hyperplanes (SplittableRandom gaussians). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rng = new java.util.SplittableRandom(seed)

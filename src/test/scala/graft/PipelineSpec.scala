@@ -88,6 +88,38 @@ class PipelineSpec extends SparkSpec {
       Dedup.simhashPairsPortable(docs, 4))
   }
 
+  test("matryoshka two-tier retrieval: covering params ≡ brute force; " +
+       "exact full-dim scores; recall floor at half the dims") {
+    val all = embeddings.collect()
+    val qs = all.filter(_._1 < 12)
+    // dPrime = dim and a corpus-covering oversample: bit-identical
+    val covering = Ann.truncatedTopK(embeddings, qs, 10, 16, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val exact = Ann.bruteTopK(embeddings, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(covering.sortBy(t => (t._1, t._4)).toSeq ==
+      exact.sortBy(t => (t._1, t._4)).toSeq)
+    // half the dims, 3× oversample: exact emitted scores + recall floor
+    val embMap = all.toMap
+    val qmap = qs.toMap
+    val got = Ann.truncatedTopK(embeddings, qs, 10, 8, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (qid, nid, cos) =>
+      val want = math.rint(Ann.cosine(qmap(qid), embMap(nid)) * 1e6) / 1e6
+      assert(cos == want, s"($qid,$nid) emitted $cos != full-dim $want")
+    }
+    val exactSets = exact.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val gotSets = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = qs.map { case (qid, _) =>
+      exactSets(qid).intersect(gotSets.getOrElse(qid, Set.empty)).size
+    }
+    assert(recalls.sum >= qs.length * 7, s"avg recall: ${recalls.toSeq}")
+    intercept[IllegalArgumentException](
+      Ann.truncatedTopK(embeddings, qs, 10, 0, 3))
+    intercept[IllegalArgumentException](
+      Ann.truncatedTopK(embeddings, qs, 10, 8, 0))
+  }
+
   lazy val embeddings = {
     import spark.implicits._
     val rng = new java.util.SplittableRandom(11)
