@@ -615,6 +615,11 @@ object SparkEntry {
     }),
     "ft_bm25_topk" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "FREE", "fast merge sort table", 20)),
+    // the SAME query through the MaxScore pruning strategy (Turtle &
+    // Flood '95) instead of block-max WAND — identical results by
+    // construction, so it shares ft_bm25_topk's oracle verbatim
+    "ft_bm25_maxscore" -> ((s, dir) =>
+      DocsIndex.maxScoreRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
     "ft_bm25_and" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "AND", "key AND value AND hash", 20)),
     "ft_bm25_or" -> ((s, dir) =>
@@ -1662,6 +1667,9 @@ object SparkEntry {
     "ft_sha256" ->
       "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
     "ft_bm25_topk" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
+    // MaxScore shares WAND's oracle — rank identity across strategies
+    // is exactly the claim
+    "ft_bm25_maxscore" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
     "ft_bm25_and" -> bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
     // MMR twin: the greedy unrolled as 5 chained argmax stages

@@ -107,6 +107,15 @@ object DocsIndex {
     rank(spark, sfDir, searcher.hits(kind, text, k + 50), k)
   }
 
+  /** [[rankedHits]] through the MaxScore pruning strategy — identical
+    * results to the WAND path by construction (the CORRECTNESS gate
+    * shares ft_bm25_topk's oracle). */
+  def maxScoreRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                         text: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    rank(spark, sfDir, searcher.hitsMaxScore(kind, text, k + 50), k)
+  }
+
   /** rankedHits through the zero-hit relaxation ladder
     * (Searcher.relaxedHits): OOV terms drop, then highest-df terms,
     * until the conjunction matches. */

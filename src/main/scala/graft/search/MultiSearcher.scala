@@ -118,7 +118,7 @@ final class MultiSearcher(spark: SparkSession, segments: Seq[Segment]) {
         }
         searcher.scoredRaw(entries.map(_.termId), idfByTid, avgdl,
           conjunctive = kind == "AND", k, pruned = false, entries.length,
-          phraseSlots, nearWindow = nearWin,
+          phraseSlots = phraseSlots, nearWindow = nearWin,
           acceptB = fielded.map { case (f, v) => searcher.docFilter(f, v) }.orNull,
           rejectB = tomb.map { case (tag, d) =>
             searcher.tombstoneFilter(tag, d()) }.orNull,

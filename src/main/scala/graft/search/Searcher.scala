@@ -594,6 +594,14 @@ final class Searcher(spark: SparkSession, segment: Segment,
       acceptB = docFilter(field, value),
       rejectB = tombstoneFilter(tag, deleted))
 
+  /** Disjunctive top-k through the MaxScore pruning strategy
+    * (Wand.topKMaxScore) instead of block-max WAND — identical results
+    * by construction; kept as an independently-pruned cross-check and
+    * for bound-shape comparisons. Non-OR kinds fall back to their
+    * ordinary walks. */
+  def hitsMaxScore(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
+    hitsImpl(kind, text, k, qid, pruned = true, maxscore = true)
+
   /** Exhaustive (unpruned) evaluation — correctness oracle for WAND. */
   def hitsExhaustive(kind: String, text: String, k: Int, qid: Long = 0L): Dataset[Hit] =
     hitsImpl(kind, text, k, qid, pruned = false)
@@ -1254,7 +1262,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
                        hi: Long = Long.MaxValue,
                        acceptB: AcceptB = null,
                        rejectB: AcceptB = null,
-                       after: Wand.Scored = null): Dataset[Hit] = {
+                       after: Wand.Scored = null,
+                       maxscore: Boolean = false): Dataset[Hit] = {
     if (kind == "BOOL")
       return boolHits(text, k, qid, lo, hi, acceptB, rejectB, after)
     val terms = QueryParser.termsFor(kind, text)
@@ -1292,7 +1301,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
       case _ =>
         scored(entries, conjunctive = kind == "AND", k, qid, pruned,
           lo = lo, hi = hi, acceptB = acceptB, rejectB = rejectB, after = after,
-          boostByTid = boostByTid)
+          boostByTid = boostByTid, maxscore = maxscore)
     }
   }
 
@@ -1305,11 +1314,12 @@ final class Searcher(spark: SparkSession, segment: Segment,
                      rejectB: AcceptB = null,
                      after: Wand.Scored = null,
                      boostByTid: Map[Long, Double] = null,
-                     firstLimit: Int = 0): Dataset[Hit] = {
+                     firstLimit: Int = 0,
+                     maxscore: Boolean = false): Dataset[Hit] = {
     val idfByTid: Map[Long, Double] =
       entries.map(e => e.termId -> BM25.idf(stats.numDocs, e.df)).toMap
     rankTopK(scoredRaw(entries.map(_.termId), idfByTid, stats.avgDocLen,
-      conjunctive, k, pruned, entries.length, phraseSlots, nearWindow, lo, hi,
+      conjunctive, k, pruned, entries.length, maxscore, phraseSlots, nearWindow, lo, hi,
       acceptB = acceptB, rejectB = rejectB, after = after,
       boostByTid = boostByTid, firstLimit = firstLimit)
       .toDF("docId", "score"), k, qid)
@@ -1421,6 +1431,7 @@ final class Searcher(spark: SparkSession, segment: Segment,
   private[search] def scoredRaw(tids: Array[Long], idfByTid: Map[Long, Double],
                                 avgdl: Double, conjunctive: Boolean, k: Int,
                                 pruned: Boolean, nTerms: Int,
+                                maxscore: Boolean = false,
                                 phraseSlots: Array[Long] = null,
                                 nearWindow: Int = 0, lo: Long = 0L,
                                 hi: Long = Long.MaxValue,
@@ -1598,6 +1609,8 @@ final class Searcher(spark: SparkSession, segment: Segment,
           Wand.topKLmd(cursors, lens, firstDocId, k, lmdMu, lmdP, accept, after)
         else if (!dismaxTie.isNaN)
           Wand.topKDisMax(cursors, lens, firstDocId, avgdl, k, dismaxTie, accept, after)
+        else if (pruned && maxscore)
+          Wand.topKMaxScore(cursors, lens, firstDocId, avgdl, k, accept, after)
         else if (pruned) Wand.topK(cursors, lens, firstDocId, avgdl, k, accept, after)
         else Wand.topKOrExhaustive(cursors, lens, firstDocId, avgdl, k, accept, after)
       res.iterator.map(s => (s.docId, s.score))

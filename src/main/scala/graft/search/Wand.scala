@@ -176,6 +176,118 @@ object Wand {
     topk.result()
   }
 
+  /** MaxScore top-k (Turtle & Flood, IP&M 31(6) 1995; the DAAT
+    * formulation surveyed by Mallia et al., ECIR'19) — the SECOND
+    * independent pruning strategy next to block-max WAND [[topK]], kept
+    * precisely because two different prunings that must agree
+    * bit-for-bit are a strong correctness check on both.
+    *
+    * Terms sort ASCENDING by whole-list upper bound; with prefix sums
+    * UB(i) = Σ_{j≤i} listMax(j), every term j with UB(j) ≤ θ is
+    * NON-ESSENTIAL: a document matching only terms 0..j cannot enter
+    * the heap. Candidates therefore drive from the essential lists
+    * alone; non-essential lists are probed per candidate by nextGeq in
+    * DESCENDING bound order with a running partial-score + remaining-UB
+    * early exit (sound: the bound only overestimates). As θ rises the
+    * essential boundary moves right and whole lists stop being walked.
+    *
+    * Bit-identity with [[topK]]/[[topKOrExhaustive]]: the early-exit
+    * partial sums decide only survival; a SURVIVING candidate's offered
+    * score is recomputed over its matched terms in ascending-termId
+    * order — the same summation order every other walk pins. */
+  def topKMaxScore(terms: Array[TermCursor], lens: Array[Int],
+                   firstDocId: Long, avgdl: Double, k: Int,
+                   accept: Long => Boolean = null,
+                   after: Scored = null): Array[Scored] = {
+    val topk = new TopK(k, after)
+    val sorted = terms.filter(!_.exhausted).sortBy(_.listMax)
+    val n = sorted.length
+    if (n == 0) return topk.result()
+    val prefix = new Array[Double](n)
+    var i = 0
+    var acc = 0.0
+    while (i < n) { acc += sorted(i).listMax; prefix(i) = acc; i += 1 }
+    // matched (termId, idf, tf) triples of the current candidate
+    val mTid = new Array[Long](n)
+    val mIdf = new Array[Double](n)
+    val mTf = new Array[Int](n)
+    var first = 0
+    while (first < n) {
+      val theta = topk.theta
+      while (first < n && prefix(first) <= theta) first += 1
+      if (first >= n) return topk.result()
+      // candidate: min docId among live essential cursors
+      var cand = Long.MaxValue
+      i = first
+      while (i < n) {
+        val c = sorted(i)
+        if (!c.exhausted && c.docId < cand) cand = c.docId
+        i += 1
+      }
+      if (cand == Long.MaxValue) return topk.result()
+      val dl = lens((cand - firstDocId).toInt)
+      var nm = 0
+      var partial = 0.0
+      i = first
+      while (i < n) {
+        val c = sorted(i)
+        if (!c.exhausted && c.docId == cand) {
+          mTid(nm) = c.termId; mIdf(nm) = c.idf; mTf(nm) = c.tf
+          partial += BM25.impact(c.idf, c.tf, dl, avgdl)
+          nm += 1
+        }
+        i += 1
+      }
+      // probe non-essential lists, largest bound first, early exit on
+      // partial + remaining-UB ≤ θ (an equal-score candidate can never
+      // displace a heap entry, so ≤ is the sharp abandon test)
+      var rem = if (first > 0) prefix(first - 1) else 0.0
+      var j = first - 1
+      var alive = partial + rem > theta || topk.theta == Double.NegativeInfinity
+      while (j >= 0 && alive) {
+        val c = sorted(j)
+        rem -= c.listMax
+        if (!c.exhausted) {
+          if (c.docId < cand) c.nextGeq(cand)
+          if (!c.exhausted && c.docId == cand) {
+            mTid(nm) = c.termId; mIdf(nm) = c.idf; mTf(nm) = c.tf
+            partial += BM25.impact(c.idf, c.tf, dl, avgdl)
+            nm += 1
+          }
+        }
+        if (partial + rem <= topk.theta &&
+            topk.theta != Double.NegativeInfinity) alive = false
+        j -= 1
+      }
+      if (alive && (accept == null || accept(cand))) {
+        // offered score: ascending-termId summation, the pinned order
+        var score = 0.0
+        var a = 0
+        while (a < nm) { // selection sort walk — nm is ≤ |q|, tiny
+          var best = -1
+          var bestTid = Long.MaxValue
+          var b = 0
+          while (b < nm) {
+            if (mTid(b) >= 0 && mTid(b) < bestTid) { bestTid = mTid(b); best = b }
+            b += 1
+          }
+          score += BM25.impact(mIdf(best), mTf(best), dl, avgdl)
+          mTid(best) = -1L
+          a += 1
+        }
+        topk.offer(cand, score)
+      }
+      // advance every cursor sitting on the candidate
+      i = 0
+      while (i < n) {
+        val c = sorted(i)
+        if (!c.exhausted && c.docId == cand) c.next()
+        i += 1
+      }
+    }
+    topk.result()
+  }
+
   private def advance(live: Array[TermCursor], target: Long,
                       upToPivotOnly: Boolean = false): Array[TermCursor] = {
     var i = 0

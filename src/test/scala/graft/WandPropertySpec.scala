@@ -80,6 +80,33 @@ class WandPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MaxScore top-k == brute force == WAND bit-for-bit, " +
+       "200 random cases × k ∈ {1,3,10,50,1000}") {
+    val rng = new Random(20260820L)
+    (1 to 200).foreach { i =>
+      val (lists, lens) = randomLists(rng)
+      Seq(1, 3, 10, 50, 1000).foreach { k =>
+        val got = Wand.topKMaxScore(cursors(lists, lens), lens, 0L, avgdl, k)
+          .map(s => (s.docId, java.lang.Double.doubleToLongBits(s.score))).toSeq
+        val want = bruteOr(lists, lens, k)
+        assert(got == want, s"case $i k=$k: MaxScore != brute")
+        val wand = Wand.topK(cursors(lists, lens), lens, 0L, avgdl, k)
+          .map(s => (s.docId, java.lang.Double.doubleToLongBits(s.score))).toSeq
+        assert(got == wand, s"case $i k=$k: MaxScore != WAND")
+      }
+    }
+  }
+
+  test("MaxScore: tie-heavy corpus and k<=0 behave like WAND") {
+    val lists = Array(Array.tabulate(100)(i => (i * 3L, 1)),
+      Array.tabulate(100)(i => (i * 3L, 1)))
+    val lens = Array.fill(1000)(100)
+    val got = Wand.topKMaxScore(cursors(lists, lens), lens, 0L, avgdl, 10)
+    assert(got.map(_.docId).toSeq == (0 until 10).map(_ * 3L))
+    assert(got.map(_.score).distinct.length == 1)
+    assert(Wand.topKMaxScore(cursors(lists, lens), lens, 0L, avgdl, 0).isEmpty)
+  }
+
   test("exhaustive OR == brute force, 100 random cases") {
     val rng = new Random(77L)
     (1 to 100).foreach { i =>
