@@ -1595,6 +1595,14 @@ object SparkEntry {
     "q_events_absence" -> ((s, dir) =>
       graft.pipeline.Events.absence(
         s.read.parquet(s"$dir/events.parquet"), "click", "purchase", 21600L)),
+    // KMV/theta distinct-count sketch (Beyer et al. SIGMOD'07): per
+    // event_type exact distinct users AND the k=64 sketch estimate —
+    // md5-portable, so even the estimates are byte-equal cross-engine —
+    // plus the merged ALL union sketch
+    "kmv_users" -> ((s, dir) =>
+      graft.pipeline.Kmv.distinctEstimates(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"), col("user_id")), 64)),
     // daily-count anomaly flags (2σ control chart over the trailing 7
     // days, self-excluded) — the σ test is exact-Long cross-multiplied,
     // no float path at all
@@ -4588,6 +4596,30 @@ object SparkEntry {
         |       (SELECT unit FROM u) AS interval,
         |       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // KMV twin: same md5 member hashes, same (h, member)-ranked k-min
+    // selection, same single-division estimator
+    "kmv_users" ->
+      """WITH base AS (
+        |  SELECT DISTINCT event_type AS scope, user_id AS member FROM events
+        |), wa AS (
+        |  SELECT scope, member FROM base
+        |  UNION
+        |  SELECT 'ALL', member FROM (SELECT DISTINCT member FROM base)
+        |), h AS (
+        |  SELECT scope, member,
+        |         ('0x' || substr(md5('u:' || member::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM wa
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY scope ORDER BY h, member) AS r
+        |  FROM h
+        |), nex AS (SELECT scope, count(*)::BIGINT AS n_exact FROM h GROUP BY 1),
+        |kth AS (SELECT scope, h AS hk FROM r WHERE r = 64)
+        |SELECT n.scope, n.n_exact,
+        |       CASE WHEN k.hk IS NULL THEN n.n_exact::DOUBLE
+        |            ELSE floor(63.0 * 1152921504606846976.0 / k.hk * 1e4 + 0.5)
+        |                 / 1e4
+        |       END AS n_est
+        |FROM nex n LEFT JOIN kth k USING (scope) ORDER BY scope""".stripMargin,
     // anomaly twin: identical trailing ROWS frame + the exact-Long
     // cross-multiplied 2σ rule
     "q_events_anomaly" ->
