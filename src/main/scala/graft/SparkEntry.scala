@@ -1595,6 +1595,12 @@ object SparkEntry {
     "q_events_absence" -> ((s, dir) =>
       graft.pipeline.Events.absence(
         s.read.parquet(s"$dir/events.parquet"), "click", "purchase", 21600L)),
+    // sample-based approximate aggregation (BlinkDB, EuroSys'13): mean
+    // n_chars per lang from the deterministic 20% md5-bucket sample
+    // WITH its 95% CI, exact mean alongside — the 1%-scan-instead-of-
+    // full-corpus posture with a quantified accuracy contract
+    "aqp_mean" -> ((s, dir) =>
+      graft.pipeline.Aqp.sampledMean(DocsIndex.documents(s, dir), 200000)),
     // KMV/theta distinct-count sketch (Beyer et al. SIGMOD'07): per
     // event_type exact distinct users AND the k=64 sketch estimate —
     // md5-portable, so even the estimates are byte-equal cross-engine —
@@ -4596,6 +4602,29 @@ object SparkEntry {
         |       (SELECT unit FROM u) AS interval,
         |       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // AQP twin: identical md5 micro-bucket membership, exact-Long
+    // moments, and the same mean/variance/CI expression tree
+    "aqp_mean" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+        |           % 1000000 AS hb
+        |  FROM documents
+        |), samp AS (
+        |  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s1,
+        |         sum(n_chars * n_chars)::BIGINT AS s2
+        |  FROM h WHERE hb < 200000 GROUP BY 1 HAVING count(*) >= 2
+        |), ex AS (
+        |  SELECT lang, sum(n_chars)::BIGINT AS es1, count(*)::BIGINT AS en
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT s.lang, s.n AS n_sample,
+        |       round(s.s1 / s.n::DOUBLE, 6) AS mean_est,
+        |       round(1.96 * sqrt(greatest(0.0,
+        |         (s.s2 - s.s1 * s.s1 / s.n::DOUBLE) / (s.n::DOUBLE - 1))
+        |         / s.n::DOUBLE), 6) AS ci95,
+        |       round(e.es1 / e.en::DOUBLE, 6) AS mean_exact
+        |FROM samp s JOIN ex e USING (lang) ORDER BY lang""".stripMargin,
     // KMV twin: same md5 member hashes, same (h, member)-ranked k-min
     // selection, same single-division estimator
     "kmv_users" ->

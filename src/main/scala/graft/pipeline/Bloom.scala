@@ -26,6 +26,10 @@ object Bloom {
 
   final case class Params(bits: Int = 1 << 16, hashes: Int = 4) {
     require(bits >= 1, s"bits must be >= 1, got $bits")
+    // the bit array is driver-built and broadcast: bound it to 16 MiB
+    // (2^27 bits) so a mis-sized parameter fails loudly here instead of
+    // as a driver OOM in build()'s collect
+    require(bits <= (1 << 27), s"bits must be <= 2^27 (16 MiB), got $bits")
     require(hashes >= 1, s"hashes must be >= 1, got $hashes")
   }
 
