@@ -1654,7 +1654,43 @@ object SparkEntry {
     "q_events_hourly" -> ((s, dir) =>
       graft.streaming.StreamStats.windowedCounts(
         s.read.parquet(s"$dir/events.parquet"), "1 hour", "1 hour")
-        .orderBy("win_start", "event_type")))
+        .orderBy("win_start", "event_type")),
+
+    // ── iterative graph analytics (pipeline/Graph.scala) ──
+    // PageRank (5 damped iterations, GraphX unnormalized convention)
+    // over the customer↔supplier bipartite graph
+    "graph_pagerank" -> ((s, dir) =>
+      graft.pipeline.Graph.pageRank(
+          graft.pipeline.Graph.customerSupplierEdges(s, dir), iters = 5)
+        .select(col("node").cast("long").as("node"), col("pr"))
+        .orderBy("node")),
+    // BFS minimum hop distance from customer #1, 3 expansion rounds
+    "graph_bfs" -> ((s, dir) =>
+      graft.pipeline.Graph.bfs(
+          graft.pipeline.Graph.customerSupplierEdges(s, dir),
+          source = 2L, maxHops = 3)
+        .select(col("node").cast("long").as("node"), col("dist"))
+        .orderBy("node")),
+    // per-user triangle counts over the event co-occurrence graph
+    // (degree-ordered wedge join — Suri & Vassilvitskii WWW'11)
+    "graph_triangles" -> ((s, dir) =>
+      graft.pipeline.Graph.triangleCounts(
+          graft.pipeline.Graph.userCooccurrenceEdges(s, dir))
+        .select(col("node").cast("long").as("node"), col("triangles"))
+        .orderBy("node")),
+    // GROUPING SETS — the non-cube subtotal lattice (flag×status,
+    // flag-only, grand total) in one pass
+    "q_grouping_sets" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")))
 
   // ─────────────────────────── oracle SQL ─────────────────────────────
   def oracleSql: Map[String, String] = Map(
@@ -4699,5 +4735,96 @@ object SparkEntry {
         |SELECT strftime(to_timestamp(s.d * 86400), '%Y-%m-%d') AS day,
         |       coalesce(a.cnt, 0)::BIGINT AS cnt,
         |       coalesce(a.sum_value, 0) AS sum_value
-        |FROM spine s LEFT JOIN agg a USING (d) ORDER BY day""".stripMargin)
+        |FROM spine s LEFT JOIN agg a USING (d) ORDER BY day""".stripMargin,
+
+    // PageRank twin: identical edge construction and the same 5 damped
+    // iterations unrolled as chained CTEs; both engines iterate at full
+    // double precision and round only at the output boundary
+    "graph_pagerank" -> pagerankOracle(5),
+    // BFS twin: 3 min-merge expansion rounds unrolled (expanding the
+    // full settled table each round ≡ frontier-only expansion under the
+    // min-merge — re-expanded nodes can only produce non-improving
+    // distances)
+    "graph_bfs" ->
+      (graphEdgesCte +
+        """,
+          | d0 AS (SELECT 2::BIGINT AS node, 0::BIGINT AS dist),
+          | d1 AS (SELECT node, min(dist) AS dist FROM (
+          |   SELECT node, dist FROM d0
+          |   UNION ALL
+          |   SELECT e.dst, d0.dist + 1 FROM d0 JOIN e ON e.src = d0.node)
+          |   GROUP BY node),
+          | d2 AS (SELECT node, min(dist) AS dist FROM (
+          |   SELECT node, dist FROM d1
+          |   UNION ALL
+          |   SELECT e.dst, d1.dist + 1 FROM d1 JOIN e ON e.src = d1.node)
+          |   GROUP BY node),
+          | d3 AS (SELECT node, min(dist) AS dist FROM (
+          |   SELECT node, dist FROM d2
+          |   UNION ALL
+          |   SELECT e.dst, d2.dist + 1 FROM d2 JOIN e ON e.src = d2.node)
+          |   GROUP BY node)
+          |SELECT node::BIGINT AS node, dist::BIGINT AS dist
+          |FROM d3 ORDER BY node""".stripMargin),
+    // triangle twin: same co-occurrence edge set (distinct canonical
+    // a<b pairs per shared (event_type, day)), triangles enumerated by
+    // the id-ordered triple join — corner counts are orientation-free,
+    // so the Spark side's degree-ordered enumeration must agree exactly
+    "graph_triangles" ->
+      """WITH g AS (
+        |  SELECT DISTINCT event_type, date_trunc('day', ts) AS d, user_id
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM g x JOIN g y
+        |    ON x.event_type = y.event_type AND x.d = y.d
+        |   AND x.user_id < y.user_id
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node::BIGINT AS node, count(*)::BIGINT AS triangles
+        |FROM (SELECT x AS node FROM tri
+        |      UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*)::BIGINT AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin)
+
+  /** Shared CTE: the bidirectional customer↔supplier edge list, node-
+    * encoded custkey→2k / suppkey→2k+1 — must stay textually in sync
+    * with [[graft.pipeline.Graph.customerSupplierEdges]]. */
+  private val graphEdgesCte: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), e AS (
+      |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+      |)""".stripMargin
+
+  private def pagerankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         | r$i AS (
+         |  SELECT e.dst AS node, 0.15 + 0.85 * sum(r.pr / deg.outdeg) AS pr
+         |  FROM e JOIN deg ON deg.src = e.src
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString
+    graphEdgesCte +
+      """,
+        | deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+        | r0 AS (SELECT src AS node, 1.0::DOUBLE AS pr FROM deg)""".stripMargin +
+      iterCtes +
+      s"\nSELECT node::BIGINT AS node, round(pr, 6) AS pr FROM r$iters ORDER BY node"
+  }
 }

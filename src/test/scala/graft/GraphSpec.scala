@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Graph
+
+/** Invariant + brute-force checks for the iterative graph operators.
+  * The DuckDB twins (graph_pagerank / graph_bfs / graph_triangles)
+  * pin cross-engine equality; this suite pins the algebra on graphs
+  * small enough to verify by hand or by exhaustive enumeration. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path 1-2-3-4-5 plus a triangle (6,7,8) and a pendant 8-9
+  private def pairs = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+    (6L, 7L), (6L, 8L), (7L, 8L), (8L, 9L)).toDF("a", "b")
+
+  private def edges = Graph.bidirectional(
+    pairs.select(col("a").as("src"), col("b").as("dst")))
+
+  test("pageRank conserves total mass: sum(pr) == #nodes (no dangling)") {
+    val pr = Graph.pageRank(edges, iters = 10)
+    val total = pr.agg(sum("pr")).as[Double].head()
+    assert(math.abs(total - 9.0) < 1e-3, s"mass $total != 9")
+  }
+
+  test("pageRank ranks hubs above pendants and is parallelism-invariant") {
+    val pr = Graph.pageRank(edges, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    // node 8 has degree 3 (6,7,9), node 9 degree 1 — centrality must order them
+    assert(pr(8L) > pr(6L) && pr(8L) > pr(9L))
+    assert(pr(2L) > pr(1L)) // interior of the path beats its endpoint
+    val pr1 = Graph.pageRank(edges.repartition(1), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(pr1 == pr, "round-6 ranks must not depend on input partitioning")
+  }
+
+  test("bfs == exact hop distances on the path graph, unreached absent") {
+    val d = Graph.bfs(edges, source = 1L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"got $d") // node 5 is 4 hops away; component {6..9} unreachable
+  }
+
+  test("triangleCounts == exhaustive triple enumeration") {
+    val got = Graph.triangleCounts(pairs).as[(Long, Long)].collect().toMap
+    // only triangle is (6,7,8): one per corner
+    assert(got == Map(6L -> 1L, 7L -> 1L, 8L -> 1L))
+
+    // random-ish denser graph: cross-check against brute force
+    val es = for {
+      i <- 1L to 12L; j <- (i + 1) to 12L
+      if ((i * 31 + j * 17) % 3) == 0
+    } yield (i, j)
+    val df = es.toDF("a", "b")
+    val eset = es.toSet
+    val expect = (for {
+      x <- 1L to 12L; y <- (x + 1) to 12L; z <- (y + 1) to 12L
+      if eset((x, y)) && eset((x, z)) && eset((y, z))
+      n <- Seq(x, y, z)
+    } yield n).groupBy(identity).map { case (n, c) => (n, c.size.toLong) }
+    val got2 = Graph.triangleCounts(df).as[(Long, Long)].collect().toMap
+    assert(got2 == expect, s"got $got2 expected $expect")
+  }
+
+  test("userCooccurrenceEdges caps oversized groups instead of exploding") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Graph.userCooccurrenceEdges(spark, dir).count()
+    val capped = Graph.userCooccurrenceEdges(spark, dir, maxGroup = 1).count()
+    assert(full > 0 && capped == 0L)
+  }
+}
