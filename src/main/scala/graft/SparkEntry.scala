@@ -1656,6 +1656,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"), "1 hour", "1 hour")
         .orderBy("win_start", "event_type")),
 
+    // band (interval-range) join: ALL same-user (purchase, click)
+    // pairs with the click ≤1h before the purchase — bucketed form
+    // (user, epoch-bucket) with 2× replication, skew-safe
+    "q_band_join" -> ((s, dir) =>
+      graft.pipeline.Events.bandJoin(
+        s.read.parquet(s"$dir/events.parquet"), "purchase", "click", 3600L)),
+
     // ── iterative graph analytics (pipeline/Graph.scala) ──
     // PageRank (5 damped iterations, GraphX unnormalized convention)
     // over the customer↔supplier bipartite graph
@@ -4737,6 +4744,18 @@ object SparkEntry {
         |       coalesce(a.sum_value, 0) AS sum_value
         |FROM spine s LEFT JOIN agg a USING (d) ORDER BY day""".stripMargin,
 
+    // band-join twin: the plain range join — the bucketed decomposition
+    // (bucket ∈ {b, b+1} + exact re-filter) is provably lossless, so
+    // the naive form is the oracle
+    "q_band_join" ->
+      """SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+        |       a.user_id AS user_id,
+        |       (epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'purchase' AND b.event_type = 'click'
+        | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+        |ORDER BY a_event_id, b_event_id""".stripMargin,
     // PageRank twin: identical edge construction and the same 5 damped
     // iterations unrolled as chained CTEs; both engines iterate at full
     // double precision and round only at the output boundary

@@ -357,4 +357,43 @@ object Events {
         col("cum_users"))
       .orderBy("day")
   }
+
+  /** Band (interval-range) join: ALL same-user (A, B) event pairs with
+    * B's timestamp in [A.ts − windowSecs, A.ts] — the all-pairs sibling
+    * of [[AsOf.asOfPrior]] (which keeps only the latest B), and the
+    * batch twin of the watermarked stream-stream interval join
+    * ([[graft.streaming.StreamJoin.intervalJoin]] asserts bit-equality
+    * against this on the same frame).
+    *
+    * Plan, built for scale — the BUCKETED band join: a bare
+    * `a.user = b.user AND range` equi-join keys only on user, so one
+    * power user's A×B cross product lands in one task (the classic
+    * range-join skew). Instead both sides key on (user, epoch-bucket)
+    * with bucket width = the window: a qualifying B is always in A's
+    * bucket or the one before, so B rows are replicated exactly 2× to
+    * (bucket, bucket+1) — a constant factor, independent of user skew —
+    * and each task's cross product is bounded by per-user activity per
+    * WINDOW, not per corpus lifetime. Exact microsecond Long arithmetic;
+    * the range filter re-checks precisely after the bucket equi-join. */
+  def bandJoin(events: DataFrame, aType: String, bType: String,
+               windowSecs: Long): DataFrame = {
+    require(windowSecs >= 1, s"band window must be >= 1s, got $windowSecs")
+    val wUs = windowSecs * 1000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    def side(t: String) = events.filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), us.as("us"),
+        floor(us / wUs).as("bucket"))
+    val a = side(aType)
+      .select(col("event_id").as("a_event_id"), col("user_id"),
+        col("us").as("a_us"), col("bucket"))
+    val b = side(bType)
+      .withColumn("bucket", explode(array(col("bucket"), col("bucket") + 1)))
+      .select(col("event_id").as("b_event_id"), col("user_id"),
+        col("us").as("b_us"), col("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("b_us") >= col("a_us") - wUs && col("b_us") <= col("a_us"))
+      .select(col("a_event_id"), col("b_event_id"), col("user_id"),
+        (col("a_us") - col("b_us")).as("gap_us"))
+      .orderBy("a_event_id", "b_event_id")
+  }
 }

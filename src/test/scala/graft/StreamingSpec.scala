@@ -219,4 +219,51 @@ class StreamingSpec extends SparkSpec {
       assert(last == Set(("s1", 3L, 5L), ("s2", 1L, 3L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join == bucketed batch band join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real events: the sf0.001 purchase/click streams fed through
+    // MemoryStream in two arbitrary micro-batch cuts
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id".as[Long], $"user_id".as[Long],
+        $"ts".as[java.sql.Timestamp], $"event_type".as[String])
+      .collect()
+    def rows(t: String) = ev.filter(_._4 == t).map(r => (r._1, r._2, r._3))
+    val purchases = rows("purchase"); val clicks = rows("click")
+    val memA = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memB = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      memA.toDF().toDF("event_id", "user_id", "ts"),
+      memB.toDF().toDF("event_id", "user_id", "ts"), 3600L)
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      // time-aligned micro-batch cut: batch 2 carries only events after
+      // the global median timestamp, so nothing in batch 2 is LATE w.r.t.
+      // the batch-1 watermark — eviction then provably cannot drop a
+      // pair the batch twin would keep (a batch-1 purchase evicted
+      // before batch 2 has all its qualifying clicks inside batch 1)
+      val cutMs = ev.map(_._3.getTime).sorted.apply(ev.length / 2)
+      def cut(xs: Array[(Long, Long, java.sql.Timestamp)]) =
+        xs.partition(_._3.getTime <= cutMs)
+      val (a1, a2) = cut(purchases)
+      val (b1, b2) = cut(clicks)
+      memA.addData(a1.toSeq); memB.addData(b1.toSeq)
+      q.processAllAvailable()
+      memA.addData(a2.toSeq); memB.addData(b2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sjoin")
+        .select($"a_event_id", $"b_event_id", $"user_id", $"gap_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.pipeline.Events.bandJoin(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+          "purchase", "click", 3600L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture must produce pairs")
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
