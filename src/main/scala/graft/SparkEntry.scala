@@ -1678,11 +1678,11 @@ object SparkEntry {
           source = 2L, maxHops = 3)
         .select(col("node").cast("long").as("node"), col("dist"))
         .orderBy("node")),
-    // per-user triangle counts over the event co-occurrence graph
+    // per-part triangle counts over the repeated-co-purchase graph
     // (degree-ordered wedge join — Suri & Vassilvitskii WWW'11)
     "graph_triangles" -> ((s, dir) =>
       graft.pipeline.Graph.triangleCounts(
-          graft.pipeline.Graph.userCooccurrenceEdges(s, dir))
+          graft.pipeline.Graph.partCopurchaseEdges(s, dir))
         .select(col("node").cast("long").as("node"), col("triangles"))
         .orderBy("node")),
     // GROUPING SETS — the non-cube subtotal lattice (flag×status,
@@ -4785,19 +4785,20 @@ object SparkEntry {
           |   GROUP BY node)
           |SELECT node::BIGINT AS node, dist::BIGINT AS dist
           |FROM d3 ORDER BY node""".stripMargin),
-    // triangle twin: same co-occurrence edge set (distinct canonical
-    // a<b pairs per shared (event_type, day)), triangles enumerated by
-    // the id-ordered triple join — corner counts are orientation-free,
+    // triangle twin: same repeated-co-purchase edge set (canonical a<b
+    // part pairs sharing >= 2 orders), triangles enumerated by the
+    // id-ordered triple join — corner counts are orientation-free,
     // so the Spark side's degree-ordered enumeration must agree exactly
     "graph_triangles" ->
-      """WITH g AS (
-        |  SELECT DISTINCT event_type, date_trunc('day', ts) AS d, user_id
-        |  FROM events
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), p0 AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+        |  FROM lp x JOIN lp y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2
         |), e AS (
-        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
-        |  FROM g x JOIN g y
-        |    ON x.event_type = y.event_type AND x.d = y.d
-        |   AND x.user_id < y.user_id
+        |  SELECT a, b FROM p0 WHERE n >= 2
         |), tri AS (
         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |  FROM e e1

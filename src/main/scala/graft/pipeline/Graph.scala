@@ -176,33 +176,41 @@ object Graph {
     bidirectional(one)
   }
 
-  /** User co-occurrence pairs from the events stream: two users are
-    * linked iff they emitted the SAME event_type on the SAME day.
-    * Canonical (a < b), distinct. `maxGroup` caps the per-(type, day)
-    * expansion — a group larger than the cap is dropped (and should be
-    * counted by the caller at scale); pair generation is otherwise
-    * quadratic in group size, the same bounded-bucket pattern as
-    * MinHash-LSH banding. */
-  def userCooccurrenceEdges(spark: SparkSession, dir: String,
-      maxGroup: Int = 10000): DataFrame = {
+  /** Parts-bought-together (market-basket co-occurrence) pairs: two
+    * parts are linked iff they appear in at least `minSupport` common
+    * orders. Canonical (a < b).
+    *
+    * The support threshold is what makes this graph SCALE-STABLE: the
+    * support-1 co-purchase graph densifies as the corpus grows (any two
+    * popular parts eventually share one random order and the graph
+    * approaches a clique — triangle counting on it is Ω(n³)), while
+    * repeated co-purchase stays signal. `maxGroup` caps the per-order
+    * pair expansion — real order sizes are bounded (~4 lines here), so
+    * the quadratic step is a constant per order; a pathological group
+    * beyond the cap is dropped, the same bounded-bucket pattern as
+    * MinHash-LSH banding. One order-keyed shuffle + one pair-keyed
+    * count agg; nothing else touches the corpus. */
+  def partCopurchaseEdges(spark: SparkSession, dir: String,
+      minSupport: Int = 2, maxGroup: Int = 10000): DataFrame = {
     import spark.implicits._
-    val g = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_type"), date_trunc("day", col("ts")).as("d"), col("user_id"))
-      .distinct()
-      .as[(String, java.sql.Timestamp, Long)]
-    g.groupByKey(r => (r._1, r._2.getTime))
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)]
+    lp.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val users = it.map(_._3).toArray
-        if (users.length > maxGroup) Iterator.empty
+        val parts = it.map(_._2).toArray
+        if (parts.length > maxGroup) Iterator.empty
         else {
-          java.util.Arrays.sort(users)
+          java.util.Arrays.sort(parts)
           for {
-            i <- users.indices.iterator
-            j <- (i + 1 until users.length).iterator
-          } yield (users(i), users(j))
+            i <- parts.indices.iterator
+            j <- (i + 1 until parts.length).iterator
+          } yield (parts(i), parts(j))
         }
       }
       .toDF("a", "b")
-      .distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select("a", "b")
   }
 }

@@ -63,10 +63,12 @@ class GraphSpec extends SparkSpec {
     assert(got2 == expect, s"got $got2 expected $expect")
   }
 
-  test("userCooccurrenceEdges caps oversized groups instead of exploding") {
+  test("partCopurchaseEdges: support threshold prunes, cap guards groups") {
     val dir = "/root/testdata/sf0.001"
-    val full = Graph.userCooccurrenceEdges(spark, dir).count()
-    val capped = Graph.userCooccurrenceEdges(spark, dir, maxGroup = 1).count()
-    assert(full > 0 && capped == 0L)
+    val s1 = Graph.partCopurchaseEdges(spark, dir, minSupport = 1).count()
+    val s2 = Graph.partCopurchaseEdges(spark, dir, minSupport = 2).count()
+    assert(s2 > 0 && s2 < s1, s"support must prune: s1=$s1 s2=$s2")
+    val capped = Graph.partCopurchaseEdges(spark, dir, maxGroup = 1).count()
+    assert(capped == 0L)
   }
 }
