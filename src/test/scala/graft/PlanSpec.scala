@@ -267,4 +267,46 @@ class PlanSpec extends SparkSpec {
     assert(exchange >= 0 && plan.indexOf("HashAggregate", exchange) >= 0,
       s"expect partial agg below the exchange and final above:\n$plan")
   }
+
+  test("graph and band-join additions keep their promised shuffle shapes") {
+    val sf = "/root/testdata/sf0.001"
+    // band join: a true equi-join on (user_id, bucket) — never the
+    // key-only-on-user plan whose range predicate degenerates to a
+    // per-user cross filter, and never a nested-loop/cartesian
+    val bPlan = graft.pipeline.Events.bandJoin(
+        spark.read.parquet(s"$sf/events.parquet"), "purchase", "click", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!bPlan.contains("CartesianProduct") &&
+      !bPlan.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join:\n$bPlan")
+    assert(bPlan.contains("bucket"), s"bucket must be a join key:\n$bPlan")
+    assert(bPlan.contains("PushedFilters") && bPlan.contains("event_type"),
+      s"type filters must push to the scan:\n$bPlan")
+
+    // pageRank: the returned ranks read from the per-iteration cache
+    // (O(1) lineage — NOT a replan of the whole iteration chain)
+    val edges = graft.pipeline.Graph.customerSupplierEdges(spark, sf)
+    val prPlan = graft.pipeline.Graph.pageRank(edges, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(prPlan.contains("InMemoryTableScan"),
+      s"ranks must come from the iteration cache:\n$prPlan")
+    // everything ABOVE the cache boundary is projection-only (the text
+    // below it is the cached relation's stored build plan — fine)
+    val aboveCache = prPlan.substring(0, prPlan.indexOf("InMemoryTableScan"))
+    assert(!aboveCache.contains("Join") && !aboveCache.contains("Exchange"),
+      s"final projection must not replay the iteration chain:\n$aboveCache")
+
+    // edge construction: only the join/id columns reach the scans
+    val ePlan = edges.queryExecution.executedPlan.toString
+    assert(!ePlan.contains("o_comment") && !ePlan.contains("l_quantity"),
+      s"edge build must prune to key columns:\n$ePlan")
+
+    // triangles: the closing-edge check must be a semi join (never
+    // materializing per-wedge rows past the probe)
+    val tPlan = graft.pipeline.Graph.triangleCounts(
+        graft.pipeline.Graph.partCopurchaseEdges(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(tPlan.contains("LeftSemi"), s"closing edge must semi-join:\n$tPlan")
+    assert(!tPlan.contains("CartesianProduct"), s"no cartesian:\n$tPlan")
+  }
 }
