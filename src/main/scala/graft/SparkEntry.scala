@@ -1656,6 +1656,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"), "1 hour", "1 hour")
         .orderBy("win_start", "event_type")),
 
+    // distributed ridge regression (normal equations from ONE exact-
+    // integer sufficient-statistics pass; pinned Cramer solve): per-doc
+    // token-count prediction + residual
+    "ols_fit" -> ((s, dir) =>
+      graft.pipeline.Regression.fitPredict(DocsIndex.documents(s, dir))),
+
     // band (interval-range) join: ALL same-user (purchase, click)
     // pairs with the click ≤1h before the purchase — bucketed form
     // (user, epoch-bucket) with 2× replication, skew-safe
@@ -4744,6 +4750,53 @@ object SparkEntry {
         |       coalesce(a.sum_value, 0) AS sum_value
         |FROM spine s LEFT JOIN agg a USING (d) ORDER BY day""".stripMargin,
 
+    // ridge-regression twin: identical exact-Long sufficient stats,
+    // identical Cramer expression tree (mirrored operation-for-
+    // operation from Regression.solve — do not reassociate), identical
+    // prediction tree; λ = 1 added to the Long BEFORE widening
+    "ols_fit" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars::BIGINT AS x1,
+        |         (length(text) - length(replace(text, ' ', '')))::BIGINT AS x2,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> length(t) >= 2))::BIGINT AS y
+        |  FROM documents
+        |), s AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS sx1,
+        |         sum(x2)::BIGINT AS sx2, sum(y)::BIGINT AS sy,
+        |         sum(x1 * x1)::BIGINT AS sx1x1, sum(x1 * x2)::BIGINT AS sx1x2,
+        |         sum(x2 * x2)::BIGINT AS sx2x2, sum(x1 * y)::BIGINT AS sx1y,
+        |         sum(x2 * y)::BIGINT AS sx2y
+        |  FROM f
+        |), m AS (
+        |  SELECT n::DOUBLE AS a11, sx1::DOUBLE AS a12, sx2::DOUBLE AS a13,
+        |         (sx1x1 + 1)::DOUBLE AS a22, sx1x2::DOUBLE AS a23,
+        |         (sx2x2 + 1)::DOUBLE AS a33,
+        |         sy::DOUBLE AS c1, sx1y::DOUBLE AS c2, sx2y::DOUBLE AS c3
+        |  FROM s
+        |), d AS (
+        |  SELECT *, a11 * (a22 * a33 - a23 * a23)
+        |          - a12 * (a12 * a33 - a23 * a13)
+        |          + a13 * (a12 * a23 - a22 * a13) AS det
+        |  FROM m
+        |), b AS (
+        |  SELECT (c1 * (a22 * a33 - a23 * a23)
+        |        - a12 * (c2 * a33 - a23 * c3)
+        |        + a13 * (c2 * a23 - a22 * c3)) / det AS b0,
+        |         (a11 * (c2 * a33 - a23 * c3)
+        |        - c1 * (a12 * a33 - a23 * a13)
+        |        + a13 * (a12 * c3 - c2 * a13)) / det AS b1,
+        |         (a11 * (a22 * c3 - c2 * a23)
+        |        - a12 * (a12 * c3 - c2 * a13)
+        |        + c1 * (a12 * a23 - a22 * a13)) / det AS b2
+        |  FROM d
+        |)
+        |SELECT f.doc_id,
+        |       floor((b.b0 + b.b1 * f.x1 + b.b2 * f.x2) * 1e6 + 0.5) / 1e6
+        |         AS pred,
+        |       floor((f.y - (b.b0 + b.b1 * f.x1 + b.b2 * f.x2)) * 1e6 + 0.5)
+        |         / 1e6 AS resid
+        |FROM f, b ORDER BY f.doc_id""".stripMargin,
     // band-join twin: the plain range join — the bucketed decomposition
     // (bucket ∈ {b, b+1} + exact re-filter) is provably lossless, so
     // the naive form is the oracle
