@@ -1656,6 +1656,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"), "1 hour", "1 hour")
         .orderBy("win_start", "event_type")),
 
+    // pairwise association rules (Apriori level 2): support ≥ 3 rules
+    // over orders-as-baskets with confidence and lift
+    "assoc_rules" -> ((s, dir) =>
+      graft.pipeline.MarketBasket.rules(s, dir, minSupport = 3L)),
+
     // distributed ridge regression (normal equations from ONE exact-
     // integer sufficient-statistics pass; pinned Cramer solve): per-doc
     // token-count prediction + residual
@@ -4750,6 +4755,38 @@ object SparkEntry {
         |       coalesce(a.sum_value, 0) AS sum_value
         |FROM spine s LEFT JOIN agg a USING (d) ORDER BY day""".stripMargin,
 
+    // association-rules twin: same order-distinct baskets, pair counts
+    // via the a<b self-join, both orientations unioned, same pinned
+    // ratio trees
+    "assoc_rules" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM lp
+        |), ic AS (
+        |  SELECT l_partkey AS item, count(*)::BIGINT AS n_item
+        |  FROM lp GROUP BY 1
+        |), pc AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*)::BIGINT AS n_ab
+        |  FROM lp x JOIN lp y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), dir AS (
+        |  SELECT a AS ante, b AS cons, n_ab FROM pc
+        |  UNION ALL
+        |  SELECT b, a, n_ab FROM pc
+        |)
+        |SELECT d.ante, d.cons, d.n_ab AS support,
+        |       floor((d.n_ab::DOUBLE / ia.n_item::DOUBLE) * 1e6 + 0.5) / 1e6
+        |         AS confidence,
+        |       floor(((d.n_ab::DOUBLE * n.n_orders) /
+        |              (ia.n_item::DOUBLE * ib.n_item::DOUBLE)) * 1e6 + 0.5)
+        |         / 1e6 AS lift
+        |FROM dir d
+        |JOIN ic ia ON ia.item = d.ante
+        |JOIN ic ib ON ib.item = d.cons
+        |CROSS JOIN n
+        |ORDER BY ante, cons""".stripMargin,
     // ridge-regression twin: identical exact-Long sufficient stats,
     // identical Cramer expression tree (mirrored operation-for-
     // operation from Regression.solve — do not reassociate), identical

