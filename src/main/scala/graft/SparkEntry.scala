@@ -1018,6 +1018,10 @@ object SparkEntry {
     // "fast merge", keeping sources with >= 3 matching docs
     "ft_haschild" -> ((s, dir) =>
       DocsIndex.hasChildRankedHits(s, dir, "FREE", "fast merge", "sum", 3, 8)),
+    // has_parent (score mode `score`): children of the top-8 parents
+    // under the same parent scoring, inheriting parent score/rank
+    "ft_hasparent" -> ((s, dir) =>
+      DocsIndex.hasParentRankedHits(s, dir, "FREE", "fast merge", "sum", 3, 8)),
     // hybrid lexical+vector: BM25 top-30 for the text ∪ exact-cosine
     // top-30 neighbors of doc 7's embedding, fused by RRF (C = 60)
     "hybrid_rrf" -> ((s, dir) =>
@@ -3681,6 +3685,36 @@ object SparkEntry {
          |       row_number() OVER (ORDER BY sm::DOUBLE / 1e6 DESC, source) AS rank
          |FROM rep WHERE n_children >= 3
          |ORDER BY score DESC, source LIMIT 8""".stripMargin,
+    // has_parent twin: the ft_haschild parent CTE chain, its top-8 rows
+    // joined back to ALL their children, score/rank inherited
+    "ft_hasparent" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge')
+         |  GROUP BY tf.doc_id
+         |), mic AS (
+         |  SELECT doc_id, CAST(floor(round(score, 6) * 1e6 + 0.5) AS BIGINT) AS m
+         |  FROM sc
+         |), rep AS (
+         |  SELECT d.source, count(*)::BIGINT AS n_children, sum(mic.m) AS sm
+         |  FROM mic JOIN documents d USING (doc_id)
+         |  GROUP BY d.source
+         |), par AS (
+         |  SELECT source, sm::DOUBLE / 1e6 AS parent_score,
+         |         row_number() OVER (ORDER BY sm::DOUBLE / 1e6 DESC, source)
+         |           AS parent_rank
+         |  FROM rep WHERE n_children >= 3
+         |  ORDER BY parent_score DESC, source LIMIT 8
+         |)
+         |SELECT d.doc_id, d.source, p.parent_score, p.parent_rank
+         |FROM documents d JOIN par p USING (source)
+         |ORDER BY parent_rank, doc_id""".stripMargin,
     // "did you mean": vocabulary within Levenshtein distance 2 of the
     // typo, ranked by document frequency — DuckDB's levenshtein() is the
     // same unit-cost metric as the engine's banded DP

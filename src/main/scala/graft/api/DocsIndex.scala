@@ -1522,6 +1522,28 @@ object DocsIndex {
       .toDF("source", "n_children", "score", "rank")
   }
 
+  /** Parent-child scored join, child side (ES `has_parent`, score mode
+    * `score`): return every CHILD document whose parent (source) ranks
+    * among the top `kParents` under the [[hasChildRankedHits]] parent
+    * scoring, each child inheriting its parent's score and rank — the
+    * ES semantics where a parent-level query gates and scores the
+    * children. Plan: the parent table is ≤ kParents rows, broadcast
+    * into one semi-scoring join against the docmap — the corpus pays
+    * exactly one narrow pass beyond the parent ranking itself. */
+  def hasParentRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                          text: String, scoreMode: String, minChildren: Int,
+                          kParents: Int): DataFrame = {
+    val parents = hasChildRankedHits(spark, sfDir, kind, text, scoreMode,
+      minChildren, kParents)
+    documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        parents.select(col("source"), col("score").as("parent_score"),
+          col("rank").as("parent_rank"))), Seq("source"))
+      .select(col("doc_id"), col("source"), col("parent_score"),
+        col("parent_rank"))
+      .orderBy("parent_rank", "doc_id")
+  }
+
   /** More-like-this: rank the corpus by BM25 over the `m` most
     * informative terms of document `seedDocId` (Searcher.mltTerms),
     * excluding the seed itself. The seed text is ONE pushdown-pruned row
