@@ -1444,6 +1444,11 @@ object SparkEntry {
     "cooc_pairs" -> ((s, dir) =>
       Curation.cooccurrence(s, DocsIndex.documents(s, dir), 2, 5L)
         .orderBy("term_a", "term_b")),
+    // PPMI collocation scoring (Church & Hanks) over the same window-2
+    // pair table: phrase-mining signal, marginals unfloored, output
+    // pairs floored at 5 — same reporting set as cooc_pairs
+    "ppmi_colloc" -> ((s, dir) =>
+      Curation.ppmiCollocations(s, DocsIndex.documents(s, dir), 2, 5L)),
 
     // ── multimodal plumbing (decode stubbed; see Multimodal scaladoc) ──
     "mm_features" -> ((s, dir) => {
@@ -1625,6 +1630,28 @@ object SparkEntry {
     "q_events_cumcard" -> ((s, dir) =>
       graft.pipeline.Events.cumulativeCardinality(
         s.read.parquet(s"$dir/events.parquet"))),
+    // first-order Markov transition matrix over per-user sequences
+    // (path analysis): (src, dst) counts + per-source probabilities
+    "q_events_markov" -> ((s, dir) =>
+      graft.pipeline.Events.transitionMatrix(
+        s.read.parquet(s"$dir/events.parquet"))),
+    // 2-D skyline (Pareto frontier): parts maximizing size while
+    // minimizing price — two-phase partition-local sweep + final sweep
+    "q_skyline" -> ((s, dir) =>
+      graft.pipeline.Skyline.skyline(
+          s.read.parquet(s"$dir/part.parquet"),
+          "p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")),
+    // UNPIVOT (melt) — the inverse of q_pivot: wide per-flag totals to
+    // long (flag, metric, value) rows via the native unpivot operator
+    "q_unpivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy("l_returnflag", "metric")),
     // cohort retention triangle: users cohorted by first-activity day,
     // returning share per day-offset 1..7
     "q_retention" -> ((s, dir) =>
@@ -1692,6 +1719,13 @@ object SparkEntry {
           graft.pipeline.Graph.customerSupplierEdges(s, dir),
           source = 2L, maxHops = 3)
         .select(col("node").cast("long").as("node"), col("dist"))
+        .orderBy("node")),
+    // weighted SSSP (bounded Bellman-Ford, 3 relaxation rounds) from
+    // customer #1 over link-strength-weighted edges — exact Long costs
+    "graph_sssp" -> ((s, dir) =>
+      graft.pipeline.Graph.sssp(
+          graft.pipeline.Graph.customerSupplierWeightedEdges(s, dir),
+          source = 2L, maxEdges = 3)
         .orderBy("node")),
     // per-part triangle counts over the repeated-co-purchase graph
     // (degree-ordered wedge join — Suri & Vassilvitskii WWW'11)
@@ -4435,6 +4469,34 @@ object SparkEntry {
         |  ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY term_a, term_b""".stripMargin,
+    // PPMI twin: same unfloored pair table for marginals, identical
+    // IEEE expression tree ((n̂·N̂)/(r̂·ĉ), casts first, ln, clamp,
+    // explicit half-up 6-dp round), output pairs floored at 5
+    "ppmi_colloc" ->
+      """WITH w2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), rawtok AS (
+        |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+        |), tokp AS (
+        |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+        |  FROM rawtok WHERE length(term) >= 2
+        |), pairs AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n
+        |  FROM tokp a JOIN tokp b
+        |    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT sum(n)::DOUBLE AS nn FROM pairs),
+        | rm AS (SELECT term_a, sum(n)::DOUBLE AS row_n FROM pairs GROUP BY 1),
+        | cm AS (SELECT term_b, sum(n)::DOUBLE AS col_n FROM pairs GROUP BY 1)
+        |SELECT p.term_a, p.term_b, p.n,
+        |       floor(greatest(ln(p.n::DOUBLE * tot.nn / (rm.row_n * cm.col_n)),
+        |                      0.0) * 1e6 + 0.5) / 1e6 AS ppmi
+        |FROM pairs p
+        |JOIN rm ON rm.term_a = p.term_a
+        |JOIN cm ON cm.term_b = p.term_b
+        |CROSS JOIN tot
+        |WHERE p.n >= 5
+        |ORDER BY p.term_a, p.term_b""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |       sha256(text) AS sha
@@ -4909,6 +4971,36 @@ object SparkEntry {
           |   GROUP BY node)
           |SELECT node::BIGINT AS node, dist::BIGINT AS dist
           |FROM d3 ORDER BY node""".stripMargin),
+    // weighted-SSSP twin: 3 Bellman-Ford relaxation rounds unrolled
+    // over the link-strength-weighted edge list — all-Long path sums,
+    // so the min-merge is exact in both engines
+    "graph_sssp" ->
+      """WITH e0 AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |         count(*)::BIGINT AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT src, dst, w FROM e0
+        |  UNION ALL SELECT dst, src, w FROM e0
+        |), d0 AS (SELECT 2::BIGINT AS node, 0::BIGINT AS dist),
+        | d1 AS (SELECT node, min(dist) AS dist FROM (
+        |   SELECT node, dist FROM d0
+        |   UNION ALL
+        |   SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node)
+        |   GROUP BY node),
+        | d2 AS (SELECT node, min(dist) AS dist FROM (
+        |   SELECT node, dist FROM d1
+        |   UNION ALL
+        |   SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node)
+        |   GROUP BY node),
+        | d3 AS (SELECT node, min(dist) AS dist FROM (
+        |   SELECT node, dist FROM d2
+        |   UNION ALL
+        |   SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node)
+        |   GROUP BY node)
+        |SELECT node::BIGINT AS node, dist::BIGINT AS dist
+        |FROM d3 ORDER BY node""".stripMargin,
     // triangle twin: same repeated-co-purchase edge set (canonical a<b
     // part pairs sharing >= 2 orders), triangles enumerated by the
     // id-ordered triple join — corner counts are orientation-free,
@@ -4942,7 +5034,48 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())
-        |ORDER BY rf, ls""".stripMargin)
+        |ORDER BY rf, ls""".stripMargin,
+    // Markov-transition twin: adjacent pairs via lead() over the same
+    // (ts, event_id)-tie-broken per-user order; probability = one
+    // Long/Long double division, explicit half-up 6-dp round
+    "q_events_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), c AS (
+        |  SELECT src, dst, count(*)::BIGINT AS n
+        |  FROM t WHERE dst IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src, dst, n,
+        |       floor(n::DOUBLE / (sum(n) OVER (PARTITION BY src))::DOUBLE
+        |             * 1e6 + 0.5) / 1e6 AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
+    // skyline twin: the NOT EXISTS dominance definition itself —
+    // b dominates a iff ≥ on size, ≤ on price, strict on one; exact
+    // value comparisons only, no arithmetic
+    "q_skyline" ->
+      """SELECT a.p_partkey, a.p_size, a.p_retailprice
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size >= a.p_size
+        |    AND b.p_retailprice <= a.p_retailprice
+        |    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+        |ORDER BY a.p_partkey""".stripMargin,
+    // unpivot twin: the UNION ALL expansion (metric name order is the
+    // Spark values order; the final sort pins it anyway)
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin)
 
   /** Shared CTE: the bidirectional customer↔supplier edge list, node-
     * encoded custkey→2k / suppkey→2k+1 — must stay textually in sync

@@ -261,6 +261,43 @@ object Curation {
       .filter(col("n") >= minCount)
   }
 
+  /** PPMI-scored collocations (Church & Hanks, CL'90; the positive
+    * clamp per Levy & Goldberg, NIPS'14): over the [[cooccurrence]]
+    * pair table, ppmi(a,b) = max(0, ln(n·N / (row_a · col_b))) with N
+    * the total pair count and row/col the directed marginals — the
+    * classic phrase-mining signal (high-PPMI adjacent pairs are
+    * multiword expressions, not chance co-occurrence).
+    *
+    * Marginals use the UNFILTERED pair table (a floor would bias
+    * p(a)·p(b)); only the REPORTED pairs are floored at `minCount`.
+    *
+    * Plan, built for scale: the pair table is built once and cached
+    * (three consumers below); marginals are vocabulary-sized
+    * aggregations that AQE broadcasts when small and sort-merges when
+    * a code-scale vocabulary isn't; N is one COUNT-like scalar to the
+    * driver (two Longs — the [[autoDateHistogram]] posture). The ln
+    * runs on one explicitly-shaped double expression — (n̂·N̂)/(r̂·ĉ),
+    * each Long cast first, multiply then divide — mirrored textually
+    * in the oracle so both engines evaluate the identical IEEE tree,
+    * then rounded by the explicit half-up rule. */
+  def ppmiCollocations(spark: SparkSession, docs: DataFrame, window: Int,
+                       minCount: Long): DataFrame = {
+    val pairs = cooccurrence(spark, docs, window, 1L).cache()
+    val total = pairs.agg(sum("n")).head().getLong(0)
+    val rowM = pairs.groupBy("term_a").agg(sum("n").as("row_n"))
+    val colM = pairs.groupBy("term_b").agg(sum("n").as("col_n"))
+    pairs.filter(col("n") >= minCount)
+      .join(rowM, "term_a")
+      .join(colM, "term_b")
+      .withColumn("pmi",
+        log(col("n").cast("double") * lit(total.toDouble) /
+          (col("row_n").cast("double") * col("col_n").cast("double"))))
+      .withColumn("ppmi",
+        floor(greatest(col("pmi"), lit(0.0)) * 1e6 + 0.5) / 1e6)
+      .select(col("term_a"), col("term_b"), col("n"), col("ppmi"))
+      .orderBy("term_a", "term_b")
+  }
+
   /** Model-based quality scoring — the linear-classifier filter of the
     * GPT-3/CCNet lineage (Brown et al. 2020 §A; fastText's mean-pooled
     * linear layer, Joulin et al. 2017): score = bias + mean over the

@@ -396,4 +396,39 @@ object Events {
         (col("a_us") - col("b_us")).as("gap_us"))
       .orderBy("a_event_id", "b_event_id")
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "path analysis" operator next to [[funnel]]
+    * (which fixes the step order) and sessionize (which cuts on gaps):
+    * for every ordered adjacent pair in a user's timeline, count
+    * (src_type → dst_type) transitions corpus-wide and report each
+    * source's outgoing distribution.
+    *
+    * Plan, built for scale: ONE shuffle — the window partitionBy(user)
+    * sort (per-user sequences are bounded by user activity, the same
+    * skew posture every sessionization/funnel twin here shares), then a
+    * type×type hash aggregation whose result is |types|² rows (tiny) —
+    * the probability normalization runs on that reduced table, not the
+    * corpus. Adjacent pairs tie-break equal timestamps by event_id, so
+    * the sequence (and the counts) are deterministic under any
+    * parallelism.
+    *
+    * The probability is one IEEE double division of two exact Longs,
+    * rounded by the explicit half-up rule (floor(x·1e6 + 0.5)/1e6 —
+    * engines disagree on round()'s tie rule, so the C3 convention
+    * spells it out). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val srcTotal = Window.partitionBy("src")
+    trans
+      .withColumn("p", floor(col("n") / sum("n").over(srcTotal) * 1e6 + 0.5) / 1e6)
+      .select(col("src"), col("dst"), col("n"), col("p"))
+      .orderBy("src", "dst")
+  }
 }

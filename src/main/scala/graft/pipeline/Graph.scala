@@ -219,4 +219,62 @@ object Graph {
       .filter(col("n") >= minSupport)
       .select("a", "b")
   }
+
+  /** Bounded weighted single-source shortest paths (Bellman-Ford,
+    * `maxEdges` relaxation rounds): minimum total edge cost from
+    * `source` over paths of at most `maxEdges` edges — the weighted
+    * sibling of [[bfs]] (which this reduces to when every weight is 1).
+    * `wedges` columns: (src, dst, w: long). Integer costs keep every
+    * path sum EXACT — min-merge order, partitioning, and engine cannot
+    * change a Long comparison, which is what makes the unrolled
+    * relational twin bit-identical.
+    *
+    * Plan: the big side (edges) is hash-partitioned on src ONCE and
+    * cached; each round shuffles only the node-sized distance table
+    * into the join and min-merges (map-side partial min). Lineage is
+    * cut per round by materialize-and-unpersist, the same O(1)-depth
+    * posture as [[pageRank]]. Rounds are a fixed small constant — the
+    * diameter bound the caller chooses — so the total cost is
+    * maxEdges × (one node-table shuffle + one bounded join). */
+  def sssp(wedges: DataFrame, source: Long, maxEdges: Int): DataFrame = {
+    val spark = wedges.sparkSession
+    val e = wedges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")).cache()
+    e.count()
+
+    var dist = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist")).cache()
+    var round = 0
+    while (round < maxEdges) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist")).cache()
+      next.count()
+      dist.unpersist()
+      dist = next
+      round += 1
+    }
+    val out = dist.select(col("node").cast("long").as("node"),
+      col("dist").cast("long").as("dist"))
+    e.unpersist()
+    out
+  }
+
+  /** Customer↔supplier edges weighted by link strength: w = the number
+    * of order lines connecting the pair (so SSSP reads as "reach this
+    * supplier through the FEWEST total order-lines" — weight-1 edges
+    * are the weakest links and the cheapest to traverse). Same 2k/2k+1
+    * node encoding as [[customerSupplierEdges]], returned both ways. */
+  def customerSupplierWeightedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val one = orders.join(line, orders("o_orderkey") === line("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    one.select(col("src"), col("dst"), col("w"))
+      .union(one.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
 }

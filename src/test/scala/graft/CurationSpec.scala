@@ -322,4 +322,36 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Curation.groupSplit(docs, 0) }
     intercept[IllegalArgumentException] { Curation.groupSplit(docs, 100) }
   }
+
+  test("ppmi collocations: formula vs brute force on the window-2 pair " +
+    "table, clamp at 0, marginals unfloored") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb aa bb cc"),
+      (2L, "aa bb aa bb"),
+      (3L, "cc dd cc dd cc dd"))
+      .toDF("doc_id", "text")
+    // brute: ordered pairs at distance 1..2, tokenizer ≡ whitespace here
+    val pairs = d.collect().flatMap { r =>
+      val ts = r.getString(1).split(" ")
+      for {
+        i <- ts.indices
+        j <- (i + 1) until math.min(i + 3, ts.length)
+      } yield (ts(i), ts(j))
+    }
+    val cnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = cnt.values.sum.toDouble
+    val row = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum.toDouble }
+    val col0 = cnt.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum.toDouble }
+    val want = cnt.filter(_._2 >= 2L).map { case ((a, b), c) =>
+      val pmi = math.log(c.toDouble * n / (row(a) * col0(b)))
+      (a, b, c, math.floor(math.max(pmi, 0.0) * 1e6 + 0.5) / 1e6)
+    }.toSet
+    val got = Curation.ppmiCollocations(spark, d, 2, 2L)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    // chance-level pairs clamp to 0, genuinely associated pairs exceed it
+    assert(got.forall(_._4 >= 0.0))
+    assert(got.exists(_._4 > 0.0))
+  }
 }

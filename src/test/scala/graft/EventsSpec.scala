@@ -363,4 +363,35 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Events.gapFilledDaily(df, Some(5L), Some(4L)))
   }
+
+  test("transition matrix: counts vs brute force, per-source rows sum to n, " +
+    "equal-ts ties broken by event_id") {
+    import spark.implicits._
+    def ev(id: Long, sec: Long, user: Long, t: String) =
+      (id, new Timestamp(sec * 1000L), user, t)
+    val events = Seq(
+      ev(1, 10, 1, "view"), ev(2, 20, 1, "click"), ev(3, 30, 1, "view"),
+      ev(4, 40, 1, "click"), ev(5, 50, 1, "purchase"),
+      // user 2: two events at the SAME ts — order must follow event_id
+      ev(6, 10, 2, "click"), ev(7, 10, 2, "view"), ev(8, 99, 2, "click"),
+      ev(9, 5, 3, "view") // single-event user: no transitions
+    ).toDF("event_id", "ts", "user_id", "event_type")
+
+    val got = Events.transitionMatrix(events)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val counts = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts == Map(
+      ("view", "click") -> 3L,    // u1 ×2, u2 (6→7 is click→view; 7→8 view→click)
+      ("click", "view") -> 2L,    // u1 2→3, u2 6→7
+      ("click", "purchase") -> 1L), s"got $counts")
+    // probabilities: per-source n / total, explicit half-up 6-dp
+    got.foreach { case (src, _, n, p) =>
+      val tot = got.filter(_._1 == src).map(_._3).sum
+      assert(p == math.floor(n.toDouble / tot * 1e6 + 0.5) / 1e6)
+    }
+    // parallelism invariance
+    val got8 = Events.transitionMatrix(events.repartition(8))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got8 == got)
+  }
 }

@@ -63,6 +63,28 @@ class GraphSpec extends SparkSpec {
     assert(got2 == expect, s"got $got2 expected $expect")
   }
 
+  test("sssp: weighted distances vs brute force; weight-1 sssp == bfs") {
+    // weighted diamond: 1→2 (w5), 1→3 (w1), 3→2 (w1), 2→4 (w10), 3→4 (w7)
+    val wes = Seq(
+      (1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 10L), (3L, 4L, 7L))
+      .toDF("src", "dst", "w")
+    val got = Graph.sssp(wes, source = 1L, maxEdges = 3)
+      .as[(Long, Long)].collect().toMap
+    // 1→3→2 (2) beats direct (5); 1→3→4 (8) beats 1→3→2→4 (12)
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 8L), s"got $got")
+    // bounded: with maxEdges=1 only direct edges are reachable
+    val oneHop = Graph.sssp(wes, source = 1L, maxEdges = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneHop == Map(1L -> 0L, 2L -> 5L, 3L -> 1L), s"got $oneHop")
+    // weight-1 reduction: sssp == bfs hop distances on the shared graph
+    val unit = edges.withColumn("w", lit(1L))
+    val viaSssp = Graph.sssp(unit, source = 1L, maxEdges = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaBfs = Graph.bfs(edges, source = 1L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaSssp == viaBfs)
+  }
+
   test("partCopurchaseEdges: support threshold prunes, cap guards groups") {
     val dir = "/root/testdata/sf0.001"
     val s1 = Graph.partCopurchaseEdges(spark, dir, minSupport = 1).count()
