@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.DocsIndex
-import graft.pipeline.{Ann, AnnIndex, Bpe, Curation, Dedup, Multimodal, Percolator, TextStats}
+import graft.pipeline.{Ann, AnnIndex, Bpe, Curation, Dedup, Multimodal, Percolator, TextStats, Unigram}
 import graft.search.ExactScorer
 
 /** Driver contract — SURVEY.md §2.7. Every implemented operator from
@@ -147,6 +147,17 @@ object SparkEntry {
       val m = Bpe.trainOn(s, DocsIndex.documents(s, dir), numMerges = 40).cache()
       m.count()
       m
+    })
+
+  /** Trained unigram-LM piece table, one per sfDir per JVM (same
+    * one-time-vocabulary posture as [[bpeCache]]). */
+  private val unigramCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def unigramVocab(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    unigramCache.getOrElseUpdate(dir, {
+      val v = Unigram.trainOn(s, DocsIndex.documents(s, dir),
+        vocabSize = 120, maxPieceLen = 5).cache()
+      v.count()
+      v
     })
 
   /** Force the one-time static index pruning NOW — billed by Bench as
@@ -1432,6 +1443,18 @@ object SparkEntry {
     // trainer; encode is deterministic given the merges)
     "bpe_tokens" -> ((s, dir) =>
       Bpe.tokenCounts(s, DocsIndex.documents(s, dir), bpeMerges(s, dir))
+        .orderBy("doc_id")),
+    // unigram-LM vocabulary (Kudo ACL'18, hard-EM / Viterbi variant):
+    // the SECOND subword trainer next to BPE — iterative, no SQL twin;
+    // DP-vs-exhaustive + monotonicity + order-invariance in UnigramSpec
+    "unigram_vocab" -> ((s, dir) =>
+      unigramVocab(s, dir).orderBy(col("cnt").desc, col("piece"))),
+    // per-doc token counts under the unigram vocab (Viterbi segmenter,
+    // broadcast piece table, one narrow pass) — spec-gated like the
+    // trainer
+    "unigram_tokens" -> ((s, dir) =>
+      Unigram.tokenCounts(s, DocsIndex.documents(s, dir),
+          unigramVocab(s, dir), maxPieceLen = 5)
         .orderBy("doc_id")),
     // DSIR importance resampling (Xie et al. NeurIPS 2023): hashed-
     // unigram importance weights of every raw doc under the src0-target

@@ -20,7 +20,8 @@ class EntrySpec extends SparkSpec {
     // iterative-trainer surfaces (BPE) — each exact-gated in scalatest
     assert(q.diff(o) == Set("dedup_simhash", "ann_lsh", "ann_pq",
       "ann_ivfpq", "dedup_semantic", "ft_pruned", "bpe_merges",
-      "bpe_tokens", "cluster_topics"), q.diff(o).toString)
+      "bpe_tokens", "cluster_topics", "unigram_vocab", "unigram_tokens"),
+      q.diff(o).toString)
   }
 
   test("snippets cut the exact ±2-token window around each matched position") {
