@@ -626,6 +626,13 @@ object SparkEntry {
     }),
     "ft_bm25_topk" -> ((s, dir) =>
       DocsIndex.rankedHits(s, dir, "FREE", "fast merge sort table", 20)),
+    // BM25F (Robertson CIKM'04): weighted-field pseudo-frequencies
+    // merged BEFORE saturation — body (text, w=1) + keyword field
+    // (source, w=3); relational oracle-path form, exact Long tf̃/dl̃
+    "ft_bm25f" -> ((s, dir) =>
+      graft.search.Bm25f.rankedHits(DocsIndex.documents(s, dir),
+        Seq(("text", 1L), ("source", 3L)),
+        Seq("fast", "merge", "src0"), 20)),
     // the SAME query through the MaxScore pruning strategy (Turtle &
     // Flood '95) instead of block-max WAND — identical results by
     // construction, so it shares ft_bm25_topk's oracle verbatim
@@ -1665,6 +1672,13 @@ object SparkEntry {
           s.read.parquet(s"$dir/part.parquet"),
           "p_partkey", "p_size", "p_retailprice")
         .orderBy("p_partkey")),
+    // rendezvous shard routing (Thaler & Ravishankar): md5-portable
+    // highest-random-weight doc→shard assignment, 8 shards, zero
+    // shuffles; the minimal-disruption law is gated in RoutingSpec
+    "shard_route" -> ((s, dir) =>
+      graft.pipeline.Routing.rendezvousRoute(
+          s, DocsIndex.documents(s, dir), 8)
+        .orderBy("doc_id")),
     // UNPIVOT (melt) — the inverse of q_pivot: wide per-flag totals to
     // long (flag, metric, value) rows via the native unpivot operator
     "q_unpivot" -> ((s, dir) =>
@@ -1799,6 +1813,62 @@ object SparkEntry {
     // MaxScore shares WAND's oracle — rank identity across strategies
     // is exactly the claim
     "ft_bm25_maxscore" -> bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false, 20),
+    // BM25F twin: weighted-field token stream (text w=1 ∪ source w=3),
+    // tf̃/dl̃ as exact Long sums, then the standard BM25 expression —
+    // textually the same IEEE tree as bm25Sql on the merged stream
+    "ft_bm25f" ->
+      """WITH ftok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         1::BIGINT AS w
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, unnest(string_split(source, ' ')) AS term,
+        |         3::BIGINT AS w
+        |  FROM documents
+        |), ftok2 AS (
+        |  SELECT * FROM ftok WHERE length(term) >= 2
+        |), tf AS (
+        |  SELECT doc_id, term, sum(w)::BIGINT AS tf FROM ftok2 GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(w)::BIGINT AS dl FROM ftok2 GROUP BY 1
+        |), alldl AS (
+        |  SELECT d.doc_id, coalesce(dl.dl, 0)::BIGINT AS dl
+        |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+        |), stats AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl) * 1.0 / count(*) AS avgdl
+        |  FROM alldl
+        |), df AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN alldl USING (doc_id)
+        |  CROSS JOIN stats
+        |  WHERE tf.term IN ('fast', 'merge', 'src0')
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, round(score, 6) AS score,
+        |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // rendezvous-routing twin: per-(doc, shard) md5 weights from the
+    // identical hex, argmax by (weight desc, shard) per doc
+    "shard_route" ->
+      """WITH w AS (
+        |  SELECT doc_id, s AS shard,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || '#' || s::VARCHAR),
+        |                         1, 15))::BIGINT AS weight
+        |  FROM documents, unnest(range(0, 8)) t(s)
+        |), best AS (
+        |  SELECT doc_id, shard, weight,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY weight DESC, shard) AS rn
+        |  FROM w
+        |)
+        |SELECT doc_id, shard::INTEGER AS shard, weight
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ft_bm25_and" -> bm25Sql(Seq("key", "value", "hash"), conjunctive = true, 20),
     "ft_bm25_or" -> bm25Sql(Seq("scan", "window", "batch"), conjunctive = false, 20),
     // MMR twin: the greedy unrolled as 5 chained argmax stages
