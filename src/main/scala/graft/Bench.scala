@@ -165,6 +165,13 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     }
 
+    // ── one-time SymSpell delete-neighborhood index, own metric ──
+    val symspellBuildSec = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.prebuildSymspell(spark, sfDir); secs(t0) }
+      catch { case _: Throwable => -1.0 }
+    }
+
     // ── per-query timings (driver contract) ───────────────────────────
     val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -179,6 +186,7 @@ object Bench {
       s""""purge_build":$purgeBuildSec,""" +
       s""""compact_build":$compactBuildSec,""" +
       s""""prune_build":$pruneBuildSec,""" +
+      s""""symspell_build":$symspellBuildSec,""" +
       s""""query_p50_ms":$p50,"query_p95_ms":$p95,""" +
       s""""serving_qps":$servingQps,""" +
       s""""plan_p50_ms":$plan50,"plan_p95_ms":$plan95}""")

@@ -160,6 +160,25 @@ object SparkEntry {
       v
     })
 
+  /** SymSpell delete-neighborhood index over the dictionary, one per
+    * sfDir per JVM — a one-time sidecar build like the trigram/ANN
+    * indexes (billed separately by Bench as `symspell_build`). */
+  private val symspellCache = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def symspellIndex(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    symspellCache.getOrElseUpdate(dir, {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      val idx = graft.search.SymSpell.buildIndex(
+        seg.dict.toDF().select(col("term"), col("df")), maxDist = 2).cache()
+      idx.count()
+      idx
+    })
+
+  /** Force the one-time SymSpell index build NOW (Bench billing). */
+  def prebuildSymspell(s: SparkSession, dir: String): Unit = {
+    symspellIndex(s, dir)
+    ()
+  }
+
   /** Force the one-time static index pruning NOW — billed by Bench as
     * `prune_build` so `ft_pruned` times the query over the pruned
     * postings, not the prune pass itself. */
@@ -1086,6 +1105,13 @@ object SparkEntry {
     // get dictionary candidates within distance 2; 'table' exists → none
     "ft_term_suggest" -> ((s, dir) =>
       DocsIndex.termSuggest(s, dir, Seq("fsat", "merg", "table"), 2, 5)),
+    // SymSpell delete-neighborhood suggester — the SCALE path next to
+    // ft_term_suggest's dictionary scan: equi-join on precomputed
+    // delete variants, exact Levenshtein verify on candidates only;
+    // output contract identical (missing mode, dist/df/term ranking)
+    "ft_symspell" -> ((s, dir) =>
+      graft.search.SymSpell.suggest(symspellIndex(s, dir),
+        Seq("qery", "osrt", "scan"), 2, 5)),
     // percolation (reverse search): 5 stored queries across the kinds,
     // matched against every document in one narrow pass
     "percolate" -> ((s, dir) => {
@@ -3723,6 +3749,28 @@ object SparkEntry {
          |  FROM df d, inp i
          |  WHERE abs(length(d.term) - length(i.input_term)) <= 2
          |    AND levenshtein(d.term, i.input_term) <= 2
+         |), missing AS (
+         |  SELECT input_term FROM cand GROUP BY 1 HAVING min(dist) > 0
+         |), ranked AS (
+         |  SELECT input_term, suggestion, dist, df,
+         |         row_number() OVER (PARTITION BY input_term
+         |           ORDER BY dist, df DESC, suggestion) AS rank
+         |  FROM cand JOIN missing USING (input_term)
+         |)
+         |SELECT input_term, suggestion, dist, df, rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY input_term, rank""".stripMargin,
+    // SymSpell twin: the same dictionary-scan brute force as
+    // ft_term_suggest — candidate completeness of the delete
+    // neighborhood IS the cross-engine claim
+    "ft_symspell" ->
+      s"""$tokCtes, inp AS (
+         |  SELECT * FROM (VALUES ('qery'), ('osrt'), ('scan')) i(input_term)
+         |), cand AS (
+         |  SELECT i.input_term, d.term AS suggestion,
+         |         levenshtein(d.term, i.input_term)::BIGINT AS dist, d.df
+         |  FROM df d, inp i
+         |  WHERE levenshtein(d.term, i.input_term) <= 2
          |), missing AS (
          |  SELECT input_term FROM cand GROUP BY 1 HAVING min(dist) > 0
          |), ranked AS (
