@@ -309,4 +309,45 @@ class PlanSpec extends SparkSpec {
     assert(tPlan.contains("LeftSemi"), s"closing edge must semi-join:\n$tPlan")
     assert(!tPlan.contains("CartesianProduct"), s"no cartesian:\n$tPlan")
   }
+
+  test("skyline, routing, and symspell keep their promised plan shapes") {
+    val sf = "/root/testdata/sf0.001"
+    import spark.implicits._
+
+    // skyline phase 1 is shuffle-free: the ONLY exchange in the plan is
+    // the single-partition gather of the already-pruned local skylines
+    val skPlan = graft.pipeline.Skyline.skyline(
+        spark.read.parquet(s"$sf/part.parquet"),
+        "p_partkey", "p_size", "p_retailprice")
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(skPlan).size
+    assert(skPlan.contains("SinglePartition"),
+      s"phase 2 gathers to one partition:\n$skPlan")
+    assert(nEx <= 2, // SinglePartition exchange (+AQE read wrapper)
+      s"local sweep must not shuffle (found $nEx exchanges):\n$skPlan")
+    assert(!skPlan.contains("p_name"),
+      s"skyline must prune to its three columns:\n$skPlan")
+
+    // rendezvous routing: a single narrow map — zero exchanges
+    val rPlan = graft.pipeline.Routing.rendezvousRoute(
+        spark, spark.read.parquet(s"$sf/documents.parquet"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!rPlan.contains("Exchange"),
+      s"routing must be a narrow map:\n$rPlan")
+    assert(!rPlan.contains("text"),
+      s"routing must read only doc_id:\n$rPlan")
+
+    // symspell: the probe side broadcasts; no corpus-dict cross join
+    val dict = Seq(("query", 4L), ("sort", 3L), ("scan", 2L))
+      .toDF("term", "df")
+    val idx = graft.search.SymSpell.buildIndex(dict, 2)
+    val sPlan = graft.search.SymSpell.suggest(idx, Seq("qery"), 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("BroadcastHashJoin") ||
+      sPlan.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n$sPlan")
+    assert(!sPlan.contains("CartesianProduct") &&
+      !sPlan.contains("BroadcastNestedLoopJoin"),
+      s"no dictionary cross join:\n$sPlan")
+  }
 }
