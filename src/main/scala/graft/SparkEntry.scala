@@ -652,6 +652,11 @@ object SparkEntry {
       graft.search.Bm25f.rankedHits(DocsIndex.documents(s, dir),
         Seq(("text", 1L), ("source", 3L)),
         Seq("fast", "merge", "src0"), 20)),
+    // BM25+ (Lv & Zhai CIKM'11): per-matched-term idf·δ lift fixes
+    // long-document over-penalization; δ=1, the paper's default
+    "ft_bm25plus" -> ((s, dir) =>
+      graft.search.Bm25f.bm25PlusHits(DocsIndex.documents(s, dir),
+        "text", Seq("fast", "merge", "sort"), 1.0, 20)),
     // the SAME query through the MaxScore pruning strategy (Turtle &
     // Flood '95) instead of block-max WAND — identical results by
     // construction, so it shares ft_bm25_topk's oracle verbatim
@@ -1507,6 +1512,14 @@ object SparkEntry {
       Curation.ppmiCollocations(s, DocsIndex.documents(s, dir), 2, 5L)),
 
     // ── multimodal plumbing (decode stubbed; see Multimodal scaladoc) ──
+    // container-header parse — the NON-stub half of image decode:
+    // real PNG chunk layout, dimensions recovered by byte arithmetic
+    // (substring+hex+conv, codegen) while the oracle recomputes the
+    // planted ground truth from the source row
+    "mm_dims" -> ((s, dir) =>
+      Multimodal.parseContainerHeader(
+          Multimodal.ingestPng(DocsIndex.documents(s, dir)))
+        .orderBy("id")),
     "mm_features" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(
@@ -1879,6 +1892,24 @@ object SparkEntry {
         |SELECT doc_id, round(score, 6) AS score,
         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // BM25+ twin: the standard BM25 CTEs with the (sat + δ) lift,
+    // δ=1 — same IEEE tree, same round/rank boundary
+    "ft_bm25plus" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |             (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |              + 1.0)) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term IN ('fast', 'merge', 'sort')
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // rendezvous-routing twin: per-(doc, shard) md5 weights from the
     // identical hex, argmax by (weight desc, shard) per doc
     "shard_route" ->
@@ -4641,6 +4672,15 @@ object SparkEntry {
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // container-parse twin: the PLANTED dimension rule recomputed from
+    // the source — the Spark side must recover it from the bytes
+    "mm_dims" ->
+      """SELECT doc_id AS id,
+        |       (octet_length(encode(text)) % 1024 + 16)::BIGINT AS width,
+        |       (octet_length(encode(text)) % 767 + 9)::BIGINT AS height,
+        |       8::BIGINT AS bit_depth, 2::BIGINT AS color_type,
+        |       octet_length(encode(text))::BIGINT AS n_payload
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -60,6 +60,61 @@ object Multimodal {
     hist
   }
 
+  /** Wrap each payload in a REAL PNG container layout (8-byte
+    * signature + IHDR chunk + one data chunk): the planted dimensions
+    * derive deterministically from the payload (width = nBytes mod
+    * 1024 + 16, height = nBytes mod 767 + 9), so an oracle can compute
+    * the ground truth from the source row while the Spark side must
+    * recover it by PARSING BYTES. Chunk CRCs are zeroed (honest stub —
+    * [[parseContainerHeader]] does not verify CRCs, the one part of
+    * container handling that needs no codec is the one implemented).
+    *
+    * This is the non-stub half of image decode: container/header
+    * parsing is pure byte arithmetic and fully testable here; only
+    * pixel decode needs codec libraries (see [[fakeDecode]]). */
+  def ingestPng(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = Option(text).getOrElse("").getBytes("UTF-8")
+        val width = payload.length % 1024 + 16
+        val height = payload.length % 767 + 9
+        val bb = java.nio.ByteBuffer.allocate(8 + 25 + 12 + payload.length)
+        bb.put(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+        bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+          .putInt(width).putInt(height)
+          .put(8.toByte)  // bit depth
+          .put(2.toByte)  // color type: truecolor
+          .put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+          .putInt(0)      // IHDR CRC (not computed)
+        bb.putInt(payload.length).put("IDAT".getBytes("US-ASCII"))
+          .put(payload).putInt(0)
+        MediaRow(id, "image", bb.array(),
+          Map("codec" -> "png-container", "source" -> "documents"))
+      }
+  }
+
+  /** Parse the container header from the BINARY column with built-in
+    * byte functions only (substring + hex + conv — whole-stage
+    * codegen, no UDF): (id, width, height, bit_depth, color_type,
+    * n_payload). Big-endian int32 fields decode as base-16 conv over
+    * the hex of a 4-byte slice. */
+  def parseContainerHeader(media: Dataset[MediaRow]): DataFrame = {
+    def be32(off1: Int) = // 1-based substring offset
+      expr(s"cast(conv(hex(substring(bytes, $off1, 4)), 16, 10) as bigint)")
+    def be8(off1: Int) =
+      expr(s"cast(conv(hex(substring(bytes, $off1, 1)), 16, 10) as bigint)")
+    media.toDF()
+      .select(col("id"),
+        be32(17).as("width"),
+        be32(21).as("height"),
+        be8(25).as("bit_depth"),
+        be8(26).as("color_type"),
+        be32(34).as("n_payload"))
+  }
+
   /** Batch-wise feature extraction. The partition iterator is consumed in
     * `batchSize` groups — the shape a vectorized decoder (GPU batch, C
     * library call) needs — while remaining lazy per partition. */

@@ -27,14 +27,11 @@ import org.apache.spark.sql.functions._
   * saturation sees only tf̃/dl̃). */
 object Bm25f {
 
-  /** Top-k BM25F hits over `docs` for `terms`, with `fields` =
-    * (column, integer weight). Returns (doc_id, score, rank) in the
-    * shared ranked-hits shape. */
-  def rankedHits(docs: DataFrame, fields: Seq[(String, Long)],
-                 terms: Seq[String], k: Int): DataFrame = {
+  /** Weighted-field tf̃/dl̃/df/stats tables shared by the scorers. */
+  private def corpusTables(docs: DataFrame, fields: Seq[(String, Long)])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(fields.nonEmpty && fields.forall(_._2 >= 1),
       s"field weights must be >= 1: $fields")
-    require(terms.nonEmpty, "empty term list")
     def fieldTok(f: String, w: Long) =
       docs.select(col("doc_id").cast("long").as("doc_id"),
         explode(filter(split(col(f).cast("string"), " "),
@@ -49,23 +46,59 @@ object Bm25f {
     val stats = alldl.agg(count(lit(1)).as("n"),
       (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    (tf, alldl, stats, df)
+  }
 
-    val contrib: Column =
-      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        col("tf") * lit(2.2) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+  /** Score with `contrib`, take global top-k, rank the k rows —
+    * identical to ranking-then-limiting, without a corpus-wide
+    * window. */
+  private def rank(tf: DataFrame, alldl: DataFrame, stats: DataFrame,
+                   df: DataFrame, terms: Seq[String], contrib: Column,
+                   k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
     val sc = tf.filter(col("term").isin(terms: _*))
       .join(df, "term")
       .join(alldl, "doc_id")
       .crossJoin(stats)
       .groupBy("doc_id").agg(sum(contrib).as("score0"))
       .select(col("doc_id"), round(col("score0"), 6).as("score"))
-    // global top-k first (TakeOrderedAndProject), then rank the k rows —
-    // identical to ranking-then-limiting, without a corpus-wide window
     val top = sc.orderBy(col("score").desc, col("doc_id")).limit(k)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("score"), col("rank"))
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Top-k BM25F hits over `docs` for `terms`, with `fields` =
+    * (column, integer weight). Returns (doc_id, score, rank) in the
+    * shared ranked-hits shape. */
+  def rankedHits(docs: DataFrame, fields: Seq[(String, Long)],
+                 terms: Seq[String], k: Int): DataFrame = {
+    val (tf, alldl, stats, df) = corpusTables(docs, fields)
+    val contrib: Column =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    rank(tf, alldl, stats, df, terms, contrib, k)
+  }
+
+  /** BM25+ (Lv & Zhai, CIKM'11 "Lower-bounding term frequency
+    * normalization"): each matched term's saturated contribution is
+    * lifted by idf·δ, so a long document matching a term can never
+    * score below a short one that lacks it — the long-doc
+    * over-penalization fix. δ = 1 is the paper's default. Single
+    * unit-weight field ⇒ tf/dl are the plain corpus statistics; the
+    * expression is the standard BM25 tree with the (sat + δ) lift,
+    * mirrored textually in the DuckDB twin. */
+  def bm25PlusHits(docs: DataFrame, field: String, terms: Seq[String],
+                   delta: Double, k: Int): DataFrame = {
+    require(delta > 0.0, s"bm25+ needs delta > 0, got $delta")
+    val (tf, alldl, stats, df) = corpusTables(docs, Seq((field, 1L)))
+    val contrib: Column =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) +
+          lit(delta))
+    rank(tf, alldl, stats, df, terms, contrib, k)
   }
 }

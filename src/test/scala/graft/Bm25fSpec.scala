@@ -98,4 +98,21 @@ class Bm25fSpec extends SparkSpec {
     assert(got(5L) < 4.0 * contrib(1L, 5L) - 1e-9,
       s"tf̃=4 must saturate below 4x the tf̃=1 score: ${got(5L)}")
   }
+
+  test("bm25+ == plain BM25 + idf·δ per matched term (the lift law)") {
+    val terms = Seq("fast", "merge")
+    val plain = Bm25f.rankedHits(df, Seq(("text", 1L)), terms, 10)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    val plus = Bm25f.bm25PlusHits(df, "text", terms, 1.0, 10)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(plus.keySet == plain.keySet, "same match set")
+    // text-only stats for idf: n=6 docs; df(fast)=3 (docs 1,2,5),
+    // df(merge)=3 (docs 1,3,5)
+    val idf = math.log(1.0 + (6 - 3 + 0.5) / (3 + 0.5))
+    val matched = Map(1L -> 2, 2L -> 1, 3L -> 1, 5L -> 2)
+    plus.foreach { case (id, s) =>
+      assert(math.abs(s - (plain(id) + matched(id) * idf)) < 3e-6,
+        s"doc $id: $s vs ${plain(id)} + ${matched(id)}·idf")
+    }
+  }
 }

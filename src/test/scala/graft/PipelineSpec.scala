@@ -218,6 +218,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: container header parse recovers the planted fields " +
+    "from raw bytes; signature and layout are real PNG") {
+    import spark.implicits._
+    val media = Multimodal.ingestPng(docs)
+    // byte-level layout check on one row, driver-side
+    val row = media.filter(_.id == 0L).head()
+    val b = row.bytes
+    assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G',
+      "PNG signature")
+    assert(new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+    assert(new String(b.slice(37, 41), "US-ASCII") == "IDAT")
+    // the distributed byte-arithmetic parse == the planted rule
+    val got = Multimodal.parseContainerHeader(media)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .toSeq.sortBy(_._1).map { case (id, t) =>
+        val n = t.getBytes("UTF-8").length
+        (id, (n % 1024 + 16).toLong, (n % 767 + 9).toLong, 8L, 2L, n.toLong)
+      }
+    assert(got == want)
+  }
+
   test("chunkDups == brute-force chunk duplication") {
     val w = 4
     val rows = docs.select("doc_id", "text").collect()
