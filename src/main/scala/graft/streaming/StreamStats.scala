@@ -185,4 +185,55 @@ object StreamStats {
           (source, d, t)
       }
   }
+
+  /** Streaming count-min sketch — the online form of [[graft.pipeline.Cms]],
+    * and the demonstration that SKETCH LINEARITY IS STREAMING
+    * MERGEABILITY: each micro-batch pre-reduces its token occurrences
+    * to a partition-local partial grid (a plain HashMap — at most
+    * depth·width partials leave a partition no matter how many tokens
+    * it scanned), and keyed state ADDS partials per cell. Because
+    * count-min is linear (grid(A ∪ B) = grid(A) + grid(B) cell-wise),
+    * the running state after any prefix of batches is EXACTLY the
+    * batch sketch of the union frame — the law StreamingSpec asserts
+    * against Cms.sketch, and the reason estimates from the streaming
+    * grid carry the same ε/δ guarantee as the batch one.
+    *
+    * Emits every updated cell per batch (update semantics); state is
+    * ≤ depth·width small records, key-partitioned by the state store.
+    * Same md5-portable hash family and tokenization as the batch op
+    * ([[graft.pipeline.Cms.bucket]]), so the grids are comparable
+    * cell-for-cell. */
+  def streamingCmsGrid(docs: Dataset[(Long, String)], depth: Int, width: Int)
+      : Dataset[(Int, Int, Long)] = {
+    require(depth >= 1 && width >= 1, s"bad grid $depth x $width")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .mapPartitions { it =>
+        val partial = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+        it.foreach { case (_, text) =>
+          Option(text).getOrElse("").split(" ").foreach { w =>
+            if (w.length >= 2) {
+              var r = 0
+              while (r < depth) {
+                val cell = (r, graft.pipeline.Cms.bucket(r, w, width))
+                partial(cell) = partial.getOrElse(cell, 0L) + 1L
+                r += 1
+              }
+            }
+          }
+        }
+        partial.iterator.map { case ((r, b), c) => (r, b, c) }
+      }
+      .groupByKey { case (r, b, _) => (r, b) }
+      .mapGroupsWithState[Long, (Int, Int, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (cell: (Int, Int), partials: Iterator[(Int, Int, Long)],
+         state: GroupState[Long]) =>
+          val add = partials.map(_._3).sum
+          val total = state.getOption.getOrElse(0L) + add
+          state.update(total)
+          (cell._1, cell._2, total)
+      }
+  }
 }

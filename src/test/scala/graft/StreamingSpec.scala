@@ -150,6 +150,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS grid: running state after each batch == the batch " +
+       "sketch of the union frame (sketch linearity = mergeability)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (depth, width) = (3, 32)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamStats.streamingCmsGrid(mem.toDS(), depth, width)
+      .toDF("row", "bucket", "cnt")
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("update").start()
+    val b1 = Seq((1L, "fast merge sort"), (2L, "fast scan"))
+    val b2 = Seq((3L, "merge merge window"), (4L, "x yy"))
+    def batchGrid(docs: Seq[(Long, String)]): Map[(Int, Int), Long] =
+      graft.pipeline.Cms.sketch(docs.toDF("doc_id", "text"),
+          graft.pipeline.Cms.Params(depth, width))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def latest(): Map[(Int, Int), Long] = {
+      // update mode re-emits a cell per change: last emission wins
+      val rows = spark.table("scms").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      rows.zipWithIndex.groupBy { case ((r, b, _), _) => (r, b) }
+        .map { case (cell, xs) => cell -> xs.maxBy(_._2)._1._3 }
+    }
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchGrid(b1), "after batch 1")
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchGrid(b1 ++ b2), "after batch 2")
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches the batch operator; in-batch " +
        "splits, cross-batch continuation, timeout closes, late-merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
