@@ -1704,6 +1704,15 @@ object SparkEntry {
     "q_events_markov" -> ((s, dir) =>
       graft.pipeline.Events.transitionMatrix(
         s.read.parquet(s"$dir/events.parquet"))),
+    // rolling 7-day distinct actives (WAU) — exact sliding
+    // window-distinct via bounded presence-row expansion
+    "q_events_actives" -> ((s, dir) =>
+      graft.pipeline.Events.rollingActiveUsers(
+        s.read.parquet(s"$dir/events.parquet"), 7)),
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // top-50 by u^(1/n_chars) under the md5-portable draw
+    "wrs_sample" -> ((s, dir) =>
+      Curation.weightedSample(DocsIndex.documents(s, dir), 50, "wrs")),
     // 2-D skyline (Pareto frontier): parts maximizing size while
     // minimizing price — two-phase partition-local sweep + final sweep
     "q_skyline" -> ((s, dir) =>
@@ -5233,6 +5242,31 @@ object SparkEntry {
         |       floor(n::DOUBLE / (sum(n) OVER (PARTITION BY src))::DOUBLE
         |             * 1e6 + 0.5) / 1e6 AS p
         |FROM c ORDER BY src, dst""".stripMargin,
+    // rolling-actives twin: same presence distinct + trailing-window
+    // join, exact UTC epoch-day integer arithmetic
+    "q_events_actives" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_us(ts) // 86400000000)::BIGINT AS day
+        |  FROM events
+        |), days AS (SELECT DISTINCT day FROM pres)
+        |SELECT strftime(to_timestamp(d.day * 86400), '%Y-%m-%d') AS day,
+        |       count(DISTINCT p.user_id)::BIGINT AS active_users
+        |FROM days d JOIN pres p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A-ES twin: identical md5 draw, mirrored ln((h+1)/2^60)/w tree,
+    // half-up 6-dp boundary BEFORE the (key desc, doc_id) order
+    "wrs_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars::BIGINT AS w,
+        |         ('0x' || substr(md5('wrs:' || doc_id::VARCHAR), 1, 15))
+        |           ::BIGINT::DOUBLE AS hv
+        |  FROM documents WHERE n_chars >= 1
+        |)
+        |SELECT doc_id, w,
+        |       floor(ln((hv + 1.0) / 1152921504606846976.0) / w * 1e6 + 0.5)
+        |         / 1e6 AS skey
+        |FROM h ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
     // skyline twin: the NOT EXISTS dominance definition itself —
     // b dominates a iff ≥ on size, ≤ on price, strict on one; exact
     // value comparisons only, no arithmetic

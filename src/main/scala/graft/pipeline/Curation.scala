@@ -261,6 +261,37 @@ object Curation {
       .filter(col("n") >= minCount)
   }
 
+  /** Weighted sampling without replacement — Efraimidis & Spirakis,
+    * IPL'06 ("A-ES"): each row draws u ~ U(0,1] and the n LARGEST
+    * keys u^(1/w) are the sample; inclusion probability is then
+    * proportional to weight w without ever materializing Σw. The
+    * weighted sibling of the md5 p-samplers (stratifiedSample / AQP):
+    * here weight = n_chars, the long-doc-favoring draw a token-budget
+    * subsample wants.
+    *
+    * Portability/determinism: u derives from the md5-portable family
+    * (15-hex prefix → (h+1)/2^60 ∈ (0,1], exact in both engines), the
+    * key is compared as ln(u)/w (monotone in u^(1/w)), the expression
+    * tree is mirrored textually in the twin, and the boundary rounds
+    * half-up at 6 dp BEFORE the (key desc, doc_id) order, so the
+    * selected set is engine- and parallelism-invariant. Zero-weight
+    * rows are excluded (u^(1/0) is undefined — pinned, documented).
+    *
+    * Scale: one narrow pass + a global top-n (TakeOrderedAndProject);
+    * no shuffle beyond the top-n's reduction. */
+  def weightedSample(docs: DataFrame, n: Int, seed: String): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    val u = (h + lit(1.0)) / lit(1152921504606846976.0) // 16^15 = 2^60
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .filter(col("w") >= 1L)
+      .withColumn("skey", floor(log(u) / col("w") * 1e6 + 0.5) / 1e6)
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(n)
+  }
+
   /** PPMI-scored collocations (Church & Hanks, CL'90; the positive
     * clamp per Levy & Goldberg, NIPS'14): over the [[cooccurrence]]
     * pair table, ppmi(a,b) = max(0, ln(n·N / (row_a · col_b))) with N

@@ -397,6 +397,40 @@ object Events {
       .orderBy("a_event_id", "b_event_id")
   }
 
+  /** Rolling window-distinct actives (the product-analytics WAU/MAU
+    * family: per event day, distinct users active in the trailing
+    * `windowDays`-day window, current day inclusive) — the SLIDING
+    * sibling of [[cumulativeCardinality]]'s cumulative form. Exact,
+    * no sketches.
+    *
+    * Plan, built for scale: corpus-scale work is ONE distinct to the
+    * (user, day) presence table (≤ users × active-days — already the
+    * reduced regime); the window then materializes by exploding each
+    * presence row over its `windowDays` report days — a BOUNDED
+    * constant-factor expansion of the reduced table, never of the
+    * event stream — and one count-distinct agg per report day.
+    * Report days are restricted (semi-join) to days that actually
+    * have events; the dense-spine variant composes with
+    * [[gapFilledDaily]]. Day arithmetic is exact UTC epoch-day
+    * integer division. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")
+    val pres = events.select(col("user_id"), day.as("day")).distinct()
+    val days = pres.select(col("day").as("rday")).distinct()
+    pres
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1L)))
+          .as("rday"))
+      .join(days, Seq("rday"), "left_semi")
+      .groupBy("rday")
+      .agg(countDistinct("user_id").as("active_users"))
+      .select(
+        date_format(from_unixtime(col("rday") * 86400), "yyyy-MM-dd").as("day"),
+        col("active_users"))
+      .orderBy("day")
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences — the "path analysis" operator next to [[funnel]]
     * (which fixes the step order) and sessionize (which cuts on gaps):

@@ -323,6 +323,35 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Curation.groupSplit(docs, 100) }
   }
 
+  test("weighted sample == brute-force A-ES keys; zero weights excluded; " +
+    "parallelism-invariant") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, "x", if (i % 7 == 0L) 0L else i % 40 + 1))
+      .toDF("doc_id", "text", "n_chars")
+    def brute(n: Int): Seq[(Long, Long, Double)] =
+      (1L to 200L).flatMap { i =>
+        val w = if (i % 7 == 0L) 0L else i % 40 + 1
+        if (w < 1) None
+        else {
+          val h = graft.pipeline.PortableHash
+            .md5HexPrefixLong(s"wrs:$i", 15).toDouble
+          val u = (h + 1.0) / 1152921504606846976.0
+          Some((i, w, math.floor(math.log(u) / w * 1e6 + 0.5) / 1e6))
+        }
+      }.sortBy { case (id, _, k) => (-k, id) }.take(n)
+    for (parts <- Seq(1, 8)) {
+      val got = Curation.weightedSample(
+          d.repartition(parts), 25, "wrs")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == brute(25), s"parts=$parts")
+    }
+    // every multiple of 7 has weight 0 and must be absent from ANY n
+    val all = Curation.weightedSample(d, 200, "wrs")
+      .as[(Long, Long, Double)].collect()
+    assert(all.length == 200 - 200 / 7)
+    assert(all.forall(_._1 % 7 != 0L))
+  }
+
   test("ppmi collocations: formula vs brute force on the window-2 pair " +
     "table, clamp at 0, marginals unfloored") {
     import spark.implicits._

@@ -364,6 +364,28 @@ class EventsSpec extends SparkSpec {
       Events.gapFilledDaily(df, Some(5L), Some(4L)))
   }
 
+  test("rolling actives == brute-force trailing-window distinct; " +
+    "only real event days report") {
+    import spark.implicits._
+    def ev(id: Long, day: Long, user: Long) =
+      (id, new Timestamp(day * 86400L * 1000L + 3600L * 1000L), user, "view")
+    // users: 1 active days 0,1; 2 active day 0 only; 3 active day 9
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 0, 1), ev(3, 0, 2), ev(4, 1, 1), ev(5, 9, 3)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.pipeline.Events.rollingActiveUsers(events, 7)
+      .as[(String, Long)].collect().toSeq
+    // day 0: {1,2}; day 1: {1,2}; day 9: {3} (window [3,9] misses 0-1);
+    // days 2-8 have no events -> absent
+    assert(got == Seq(("1970-01-01", 2L), ("1970-01-02", 2L),
+      ("1970-01-10", 1L)), s"got $got")
+    // window-1 degenerates to per-day distinct
+    val got1 = graft.pipeline.Events.rollingActiveUsers(events, 1)
+      .as[(String, Long)].collect().toSeq
+    assert(got1 == Seq(("1970-01-01", 2L), ("1970-01-02", 1L),
+      ("1970-01-10", 1L)), s"got $got1")
+  }
+
   test("transition matrix: counts vs brute force, per-source rows sum to n, " +
     "equal-ts ties broken by event_id") {
     import spark.implicits._
