@@ -1234,6 +1234,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // the SAME exact top-k through the native Catalyst expression
+    // (graft.functions.CosineF32, whole-stage codegen over ArrayData —
+    // no typed-path deserialization, no UDF boxing); shares ann_topk's
+    // oracle because the scores are bit-identical by construction
+    "ann_topk_native" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(_._1 < 5).collect().sortBy(_._1)
+      Ann.bruteTopKNative(emb, qs, 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // filtered vector search (the "kNN with a metadata filter" surface
     // every vector store ships): PRE-filter semantics — candidates are
     // restricted BEFORE ranking, so k results are guaranteed whenever ≥k
@@ -4161,6 +4172,9 @@ object SparkEntry {
     // pairing dedup_minhash/dedup_jaccard use
     "dedup_embed_lsh" -> embedDupSql,
     "ann_topk" -> annTopkSql,
+    // the native-expression plan shares ann_topk's oracle verbatim —
+    // bit-identity across the typed and codegen paths IS the claim
+    "ann_topk_native" -> annTopkSql,
     // radius twin: the brute cosine CTE with the >= threshold on the
     // SAME 6-dp rounded value
     "ann_radius" ->

@@ -49,6 +49,31 @@ object Ann {
       .select($"query_id", $"neighbor_id", $"cos", $"rank")
   }
 
+  /** The [[bruteTopK]] contract through the NATIVE-EXPRESSION plan:
+    * cosine computed by [[graft.functions.CosineF32]] inside
+    * whole-stage codegen over the raw ArrayData buffers (no typed-path
+    * deserialization to Array[Float], no UDF boxing), queries
+    * broadcast as a 1-row-per-query frame. The expression's
+    * accumulation order is bit-identical to [[cosine]], so output
+    * equals bruteTopK EXACTLY (spec-asserted) and ann_topk's oracle
+    * transfers unchanged. */
+  def bruteTopKNative(embeddings: Dataset[(Long, Array[Float])],
+                      queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val q = broadcast(queries.toSeq.toDF("query_id", "qemb"))
+    embeddings.toDF("neighbor_id", "emb")
+      .crossJoin(q)
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos",
+        round(call_function("graft_cosine", $"qemb", $"emb"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"cos", $"rank")
+  }
+
   /** Radius (similarity-threshold) vector search — the ES `knn` query's
     * `similarity` floor / FAISS range_search: EVERY neighbor of each
     * query with cosine ≥ `minCos`, unbounded by k (the recall-first
