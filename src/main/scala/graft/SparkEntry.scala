@@ -1158,6 +1158,14 @@ object SparkEntry {
       Dedup.jaccardPairs(DocsIndex.documents(s, dir), 3, 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")),
+    // the SAME exact threshold join via PPJoin-style prefix filtering
+    // (candidates from rarest-first prefix tokens only, verified
+    // exactly) — shares dedup_jaccard's oracle because the output
+    // contract is identical by theorem
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(DocsIndex.documents(s, dir), 3, 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
@@ -4046,6 +4054,8 @@ object SparkEntry {
         |FROM documents GROUP BY text HAVING count(*) > 1
         |ORDER BY text_sha""".stripMargin,
     "dedup_jaccard" -> jaccardSql,
+    // prefix-filtered join: identical output by the prefix theorem
+    "dedup_jaccard_prefix" -> jaccardSql,
     "dedup_minhash" -> jaccardSql, // LSH banding at J≈0.99 pairs: recall 1 − (1−J⁴)¹⁶ ≈ 1
     "dedup_chunks" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

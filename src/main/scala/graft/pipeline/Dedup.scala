@@ -3,6 +3,7 @@ package graft.pipeline
 import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a (doc_id, text) table — the
@@ -59,6 +60,54 @@ object Dedup {
       .filter($"jac" >= tau)
       .select($"doc_a", $"doc_b", $"jac")
     out
+  }
+
+  /** Exact Jaccard ≥ tau via PREFIX FILTERING (Chaudhuri, Ganti &
+    * Kaushik ICDE'06; Xiao et al. WWW'08 PPJoin) — the SCALE path for
+    * the exact threshold join next to [[jaccardPairs]]' every-shared-
+    * shingle inverted join: J(a,b) ≥ τ forces overlap ≥ ⌈τ·max(|a|,|b|)⌉
+    * (from i ≥ τ(na+nb−i) and i ≤ min), so under ANY global token
+    * order a qualifying pair must share a token inside EACH side's
+    * first |s| − ⌈τ·|s|⌉ + 1 tokens. Candidates therefore come from a
+    * self-join of PREFIX tokens only — and because the global order is
+    * rarest-first (df asc), prefix tokens are precisely the tokens
+    * with the SHORTEST posting lists: the quadratic-in-df blowup of
+    * the naive join concentrates on exactly the tokens the prefix
+    * excludes. Exact verification then runs on the candidate set only.
+    *
+    * Output contract identical to [[jaccardPairs]] (doc_a < doc_b,
+    * jac ≥ tau) — equality is asserted in DedupSpec/PipelineSpec and
+    * the driver query shares the quadratic form's DuckDB oracle
+    * verbatim. */
+  def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
+                         tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau in (0,1], got $tau")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs, n).toDF("doc_id", "shingle").cache()
+    val dfT = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val prefix = sh.join(dfT, "shingle")
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy($"df".asc, $"shingle".asc)))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .filter($"rn" <= $"sz" - ceil($"sz" * tau) + 1)
+      .select($"doc_id", $"shingle")
+    val cand = prefix.as("x").join(prefix.as("y"), "shingle")
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val inter = cand.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jac", $"i" / ($"na" + $"nb" - $"i"))
+      .filter($"jac" >= tau)
+      .select($"doc_a", $"doc_b", $"jac")
   }
 
   @inline private def hash32(s: String, seed: Int): Int =

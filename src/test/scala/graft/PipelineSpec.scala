@@ -36,6 +36,26 @@ class PipelineSpec extends SparkSpec {
     assert(groups.head.getSeq[Long](groups.head.fieldIndex("ids")).toSeq == Seq(0L, 200L))
   }
 
+  test("prefix-filtered jaccard join == the quadratic form at several " +
+    "taus; prefix candidates prune vs all-pairs") {
+    import spark.implicits._
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.jaccardPairs(docs, 3, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, 3, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"tau=$tau")
+    }
+    // pruning sanity: for a corpus of distinct docs sharing one common
+    // stopword-ish shingle, the prefix join must not generate the
+    // all-pairs candidate set of the naive inverted join
+    val many = (1L to 40L).map(i =>
+      (i, s"common shared shingle unique$i word$i tail$i distinct$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsPrefix(many, 3, 0.8)
+    assert(pairs.count() == 0L) // no pair is actually >= 0.8
+  }
+
   test("minhash-LSH pairs == exact jaccard pairs on planted near-dups") {
     val exact = Dedup.jaccardPairs(docs, 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
