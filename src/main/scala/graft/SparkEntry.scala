@@ -629,6 +629,32 @@ object SparkEntry {
       seg.dict.select(col("term"), col("df"), col("cf"))
         .orderBy(col("cf").desc, col("term")).limit(15)
     }),
+    // Zipf rank-frequency diagnostics (Zipf'49; the corpus-statistics
+    // health check — natural text slopes near −1): exact least squares
+    // of ln(cf) on ln(rank) over the top-30 dictionary rows. Both
+    // engines sum 30 mirrored doubles; the 6-dp boundary absorbs
+    // associativity (the BM25-twin precedent). Runs on the REDUCED
+    // dictionary — corpus-scale work is the dict build it reuses.
+    "ft_zipf" -> ((s, dir) => {
+      val (seg, _, _) = DocsIndex.get(s, dir)
+      val ranked = seg.dict.select(col("term"), col("cf"))
+        .orderBy(col("cf").desc, col("term")).limit(30)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cf").desc, col("term"))))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("cf").cast("double")).as("y"))
+      ranked
+        .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 6).as("intercept"))
+    }),
     "ft_postings" -> ((s, dir) => {
       val (seg, _, _) = DocsIndex.get(s, dir)
       ExactScorer.decodedPostings(s, seg).toDF("termId", "docId", "tf")
@@ -1871,6 +1897,23 @@ object SparkEntry {
     "ft_topterms" ->
       s"""$tokCtes
          |SELECT term, df, cf FROM df ORDER BY cf DESC, term LIMIT 15""".stripMargin,
+    // Zipf twin: same top-30, same ln/least-squares trees
+    "ft_zipf" ->
+      s"""$tokCtes, top AS (
+         |  SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rank
+         |  FROM df ORDER BY cf DESC, term LIMIT 30
+         |), xy AS (
+         |  SELECT ln(rank::DOUBLE) AS x, ln(cf::DOUBLE) AS y FROM top
+         |), s AS (
+         |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  FROM xy
+         |)
+         |SELECT n::BIGINT AS n_terms,
+         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+         |             / n, 6) AS intercept
+         |FROM s""".stripMargin,
     "ft_postings" ->
       s"""$tokCtes
          |SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""".stripMargin,
