@@ -42,4 +42,5 @@ exec "${SPARK_HOME:-/opt/spark}"/bin/spark-submit \
   --conf spark.sql.files.maxPartitionBytes=256m \
   --conf spark.serializer=org.apache.spark.serializer.KryoSerializer \
   --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.extensions=graft.functions.GraftExtensions \
   "$JAR" "$@"
