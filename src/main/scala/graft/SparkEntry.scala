@@ -1772,6 +1772,15 @@ object SparkEntry {
       graft.pipeline.Routing.rendezvousRoute(
           s, DocsIndex.documents(s, dir), 8)
         .orderBy("doc_id")),
+    // three-criteria skyline (SFS — sort-filter-skyline): maximize
+    // size, minimize price AND name length; output-sensitive frontier
+    // scan where the 2-D running-minimum sweep no longer applies
+    "q_skyline3" -> ((s, dir) =>
+      graft.pipeline.Skyline.skyline3(
+          s.read.parquet(s"$dir/part.parquet")
+            .withColumn("name_len", length(col("p_name")).cast("long")),
+          "p_partkey", "p_size", "p_retailprice", "name_len")
+        .orderBy("p_partkey")),
     // UNPIVOT (melt) — the inverse of q_pivot: wide per-flag totals to
     // long (flag, metric, value) rows via the native unpivot operator
     "q_unpivot" -> ((s, dir) =>
@@ -5345,6 +5354,24 @@ object SparkEntry {
         |  WHERE b.p_size >= a.p_size
         |    AND b.p_retailprice <= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+        |ORDER BY a.p_partkey""".stripMargin,
+    // 3-D skyline twin: the NOT EXISTS dominance definition over the
+    // three criteria
+    "q_skyline3" ->
+      """WITH t AS (
+        |  SELECT p_partkey, p_size, p_retailprice,
+        |         length(p_name)::BIGINT AS name_len
+        |  FROM part
+        |)
+        |SELECT a.p_partkey, a.p_size, a.p_retailprice, a.name_len
+        |FROM t a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM t b
+        |  WHERE b.p_size >= a.p_size
+        |    AND b.p_retailprice <= a.p_retailprice
+        |    AND b.name_len <= a.name_len
+        |    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice
+        |         OR b.name_len < a.name_len))
         |ORDER BY a.p_partkey""".stripMargin,
     // unpivot twin: the UNION ALL expansion (metric name order is the
     // Spark values order; the final sort pins it anyway)

@@ -60,6 +60,51 @@ object Skyline {
     def next(): (Long, Int, Double) = { advance(); pending.next() }
   }
 
+  /** Three-criteria skyline via SFS (sort-filter-skyline, Chomicki,
+    * Godfrey, Gryz & Liang ICDE'03): maximize `maxCol`, minimize both
+    * `minColA` and `minColB`. Rows sorted by (max desc, minA asc,
+    * minB asc) have the property that every potential dominator of a
+    * row PRECEDES it (a dominator is ≥ on the sort-leading dimension,
+    * and within ties ≤ on the tie-broken ones), so one scan comparing
+    * each row against the CURRENT frontier — output-sensitive, never
+    * all-pairs — decides membership exactly.
+    *
+    * Same two-phase shape as [[skyline]]: partition-local SFS (no
+    * shuffle; local non-skyline rows are dominated within their own
+    * partition, so they can never be global skyline), then the same
+    * scan over the pruned candidate union in one task. The frontier
+    * comparisons per row are bounded by the FINAL skyline size — the
+    * output-sensitivity that makes SFS the standard beyond 2-D, where
+    * the X141 running-minimum sweep no longer applies. */
+  def skyline3(df: DataFrame, idCol: String, maxCol: String,
+               minColA: String, minColB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def dominates(b: (Long, Int, Double, Long), a: (Long, Int, Double, Long)): Boolean =
+      b._2 >= a._2 && b._3 <= a._3 && b._4 <= a._4 &&
+        (b._2 > a._2 || b._3 < a._3 || b._4 < a._4)
+    def sfs(rows: Iterator[(Long, Int, Double, Long)])
+        : Iterator[(Long, Int, Double, Long)] = {
+      val frontier = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Long)]
+      rows.filter { r =>
+        val keep = !frontier.exists(f => dominates(f, r))
+        if (keep) frontier += r
+        keep
+      }
+    }
+    val typed = df.select(col(idCol).cast("long"), col(maxCol).cast("int"),
+        col(minColA).cast("double"), col(minColB).cast("long"))
+      .as[(Long, Int, Double, Long)]
+    val local = typed
+      .sortWithinPartitions(col(maxCol).desc, col(minColA).asc, col(minColB).asc)
+      .mapPartitions(sfs)
+    local
+      .repartition(1)
+      .sortWithinPartitions(col("_2").desc, col("_3").asc, col("_4").asc)
+      .mapPartitions(sfs)
+      .toDF(idCol, maxCol, minColA, minColB)
+  }
+
   /** Skyline of `df`'s (idCol, maxCol: int, minCol: double) — maximize
     * `maxCol`, minimize `minCol`. Returns (id, maxCol, minCol) with the
     * input column names preserved. */

@@ -49,6 +49,25 @@ class SkylineSpec extends SparkSpec {
     assert(got.map(_._1) == Set(1L, 2L, 4L, 5L))
   }
 
+  test("skyline3 (SFS) == NOT EXISTS brute force, any partitioning; " +
+    "duplicates survive") {
+    val rows = (1L to 250L).map { i =>
+      (i, ((i * 37) % 12).toInt, ((i * 53) % 9).toDouble, (i * 29) % 7)
+    } ++ Seq((900L, 11, 0.0, 0L), (901L, 11, 0.0, 0L)) // duplicate optimum
+    def dom(b: (Long, Int, Double, Long), a: (Long, Int, Double, Long)) =
+      b._2 >= a._2 && b._3 <= a._3 && b._4 <= a._4 &&
+        (b._2 > a._2 || b._3 < a._3 || b._4 < a._4)
+    val want = rows.filter(a => !rows.exists(b => dom(b, a))).toSet
+    assert(want.contains((900L, 11, 0.0, 0L)) && want.contains((901L, 11, 0.0, 0L)))
+    for (p <- Seq(1, 4, 16)) {
+      val got = Skyline.skyline3(
+          rows.toDF("id", "size", "price", "len").repartition(p),
+          "id", "size", "price", "len")
+        .as[(Long, Int, Double, Long)].collect().toSet
+      assert(got == want, s"mismatch at $p partitions")
+    }
+  }
+
   test("anti-correlated worst case: every point is skyline") {
     // bigger size costs more: no point is ≥ on size AND ≤ on price
     val rows = (1L to 50L).map(i => (i, i.toInt, i.toDouble))
