@@ -1555,6 +1555,10 @@ object SparkEntry {
     // pairs floored at 5 — same reporting set as cooc_pairs
     "ppmi_colloc" -> ((s, dir) =>
       Curation.ppmiCollocations(s, DocsIndex.documents(s, dir), 2, 5L)),
+    // Dunning G² significance over the same pair table — the TEST
+    // companion to PPMI's effect size (PMI overrates rare pairs)
+    "colloc_llr" -> ((s, dir) =>
+      Curation.llrCollocations(s, DocsIndex.documents(s, dir), 2, 5L)),
 
     // ── multimodal plumbing (decode stubbed; see Multimodal scaladoc) ──
     // container-header parse — the NON-stub half of image decode:
@@ -1754,6 +1758,11 @@ object SparkEntry {
     "q_events_actives" -> ((s, dir) =>
       graft.pipeline.Events.rollingActiveUsers(
         s.read.parquet(s"$dir/events.parquet"), 7)),
+    // top length-3 adjacent paths (user-flow Sankey view, one step
+    // deeper than the transition matrix)
+    "q_events_paths3" -> ((s, dir) =>
+      graft.pipeline.Events.topPaths3(
+        s.read.parquet(s"$dir/events.parquet"), 20)),
     // Efraimidis-Spirakis weighted sampling without replacement:
     // top-50 by u^(1/n_chars) under the md5-portable draw
     "wrs_sample" -> ((s, dir) =>
@@ -5301,6 +5310,62 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())
         |ORDER BY rf, ls""".stripMargin,
+    // Dunning-G² twin: same unfloored marginals as the PPMI twin, the
+    // four contingency terms mirrored and summed in written order
+    "colloc_llr" ->
+      """WITH w2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), rawtok AS (
+        |  SELECT doc_id, ws[p] AS term, p FROM w2, unnest(range(1, len(ws) + 1)) t(p)
+        |), tokp AS (
+        |  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+        |  FROM rawtok WHERE length(term) >= 2
+        |), pairs AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n
+        |  FROM tokp a JOIN tokp b
+        |    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 2
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT sum(n)::DOUBLE AS nn, sum(n)::BIGINT AS ni FROM pairs),
+        | rm AS (SELECT term_a, sum(n)::BIGINT AS row_n FROM pairs GROUP BY 1),
+        | cm AS (SELECT term_b, sum(n)::BIGINT AS col_n FROM pairs GROUP BY 1)
+        |SELECT p.term_a, p.term_b, p.n,
+        |  floor(2.0 * (
+        |      CASE WHEN p.n > 0 THEN p.n::DOUBLE *
+        |        ln(p.n::DOUBLE * tot.nn / (rm.row_n::DOUBLE * cm.col_n::DOUBLE))
+        |        ELSE 0.0 END
+        |    + CASE WHEN rm.row_n - p.n > 0 THEN (rm.row_n - p.n)::DOUBLE *
+        |        ln((rm.row_n - p.n)::DOUBLE * tot.nn /
+        |           (rm.row_n::DOUBLE * (tot.ni - cm.col_n)::DOUBLE))
+        |        ELSE 0.0 END
+        |    + CASE WHEN cm.col_n - p.n > 0 THEN (cm.col_n - p.n)::DOUBLE *
+        |        ln((cm.col_n - p.n)::DOUBLE * tot.nn /
+        |           ((tot.ni - rm.row_n)::DOUBLE * cm.col_n::DOUBLE))
+        |        ELSE 0.0 END
+        |    + CASE WHEN tot.ni - rm.row_n - cm.col_n + p.n > 0
+        |        THEN (tot.ni - rm.row_n - cm.col_n + p.n)::DOUBLE *
+        |        ln((tot.ni - rm.row_n - cm.col_n + p.n)::DOUBLE * tot.nn /
+        |           ((tot.ni - rm.row_n)::DOUBLE * (tot.ni - cm.col_n)::DOUBLE))
+        |        ELSE 0.0 END
+        |  ) * 1e6 + 0.5) / 1e6 AS llr
+        |FROM pairs p
+        |JOIN rm ON rm.term_a = p.term_a
+        |JOIN cm ON cm.term_b = p.term_b
+        |CROSS JOIN tot
+        |WHERE p.n >= 5
+        |ORDER BY p.term_a, p.term_b""".stripMargin,
+    // paths-3 twin: two leads over the same tie-broken order
+    "q_events_paths3" ->
+      """WITH t AS (
+        |  SELECT event_type AS a,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS b,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS c
+        |  FROM events
+        |)
+        |SELECT a, b, c, count(*)::BIGINT AS cnt
+        |FROM t WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY cnt DESC, a, b, c LIMIT 20""".stripMargin,
     // Markov-transition twin: adjacent pairs via lead() over the same
     // (ts, event_id)-tie-broken per-user order; probability = one
     // Long/Long double division, explicit half-up 6-dp round

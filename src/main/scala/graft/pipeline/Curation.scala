@@ -261,6 +261,47 @@ object Curation {
       .filter(col("n") >= minCount)
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning, CL'93
+    * "Accurate Methods for the Statistics of Surprise and
+    * Coincidence") — the significance TEST companion to
+    * [[ppmiCollocations]]' effect-size score (PMI overrates rare
+    * pairs; G² does not): over the same directed window pair table,
+    * G² = 2·Σ_ij k_ij·ln(k_ij·N/(R_i·C_j)) on the 2×2 contingency
+    * table (k11 = n, k12 = R−n, k21 = C−n, k22 = N−R−C+n), zero cells
+    * contributing zero.
+    *
+    * Same plan regime as PPMI (cached pair table, vocab-sized
+    * marginals, scalar N); every contingency cell is an exact Long,
+    * the four ln terms are mirrored textually and summed in fixed
+    * written order, half-up 6-dp boundary. */
+  def llrCollocations(spark: SparkSession, docs: DataFrame, window: Int,
+                      minCount: Long): DataFrame = {
+    val pairs = cooccurrence(spark, docs, window, 1L).cache()
+    val total = pairs.agg(sum("n")).head().getLong(0)
+    val rowM = pairs.groupBy("term_a").agg(sum("n").as("row_n"))
+    val colM = pairs.groupBy("term_b").agg(sum("n").as("col_n"))
+    val nTot = lit(total.toDouble)
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k > 0, k.cast("double") *
+        log(k.cast("double") * nTot / (r.cast("double") * c.cast("double"))))
+        .otherwise(lit(0.0))
+    pairs.filter(col("n") >= minCount)
+      .join(rowM, "term_a")
+      .join(colM, "term_b")
+      .withColumn("k12", col("row_n") - col("n"))
+      .withColumn("k21", col("col_n") - col("n"))
+      .withColumn("k22", lit(total) - col("row_n") - col("col_n") + col("n"))
+      .withColumn("r2", lit(total) - col("row_n"))
+      .withColumn("c2", lit(total) - col("col_n"))
+      .withColumn("llr",
+        floor(lit(2.0) * (term(col("n"), col("row_n"), col("col_n"))
+          + term(col("k12"), col("row_n"), col("c2"))
+          + term(col("k21"), col("r2"), col("col_n"))
+          + term(col("k22"), col("r2"), col("c2"))) * 1e6 + 0.5) / 1e6)
+      .select(col("term_a"), col("term_b"), col("n"), col("llr"))
+      .orderBy("term_a", "term_b")
+  }
+
   /** Weighted sampling without replacement — Efraimidis & Spirakis,
     * IPL'06 ("A-ES"): each row draws u ~ U(0,1] and the n LARGEST
     * keys u^(1/w) are the sample; inclusion probability is then

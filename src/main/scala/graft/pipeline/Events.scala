@@ -431,6 +431,31 @@ object Events {
       .orderBy("day")
   }
 
+  /** Top adjacent event paths of length three (the product-analytics
+    * "user flows"/Sankey view one step deeper than
+    * [[transitionMatrix]]): corpus-wide counts of per-user consecutive
+    * (a → b → c) triples, top `topN` by (count desc, path asc).
+    *
+    * Same single user-keyed window shuffle as the transition matrix
+    * (two lead()s ride one sort); the count agg output is ≤ |types|³
+    * rows and the top-N is a TakeOrderedAndProject on that reduced
+    * table. (ts, event_id) tie-break pins sequences under any
+    * parallelism. */
+  def topPaths3(events: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead("a", 1).over(w))
+      .withColumn("c", lead("a", 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"), col("c"))
+      .limit(topN)
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences — the "path analysis" operator next to [[funnel]]
     * (which fixes the step order) and sessionize (which cuts on gaps):

@@ -352,6 +352,41 @@ class CurationSpec extends SparkSpec {
     assert(all.forall(_._1 % 7 != 0L))
   }
 
+  test("llr collocations: Dunning G² vs brute force; zero cells " +
+    "contribute zero; independence scores ~0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb aa bb cc"),
+      (2L, "aa bb aa bb"),
+      (3L, "cc dd cc dd cc dd"))
+      .toDF("doc_id", "text")
+    val pairs = d.collect().flatMap { r =>
+      val ts = r.getString(1).split(" ")
+      for {
+        i <- ts.indices
+        j <- (i + 1) until math.min(i + 3, ts.length)
+      } yield (ts(i), ts(j))
+    }
+    val cnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nTot = cnt.values.sum
+    val row = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val col0 = cnt.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    def term(k: Long, r: Long, c: Long): Double =
+      if (k > 0) k.toDouble * math.log(k.toDouble * nTot.toDouble /
+        (r.toDouble * c.toDouble)) else 0.0
+    val want = cnt.filter(_._2 >= 2L).map { case ((a, b), n) =>
+      val (r, c) = (row(a), col0(b))
+      val g2 = 2.0 * (term(n, r, c) + term(r - n, r, nTot - c)
+        + term(c - n, nTot - r, c) + term(nTot - r - c + n, nTot - r, nTot - c))
+      (a, b, n, math.floor(g2 * 1e6 + 0.5) / 1e6)
+    }.toSet
+    val got = Curation.llrCollocations(spark, d, 2, 2L)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    // G² is a significance score: genuinely associated pairs exceed 0
+    assert(got.exists(_._4 > 1.0))
+  }
+
   test("ppmi collocations: formula vs brute force on the window-2 pair " +
     "table, clamp at 0, marginals unfloored") {
     import spark.implicits._

@@ -415,5 +415,14 @@ class EventsSpec extends SparkSpec {
     val got8 = Events.transitionMatrix(events.repartition(8))
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got8 == got)
+
+    // length-3 paths on the same fixture: u1 has (v,c,v),(c,v,c),(v,c,p);
+    // u2 ordered by event_id at the tied ts has (c,v,c); u3 none
+    val paths = Events.topPaths3(events, 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(paths == Seq(
+      ("click", "view", "click", 2L),
+      ("view", "click", "purchase", 1L),
+      ("view", "click", "view", 1L)), s"got $paths")
   }
 }
