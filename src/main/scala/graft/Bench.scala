@@ -29,26 +29,56 @@ import graft.search.ServingSearcher
 object Bench {
 
   /** Time every SparkEntry query; failures yield time = -1 and an error
-    * entry instead of a fake duration (unit-checked in BenchSpec). */
+    * entry instead of a fake duration (unit-checked in BenchSpec).
+    *
+    * Round-over-round comparability (VERDICT r3 §wrong 3): queries run
+    * in SORTED name order — a Map's iteration order shifts whenever
+    * entries are added, which moved first-touch input-cache costs
+    * between rounds and made unchanged queries look regressed — and
+    * each query is timed `reps` times with the MIN reported, so a
+    * one-off co-tenant stall or first-plan JIT does not masquerade as
+    * a code regression. The first rep still pays any per-query
+    * first-touch cost exactly once; callers warm shared inputs
+    * beforehand (see [[warmInputs]]). */
   def timeQueries(spark: SparkSession, sfDir: String,
-                  queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+                  queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+                  reps: Int = 2)
       : (Map[String, Double], Map[String, String]) = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        times(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          times(name) = -1.0
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+    queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+        }
+        r += 1
       }
+      times(name) = if (failed) -1.0 else best
     }
     (times.toMap, errors.toMap)
   }
+
+  /** One untimed pass over every sfDir input table a query can read,
+    * so OS page-cache / parquet-footer first-touch costs are paid
+    * before any timer starts instead of by whichever query happens to
+    * run first in this round's iteration order. */
+  def warmInputs(spark: SparkSession, sfDir: String): Unit =
+    Seq("documents", "embeddings", "events", "orders", "lineitem",
+      "customer", "supplier", "part", "nation", "region").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,8 +202,28 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     }
 
+    // ── one-time two-segment LSM build + delete log, own metric ──
+    val lsmBuildSec = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.prebuildLsmLive(spark, sfDir); secs(t0) }
+      catch { case _: Throwable => -1.0 }
+    }
+
     // ── per-query timings (driver contract) ───────────────────────────
-    val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
+    // optional subset for tight local iteration: comma-separated names
+    // or a prefix like "ft_" (the full sweep stays the default and the
+    // per-round gate)
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+    val timedQueries = subset match {
+      case Some(sel) =>
+        val names = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (n, _) =>
+          names.contains(n) || names.exists(p => p.endsWith("_") && n.startsWith(p))
+        }
+      case None => SparkEntry.queries
+    }
+    warmInputs(spark, sfDir)
+    val (results, errors) = timeQueries(spark, sfDir, timedQueries)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -186,7 +236,7 @@ object Bench {
       s""""purge_build":$purgeBuildSec,""" +
       s""""compact_build":$compactBuildSec,""" +
       s""""prune_build":$pruneBuildSec,""" +
-      s""""symspell_build":$symspellBuildSec,""" +
+      s""""symspell_build":$symspellBuildSec,"lsm_build":$lsmBuildSec,""" +
       s""""query_p50_ms":$p50,"query_p95_ms":$p95,""" +
       s""""serving_qps":$servingQps,""" +
       s""""plan_p50_ms":$plan50,"plan_p95_ms":$plan95}""")

@@ -131,6 +131,14 @@ object SparkEntry {
     ()
   }
 
+  /** Force the one-time two-segment LSM build + delete-log write NOW —
+    * billed by Bench as `lsm_build`, so `ft_lsm_live` times the
+    * merge-on-read query, not the lifecycle. */
+  def prebuildLsmLive(s: SparkSession, dir: String): Unit = {
+    DocsIndex.lsmLiveRankedHits(s, dir, "FREE", "fast", 1, "lang", "fr").count()
+    ()
+  }
+
   /** Force the chunk-index + size-tiered-compaction build NOW — billed
     * by Bench as `compact_build` so `ft_compacted` times the query
     * through the compacted segment, not the LSM lifecycle. */
@@ -1027,6 +1035,13 @@ object SparkEntry {
       DocsIndex.sortedMatches(s, dir, "AND", "fast merge", 15)),
     "ft_deleted" -> ((s, dir) =>
       DocsIndex.deletedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
+    // the LIVE LSM read path end-to-end through the facade (X162):
+    // two appended segments + durable delete log + lang bitset filter,
+    // merge-on-read with global stats — the only kind×tier cell that
+    // was previously scalatest-only
+    "ft_lsm_live" -> ((s, dir) =>
+      DocsIndex.lsmLiveRankedHits(s, dir, "FREE", "fast merge sort", 20,
+        "lang", "fr")),
     "ft_purged" -> ((s, dir) =>
       DocsIndex.purgedRankedHits(s, dir, "FREE", "fast merge sort table", 20)),
     "ft_compacted" -> ((s, dir) =>
@@ -1230,7 +1245,13 @@ object SparkEntry {
           .select(col("doc_id"), col("text").as("content")),
         embeddings(s, dir),
         graft.pipeline.IvfIndex.Params(nlist = 8, iters = 10, dim = 64),
-        topTerms = 5)),
+        topTerms = 5)
+        // driver-compare needs scalar-only columns (its pandas
+        // sort_values chokes on array cells) — space-join the label
+        // terms; the engine API keeps the typed array
+        .select(col("list"), col("n_docs"), col("cohesion"),
+          concat_ws(" ", col("terms")).as("terms"))
+        .orderBy("list")),
     "dedup_embed" -> ((s, dir) =>
       Ann.nearDupPairs(embeddings(s, dir), 0.4).orderBy("doc_a", "doc_b")),
     // the scale path: persisted LSH buckets + exact-cosine verify — same
@@ -1568,6 +1589,13 @@ object SparkEntry {
     "mm_dims" -> ((s, dir) =>
       Multimodal.parseContainerHeader(
           Multimodal.ingestPng(DocsIndex.documents(s, dir)))
+        .orderBy("id")),
+    // the audio sibling (X161): real RIFF/WAVE layout, LITTLE-endian
+    // fields recovered by byte arithmetic; oracle recomputes the
+    // planted acoustics from the source row
+    "mm_wav_dims" -> ((s, dir) =>
+      Multimodal.parseWavHeader(
+          Multimodal.ingestWav(DocsIndex.documents(s, dir)))
         .orderBy("id")),
     "mm_features" -> ((s, dir) => {
       import s.implicits._
@@ -1978,11 +2006,11 @@ object SparkEntry {
         |  WHERE tf.term IN ('fast', 'merge', 'src0')
         |  GROUP BY tf.doc_id
         |)
-        |SELECT doc_id, round(score, 6) AS score,
-        |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score,
+        |       row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id) AS rank
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // BM25+ twin: the standard BM25 CTEs with the (sat + δ) lift,
-    // δ=1 — same IEEE tree, same round/rank boundary
+    // δ=1 — same IEEE tree, same floor(x·1e6+0.5) boundary
     "ft_bm25plus" ->
       s"""$tokCtes, sc AS (
          |  SELECT tf.doc_id,
@@ -1996,8 +2024,8 @@ object SparkEntry {
          |  WHERE tf.term IN ('fast', 'merge', 'sort')
          |  GROUP BY tf.doc_id
          |)
-         |SELECT doc_id, round(score, 6) AS score,
-         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score,
+         |       row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) DESC, doc_id) AS rank
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // rendezvous-routing twin: per-(doc, shard) md5 weights from the
     // identical hex, argmax by (weight desc, shard) per doc
@@ -3476,6 +3504,13 @@ object SparkEntry {
     "ft_deleted" ->
       bm25Sql(Seq("fast", "merge", "sort", "table"), conjunctive = false,
         k = 20, exclude = "AND tf.doc_id % 7 <> 3"),
+    // LSM live read path: tombstone AND fielded filters compose on the
+    // result set; statistics CTEs stay full-corpus (filter-doesn't-
+    // rescale through the facade too)
+    "ft_lsm_live" ->
+      bm25Sql(Seq("fast", "merge", "sort"), conjunctive = false, k = 20,
+        exclude = "AND tf.doc_id % 7 <> 3 AND tf.doc_id IN " +
+          "(SELECT doc_id FROM documents WHERE lang = 'fr')"),
     // compacted deletes: the corpus itself narrows, so N/avgdl/df (and
     // with them every score) recompute — SegmentMerger.purge semantics
     "ft_purged" ->
@@ -4769,13 +4804,31 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // container-parse twin: the PLANTED dimension rule recomputed from
     // the source — the Spark side must recover it from the bytes
+    // coalesce(text, '') mirrors ingestPng's Option(text).getOrElse("")
+    // — both sides treat a null-text document as an empty payload, so
+    // the twin cannot diverge if one ever enters the corpus
     "mm_dims" ->
       """SELECT doc_id AS id,
-        |       (octet_length(encode(text)) % 1024 + 16)::BIGINT AS width,
-        |       (octet_length(encode(text)) % 767 + 9)::BIGINT AS height,
+        |       (octet_length(encode(coalesce(text, ''))) % 1024 + 16)::BIGINT AS width,
+        |       (octet_length(encode(coalesce(text, ''))) % 767 + 9)::BIGINT AS height,
         |       8::BIGINT AS bit_depth, 2::BIGINT AS color_type,
-        |       octet_length(encode(text))::BIGINT AS n_payload
+        |       octet_length(encode(coalesce(text, '')))::BIGINT AS n_payload
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // WAV twin: the planted PCM header fields recomputed from the
+    // source payload length (same coalesce convention as mm_dims)
+    "mm_wav_dims" ->
+      """WITH src AS (
+        |  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id AS id, 1::BIGINT AS fmt_tag,
+        |       (n % 2 + 1)::BIGINT AS channels,
+        |       (n % 32000 + 8000)::BIGINT AS sample_rate,
+        |       ((n % 32000 + 8000) * (n % 2 + 1) * 2)::BIGINT AS byte_rate,
+        |       ((n % 2 + 1) * 2)::BIGINT AS block_align,
+        |       16::BIGINT AS bits_per_sample,
+        |       n::BIGINT AS data_len
+        |FROM src ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1387,6 +1387,58 @@ object DocsIndex {
       .select(col("docId")).as[Long]
   }
 
+  /** The full LIVE LSM read path, end-to-end through the facade
+    * (X162): the corpus is APPENDED as two on-disk segments through an
+    * `LsmIndex` handle (disjoint bucket-aligned docId ranges), the
+    * mod-7 tombstone fixture goes through `delete` into the durable
+    * delete log, and the query runs `LsmIndex.fieldedHits` —
+    * merge-on-read across both segments with GLOBAL statistics, the
+    * per-segment `lang` docmap bitset AND the live tombstone bitset
+    * composing inside every walk. Scores keep pre-delete full-corpus
+    * statistics (filter-doesn't-rescale), so the DuckDB twin is the
+    * standard BM25 SQL with the two filters on the RESULT set only.
+    * Built once per sfDir; Bench bills it as `lsm_build`. */
+  private val lsmLiveCache = TrieMap.empty[String, graft.api.LsmIndex]
+
+  private def lsmLive(spark: SparkSession, sfDir: String): graft.api.LsmIndex =
+    lsmLiveCache.getOrElseUpdate(sfDir, {
+      val params = BuildParams(
+        numPartitions = spark.sparkContext.defaultParallelism,
+        bucketSize = 1L << 12,
+        positional = true)
+      val dir = java.nio.file.Files.createTempDirectory("graft-lsm-live").toString
+      val handle = new graft.api.LsmIndex(spark, dir, params)
+      val all = corpus(spark, sfDir)
+      val half = all.count() / 2
+      // deterministic two-segment split on the external id
+      handle.append(all.filter(col("path").cast("long") < half))
+      handle.append(all.filter(col("path").cast("long") >= half))
+      // the shared mod-7 tombstone fixture, through the durable log
+      handle.delete(col("path").cast("long") % 7 === 3)
+      handle
+    })
+
+  def lsmLiveRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                        text: String, k: Int, field: String,
+                        value: String): DataFrame = {
+    val idx = lsmLive(spark, sfDir)
+    val docMap = idx.liveSegments().map(withDocId).reduce(_ unionByName _)
+    val spark2 = spark
+    import spark2.implicits._
+    idx.fieldedHits(kind, text, k + 50, field, value)
+      .join(docMap, Seq("docId"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .as[(Long, Double)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, s) => r += 1; (d, s, r) }
+      }
+      .toDF("doc_id", "score", "rank")
+  }
+
   /** Top-k with the tombstone fixture excluded — LIVE deletes: scores
     * keep the full-corpus statistics (filter-doesn't-rescale, the
     * pre-compaction posture); excluded docs are skipped inside the walks

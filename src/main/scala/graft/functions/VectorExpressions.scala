@@ -95,7 +95,7 @@ case class CosineF32(left: Expression, right: Expression)
   * registry, so `functions.call_function` and plain SQL reach it. */
 object GraftFunctions {
   private def info = new ExpressionInfo(classOf[CosineF32].getName, "graft_cosine")
-  private def builder(children: Seq[Expression]): Expression = {
+  private[functions] def builder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
       s"graft_cosine takes 2 arguments, got ${children.size}")
     CosineF32(children.head, children(1))
@@ -107,8 +107,11 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // same arity-checked builder as the runtime registrar, so a
+  // malformed `graft_cosine(x)` on the spark-submit path fails with a
+  // clean analysis error instead of an IndexOutOfBoundsException
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineF32].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineF32(children.head, children(1))))
+      GraftFunctions.builder _))
 }

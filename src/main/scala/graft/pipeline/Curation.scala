@@ -285,7 +285,7 @@ object Curation {
       when(k > 0, k.cast("double") *
         log(k.cast("double") * nTot / (r.cast("double") * c.cast("double"))))
         .otherwise(lit(0.0))
-    pairs.filter(col("n") >= minCount)
+    val out = pairs.filter(col("n") >= minCount)
       .join(rowM, "term_a")
       .join(colM, "term_b")
       .withColumn("k12", col("row_n") - col("n"))
@@ -300,6 +300,10 @@ object Curation {
           + term(col("k22"), col("r2"), col("c2"))) * 1e6 + 0.5) / 1e6)
       .select(col("term_a"), col("term_b"), col("n"), col("llr"))
       .orderBy("term_a", "term_b")
+      // snapshot result, release the cached pair table (see ppmi)
+      .localCheckpoint(true)
+    pairs.unpersist()
+    out
   }
 
   /** Weighted sampling without replacement — Efraimidis & Spirakis,
@@ -358,7 +362,7 @@ object Curation {
     val total = pairs.agg(sum("n")).head().getLong(0)
     val rowM = pairs.groupBy("term_a").agg(sum("n").as("row_n"))
     val colM = pairs.groupBy("term_b").agg(sum("n").as("col_n"))
-    pairs.filter(col("n") >= minCount)
+    val out = pairs.filter(col("n") >= minCount)
       .join(rowM, "term_a")
       .join(colM, "term_b")
       .withColumn("pmi",
@@ -368,6 +372,13 @@ object Curation {
         floor(greatest(col("pmi"), lit(0.0)) * 1e6 + 0.5) / 1e6)
       .select(col("term_a"), col("term_b"), col("n"), col("ppmi"))
       .orderBy("term_a", "term_b")
+      // eagerly snapshot the vocab-pair-sized result, then release the
+      // corpus-scale cached pair table NOW — the checkpoint blocks are
+      // freed by the ContextCleaner when the frame is dropped, instead
+      // of the cache surviving in the shared CacheManager until LRU
+      .localCheckpoint(true)
+    pairs.unpersist()
+    out
   }
 
   /** Model-based quality scoring — the linear-classifier filter of the

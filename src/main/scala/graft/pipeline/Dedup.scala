@@ -59,6 +59,11 @@ object Dedup {
       .withColumn("jac", $"i" / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= tau)
       .select($"doc_a", $"doc_b", $"jac")
+      // snapshot the pair-sized result, release the cached shingle
+      // table now (ContextCleaner frees the checkpoint blocks when the
+      // frame is dropped — no reliance on CacheManager LRU)
+      .localCheckpoint(true)
+    sh.unpersist()
     out
   }
 
@@ -102,12 +107,16 @@ object Dedup {
     val inter = cand.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    inter
+    val out = inter
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jac", $"i" / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= tau)
       .select($"doc_a", $"doc_b", $"jac")
+      // snapshot + release the cached shingle table (see jaccardPairs)
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   @inline private def hash32(s: String, seed: Int): Int =
@@ -261,8 +270,10 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     require(maxHamming <= 3, "4-chunk banding guarantees recall only to distance 3")
+    // single consumer (chunks) — no cache: a cached sig table would
+    // sit in the shared CacheManager until LRU eviction
     val sigs = docs.select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }.cache()
+      .map { case (id, t) => (id, simhash64(t)) }
     val chunks = sigs.flatMap { case (id, sig) =>
       (0 until 4).iterator.map(c => ((c.toLong << 16) | ((sig >>> (c * 16)) & 0xffffL), id, sig))
     }

@@ -80,7 +80,12 @@ object Graph {
       ranks = next
       it += 1
     }
+    // snapshot the node-sized result eagerly so the LAST iteration's
+    // cached table can be released too (it used to outlive the call,
+    // parked in the CacheManager until LRU eviction)
     val out = ranks.select(col("node"), round(col("rank"), 6).as("pr"))
+      .localCheckpoint(true)
+    ranks.unpersist()
     withDeg.unpersist()
     out
   }
@@ -119,7 +124,11 @@ object Graph {
       frontier = nextFrontier
       hop += 1
     }
+    // snapshot + release the final round's cached tables (see pageRank)
     val out = dist.select(col("node"), col("dist").cast("long").as("dist"))
+      .localCheckpoint(true)
+    frontier.unpersist()
+    dist.unpersist()
     e.unpersist()
     out
   }
@@ -255,8 +264,11 @@ object Graph {
       dist = next
       round += 1
     }
+    // snapshot + release the final round's cached table (see pageRank)
     val out = dist.select(col("node").cast("long").as("node"),
       col("dist").cast("long").as("dist"))
+      .localCheckpoint(true)
+    dist.unpersist()
     e.unpersist()
     out
   }

@@ -255,7 +255,7 @@ final class IvfIndex(spark: SparkSession, dir: String,
       .join(qdf, col("list") === col("qlist"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(AnnIndex.cosUdf(col("qemb"), col("embedding")), 6).as("cos"))
+        round(AnnIndex.nativeCos(spark, col("qemb"), col("embedding")), 6).as("cos"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))

@@ -115,6 +115,70 @@ object Multimodal {
         be32(34).as("n_payload"))
   }
 
+  /** Wrap each payload in a REAL RIFF/WAVE container layout (the audio
+    * sibling of [[ingestPng]], closing more of the multimodal stub
+    * without codec libraries — container parsing needs none): `RIFF`
+    * header + canonical 16-byte PCM `fmt ` chunk + `data` chunk
+    * holding the payload. WAV fields are LITTLE-endian (PNG's are
+    * big-endian), so the parse side genuinely exercises the other
+    * byte order. Planted acoustics derive deterministically from the
+    * payload: channels = nBytes mod 2 + 1, sampleRate = nBytes mod
+    * 32000 + 8000, bitsPerSample = 16 — an oracle recomputes them from
+    * the source row while the Spark side must recover them from the
+    * bytes. */
+  def ingestWav(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = Option(text).getOrElse("").getBytes("UTF-8")
+        val n = payload.length
+        val channels = n % 2 + 1
+        val sampleRate = n % 32000 + 8000
+        val bits = 16
+        val blockAlign = channels * bits / 8
+        val byteRate = sampleRate * blockAlign
+        val bb = java.nio.ByteBuffer.allocate(44 + n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort)               // PCM
+          .putShort(channels.toShort)
+          .putInt(sampleRate)
+          .putInt(byteRate)
+          .putShort(blockAlign.toShort)
+          .putShort(bits.toShort)
+        bb.put("data".getBytes("US-ASCII")).putInt(n).put(payload)
+        MediaRow(id, "audio", bb.array(),
+          Map("codec" -> "wav-container", "source" -> "documents"))
+      }
+  }
+
+  /** Parse the RIFF/WAVE header with built-in byte functions only
+    * (whole-stage codegen, no UDF): (id, fmt_tag, channels,
+    * sample_rate, byte_rate, block_align, bits_per_sample, data_len).
+    * Little-endian ints decode as a base-256 sum of single-byte
+    * conv() terms — `substring` is 1-based. */
+  def parseWavHeader(media: Dataset[MediaRow]): DataFrame = {
+    def u8(off1: Int) =
+      expr(s"cast(conv(hex(substring(bytes, $off1, 1)), 16, 10) as bigint)")
+    def le16(off1: Int) = u8(off1) + u8(off1 + 1) * lit(256L)
+    def le32(off1: Int) =
+      u8(off1) + u8(off1 + 1) * lit(256L) +
+        u8(off1 + 2) * lit(65536L) + u8(off1 + 3) * lit(16777216L)
+    media.toDF()
+      .select(col("id"),
+        le16(21).as("fmt_tag"),
+        le16(23).as("channels"),
+        le32(25).as("sample_rate"),
+        le32(29).as("byte_rate"),
+        le16(33).as("block_align"),
+        le16(35).as("bits_per_sample"),
+        le32(41).as("data_len"))
+  }
+
   /** Batch-wise feature extraction. The partition iterator is consumed in
     * `batchSize` groups — the shape a vectorized decoder (GPU batch, C
     * library call) needs — while remaining lazy per partition. */

@@ -61,7 +61,12 @@ object Bm25f {
       .join(alldl, "doc_id")
       .crossJoin(stats)
       .groupBy("doc_id").agg(sum(contrib).as("score0"))
-      .select(col("doc_id"), round(col("score0"), 6).as("score"))
+      // explicit half-up-from-zero 6-dp boundary (floor(x·1e6+0.5)) —
+      // the repo's cross-engine rounding convention; scores here are
+      // positive, so this equals round-half-up while never depending on
+      // an engine's round() tie rule
+      .select(col("doc_id"),
+        (floor(col("score0") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
     val top = sc.orderBy(col("score").desc, col("doc_id")).limit(k)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))

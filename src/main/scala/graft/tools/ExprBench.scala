@@ -67,7 +67,9 @@ object ExprBench {
         vecs.select(sum(c)).head()
         (System.nanoTime() - t0) / 1e9
       }
-      (name, lats.drop(1).min)
+      // first trial is JIT/cache warmup; with a single trial there is
+      // nothing to drop — fall back to the lone measurement
+      (name, if (lats.size > 1) lats.drop(1).min else lats.min)
     }
 
     val results = Seq(

@@ -16,4 +16,21 @@ class BenchSpec extends SparkSpec {
     assert(errors.keySet == Set("boom"))
     assert(errors("boom").contains("injected failure"))
   }
+
+  test("timeQueries runs in sorted name order with min-of-reps timing") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val qs = Map[String, (SparkSession, String) => DataFrame](
+      "zeta" -> ((s, _) => { ran += "zeta"; s.range(1).toDF("n") }),
+      "alpha" -> ((s, _) => { ran += "alpha"; s.range(1).toDF("n") }),
+      "mid" -> ((s, _) => { ran += "mid"; s.range(1).toDF("n") }))
+    val (times, errors) = Bench.timeQueries(spark, "/unused", qs, reps = 3)
+    // sorted execution order, each query invoked reps times back-to-back
+    assert(ran.toSeq == Seq("alpha", "alpha", "alpha",
+      "mid", "mid", "mid", "zeta", "zeta", "zeta"))
+    assert(errors.isEmpty && times.values.forall(_ >= 0))
+  }
+
+  test("warmInputs never throws, even on a directory with no tables") {
+    Bench.warmInputs(spark, "/nonexistent-dir")
+  }
 }

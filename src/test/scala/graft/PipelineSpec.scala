@@ -260,6 +260,35 @@ class PipelineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("multimodal: RIFF/WAVE header parse recovers the planted PCM " +
+    "fields from raw little-endian bytes; layout is real WAV") {
+    import spark.implicits._
+    val media = Multimodal.ingestWav(docs)
+    // byte-level layout check on one row, driver-side
+    val row = media.filter(_.id == 0L).head()
+    val b = row.bytes
+    assert(new String(b.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(b.slice(12, 16), "US-ASCII") == "fmt ")
+    assert(new String(b.slice(36, 40), "US-ASCII") == "data")
+    // RIFF chunk size (LE32 at offset 4) = 36 + payload bytes
+    val riffLen = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+      ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+    assert(riffLen == b.length - 8)
+    // the distributed byte-arithmetic parse == the planted rule
+    val got = Multimodal.parseWavHeader(media)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val want = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .toSeq.sortBy(_._1).map { case (id, t) =>
+        val n = t.getBytes("UTF-8").length
+        val ch = (n % 2 + 1).toLong
+        val sr = (n % 32000 + 8000).toLong
+        (id, 1L, ch, sr, sr * ch * 2, ch * 2, 16L, n.toLong)
+      }
+    assert(got == want)
+  }
+
   test("chunkDups == brute-force chunk duplication") {
     val w = 4
     val rows = docs.select("doc_id", "text").collect()

@@ -85,6 +85,25 @@ class PlanSpec extends SparkSpec {
     // embeddings dataset in the query DAG)
     assert(!plan.contains("DeserializeToObject") || !plan.contains("MapPartitions"),
       s"query plan must not re-hash the corpus:\n$plan")
+    // candidate scoring uses the NATIVE CosineF32 expression — a Scala
+    // UDF here would fence whole-stage codegen on a candidate set that
+    // is corpus-fraction-sized for IVF probes (VERDICT r3 §wrong 2)
+    assert(!plan.contains("ScalaUDF") && plan.contains("graft_cosine"),
+      s"ANN scoring must use the native cosine expression, not a UDF:\n$plan")
+  }
+
+  test("IVF probe scoring uses the native cosine expression, not a UDF") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+      .toDS()
+    val d = java.nio.file.Files.createTempDirectory("ivf-plan").toString
+    val idx = graft.pipeline.IvfIndex.build(spark, emb, d,
+      graft.pipeline.IvfIndex.Params(nlist = 4, iters = 3, dim = 16))
+    val plan = idx.topK(emb.collect().filter(_._1 < 3), 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("graft_cosine"),
+      s"IVF scoring must use the native cosine expression, not a UDF:\n$plan")
   }
 
   test("collapse and rescore broadcast their bounded side, never the corpus") {
@@ -283,18 +302,16 @@ class PlanSpec extends SparkSpec {
     assert(bPlan.contains("PushedFilters") && bPlan.contains("event_type"),
       s"type filters must push to the scan:\n$bPlan")
 
-    // pageRank: the returned ranks read from the per-iteration cache
-    // (O(1) lineage — NOT a replan of the whole iteration chain)
+    // pageRank: the returned ranks are a materialized snapshot (a
+    // localCheckpoint RDD scan — O(1) lineage, nothing cached left
+    // behind in the CacheManager, NOT a replan of the iteration chain)
     val edges = graft.pipeline.Graph.customerSupplierEdges(spark, sf)
     val prPlan = graft.pipeline.Graph.pageRank(edges, iters = 2)
       .queryExecution.executedPlan.toString
-    assert(prPlan.contains("InMemoryTableScan"),
-      s"ranks must come from the iteration cache:\n$prPlan")
-    // everything ABOVE the cache boundary is projection-only (the text
-    // below it is the cached relation's stored build plan — fine)
-    val aboveCache = prPlan.substring(0, prPlan.indexOf("InMemoryTableScan"))
-    assert(!aboveCache.contains("Join") && !aboveCache.contains("Exchange"),
-      s"final projection must not replay the iteration chain:\n$aboveCache")
+    assert(prPlan.contains("Scan ExistingRDD"),
+      s"ranks must come from the checkpoint snapshot:\n$prPlan")
+    assert(!prPlan.contains("Join") && !prPlan.contains("Exchange"),
+      s"reading ranks must not replay the iteration chain:\n$prPlan")
 
     // edge construction: only the join/id columns reach the scans
     val ePlan = edges.queryExecution.executedPlan.toString
