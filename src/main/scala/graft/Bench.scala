@@ -209,6 +209,13 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     }
 
+    // ── one-time signal-sorted index (index-time sorting), own metric ──
+    val sortedBuildSec = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.prebuildSortedIndex(spark, sfDir); secs(t0) }
+      catch { case _: Throwable => -1.0 }
+    }
+
     // ── per-query timings (driver contract) ───────────────────────────
     // optional subset for tight local iteration: comma-separated names
     // or a prefix like "ft_" (the full sweep stays the default and the
@@ -237,6 +244,7 @@ object Bench {
       s""""compact_build":$compactBuildSec,""" +
       s""""prune_build":$pruneBuildSec,""" +
       s""""symspell_build":$symspellBuildSec,"lsm_build":$lsmBuildSec,""" +
+      s""""sorted_build":$sortedBuildSec,""" +
       s""""query_p50_ms":$p50,"query_p95_ms":$p95,""" +
       s""""serving_qps":$servingQps,""" +
       s""""plan_p50_ms":$plan50,"plan_p95_ms":$plan95}""")

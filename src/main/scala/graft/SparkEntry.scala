@@ -139,6 +139,14 @@ object SparkEntry {
     ()
   }
 
+  /** Force the one-time signal-sorted index build NOW — billed by
+    * Bench as `sorted_build`, so `ft_sorted_index` times the
+    * early-terminated walk, not the second index build. */
+  def prebuildSortedIndex(s: SparkSession, dir: String): Unit = {
+    DocsIndex.sortedIndexRankedHits(s, dir, "FREE", "fast", 1).count()
+    ()
+  }
+
   /** Force the chunk-index + size-tiered-compaction build NOW — billed
     * by Bench as `compact_build` so `ft_compacted` times the query
     * through the compacted segment, not the LSM lifecycle. */
@@ -1477,6 +1485,20 @@ object SparkEntry {
       Curation.piiScrub(DocsIndex.documents(s, dir)
         .select(col("doc_id"), aug.as("text"))).orderBy("doc_id")
     }),
+    // secret scanning (X163): testdata carries no credentials, so the
+    // detectors are exercised by DETERMINISTIC PORTABLE injection (the
+    // pii_scrub recipe) — an AKIA key on every 7th doc, a ghp_ token
+    // on every 5th, both derived from md5(doc_id) on both engines
+    "secret_scan" -> ((s, dir) => {
+      val md = md5(col("doc_id").cast("string"))
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" AKIA"), upper(substring(md, 1, 16)))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ghp_"), md, substring(md, 1, 4))).otherwise(lit("")))
+      Curation.secretScan(DocsIndex.documents(s, dir)
+        .select(col("doc_id"), aug.as("text"))).orderBy("doc_id")
+    }),
     "rep_quality" -> ((s, dir) =>
       Curation.repetitionStats(DocsIndex.documents(s, dir), 2, 0.2)
         .orderBy("doc_id")),
@@ -1855,6 +1877,17 @@ object SparkEntry {
           col("prior_id").as("prior_event_id"), col("gap_us"))
         .orderBy("event_id")
     }),
+    // the FORWARD as-of (X164): each purchase's NEXT click strictly
+    // after it — merge_asof direction='forward'
+    "q_asof_next" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      graft.pipeline.AsOf.asOfNext(side("purchase"), side("click"))
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("next_id").as("next_event_id"), col("gap_us"))
+        .orderBy("event_id")
+    }),
     // the streaming windowed-agg operator on a bounded frame (watermark
     // is a no-op in batch) — its unbounded behavior (late-event drop,
     // state finalization) is covered in StreamingSpec
@@ -1922,7 +1955,58 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("cnt"), col("sum_qty"))
-        .orderBy("rf", "ls")))
+        .orderBy("rf", "ls")),
+
+    // ── round-4 additions ──────────────────────────────────────────
+    // index-time sorting (X165): early-terminated top-k by the index
+    // sort (n_chars desc) over the signal-sorted second index
+    "ft_sorted_index" -> ((s, dir) =>
+      DocsIndex.sortedIndexRankedHits(s, dir, "AND", "fast AND merge", 20)),
+    // TermRangeQuery (X166): the dictionary interval [si, sz] expands
+    // (contiguous term-sorted range scan) into the ordinary OR walk
+    "ft_term_range" -> ((s, dir) =>
+      DocsIndex.termRangeRankedHits(s, dir, "si", "sz", 20)),
+    // bucket_script + bucket_selector pipeline aggs (X170): per-lang
+    // avg_len metric, buckets with >= 3 matching docs kept
+    "ft_bucket_script" -> ((s, dir) =>
+      DocsIndex.langBucketScript(s, dir, "FREE", "fast merge sort", 3L)),
+    // top_metrics agg (X171): per-lang metrics of the top doc by
+    // (docLen desc, doc_id) — value-at-top-of-sort, not top_hits score
+    "ft_top_metrics" -> ((s, dir) =>
+      DocsIndex.topMetricsByLang(s, dir, "FREE", "fast merge sort")),
+    // date_range agg (X167): named half-open day ranges, count + exact
+    // cents value sum per range, empties reported
+    "q_events_daterange" -> ((s, dir) =>
+      graft.pipeline.Events.dateRangeAgg(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq(("early", None, Some(19733L)), ("late", Some(19743L), None),
+          ("mid", Some(19733L), Some(19743L))))),
+    // rate agg (X168): per (month, type) events-per-day rate, exact
+    // calendar day count
+    "q_events_rate" -> ((s, dir) =>
+      graft.pipeline.Events.rateAgg(
+        s.read.parquet(s"$dir/events.parquet"))),
+    // change_point agg, exact step form (X169): the largest
+    // day-over-day jump in the daily count series
+    "q_events_changepoint" -> ((s, dir) =>
+      graft.pipeline.Events.changePoint(
+        s.read.parquet(s"$dir/events.parquet"))),
+    // remaining rank-window built-ins as a named row (ntile /
+    // percent_rank / cume_dist — exact rational outputs)
+    "q_window_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          (floor(percent_rank().over(w) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("pct_rank"),
+          (floor(cume_dist().over(w) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("cume"))
+        .filter(col("quartile") === 1)
+        .orderBy("o_orderstatus", "o_orderkey")
+    }))
 
   // ─────────────────────────── oracle SQL ─────────────────────────────
   def oracleSql: Map[String, String] = Map(
@@ -5035,6 +5119,28 @@ object SparkEntry {
         |SELECT id AS event_id, k AS user_id, prior_event_id,
         |       (epoch_us(t) - epoch_us(prior_t))::BIGINT AS gap_us
         |FROM c WHERE side = 0 ORDER BY event_id""".stripMargin,
+    // forward as-of twin: side encoding flipped (right = 0 < left = 1)
+    // so an equal-ts right row sorts OUTSIDE the following frame —
+    // strict-> from the frame bound, smallest-id tie via first_value
+    "q_asof_next" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, ts AS t, 1 AS side, event_id AS id,
+        |         NULL::BIGINT AS rid, NULL::TIMESTAMP AS rt
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, event_id, ts
+        |  FROM events WHERE event_type = 'click'
+        |), c AS (
+        |  SELECT k, t, side, id,
+        |         first_value(rid IGNORE NULLS) OVER w AS next_event_id,
+        |         first_value(rt IGNORE NULLS) OVER w AS next_t
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY k ORDER BY t, side, id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT id AS event_id, k AS user_id, next_event_id,
+        |       (epoch_us(next_t) - epoch_us(t))::BIGINT AS gap_us
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
     // cumulative-cardinality twin: the same first-seen decomposition —
     // cumulative distinct to day D = #{users with min event day <= D},
     // running-summed over the reduced day table
@@ -5502,7 +5608,165 @@ object SparkEntry {
         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
         |UNION ALL
         |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
-        |ORDER BY l_returnflag, metric""".stripMargin)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // ── round-4 twins ──────────────────────────────────────────────
+    // index-sorting twin: the match set ordered by the INDEX SORT
+    // (n_chars desc, doc_id) — the engine recovers this by taking the
+    // FIRST k docIds of the sort-built index, never scoring
+    "ft_sorted_index" ->
+      s"""$tokCtes, m AS (
+         |  SELECT d.doc_id, d.n_chars FROM documents d
+         |  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'fast')
+         |    AND d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+         |)
+         |SELECT doc_id, n_chars::BIGINT AS n_chars,
+         |       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+         |FROM m ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin,
+    // term-range twin: the BM25 OR walk over every vocabulary term in
+    // [si, sz] — BETWEEN replaces the IN list of the expanded form
+    "ft_term_range" ->
+      s"""$tokCtes, sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+         |             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf
+         |  JOIN df USING (term)
+         |  JOIN alldl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE tf.term >= 'si' AND tf.term <= 'sz'
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, round(score, 6) AS score,
+         |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // bucket_script/bucket_selector twin: per-lang exact count + dl
+    // sum over the any-term match set, ratio metric, selector >= 3
+    "ft_bucket_script" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf
+         |  WHERE term IN ('fast', 'merge', 'sort')
+         |), b AS (
+         |  SELECT d.lang, count(*)::BIGINT AS n_docs,
+         |         sum(alldl.dl)::BIGINT AS len_sum
+         |  FROM m JOIN documents d USING (doc_id)
+         |  JOIN alldl USING (doc_id)
+         |  GROUP BY 1
+         |)
+         |SELECT lang, n_docs, len_sum,
+         |       floor(len_sum::DOUBLE / n_docs::DOUBLE * 1e6 + 0.5) / 1e6
+         |         AS avg_len
+         |FROM b WHERE n_docs >= 3 ORDER BY lang""".stripMargin,
+    // top_metrics twin: per-lang argmax by (dl desc, doc_id) over the
+    // match set
+    "ft_top_metrics" ->
+      s"""$tokCtes, m AS (
+         |  SELECT DISTINCT doc_id FROM tf
+         |  WHERE term IN ('fast', 'merge', 'sort')
+         |), j AS (
+         |  SELECT d.lang, m.doc_id, alldl.dl
+         |  FROM m JOIN documents d USING (doc_id)
+         |  JOIN alldl USING (doc_id)
+         |), r AS (
+         |  SELECT lang, doc_id, dl,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY dl DESC, doc_id) AS rn
+         |  FROM j
+         |)
+         |SELECT lang, doc_id AS top_doc_id, dl::BIGINT AS top_doclen
+         |FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
+    // date_range twin: identical day/cents arithmetic, one aggregate
+    // per named range, empties reported
+    "q_events_daterange" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT * FROM (
+        |  SELECT 'early' AS range_key, -1::BIGINT AS from_day,
+        |         19733::BIGINT AS to_day,
+        |         sum(CASE WHEN d < 19733 THEN 1 ELSE 0 END)::BIGINT AS cnt,
+        |         sum(CASE WHEN d < 19733 THEN cents ELSE 0 END)::BIGINT
+        |           / 100.0 AS val_sum
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'late', 19743::BIGINT, -1::BIGINT,
+        |         sum(CASE WHEN d >= 19743 THEN 1 ELSE 0 END)::BIGINT,
+        |         sum(CASE WHEN d >= 19743 THEN cents ELSE 0 END)::BIGINT
+        |           / 100.0
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'mid', 19733::BIGINT, 19743::BIGINT,
+        |         sum(CASE WHEN d >= 19733 AND d < 19743 THEN 1 ELSE 0 END)::BIGINT,
+        |         sum(CASE WHEN d >= 19733 AND d < 19743 THEN cents ELSE 0 END)
+        |           ::BIGINT / 100.0
+        |  FROM e
+        |) ORDER BY range_key""".stripMargin,
+    // rate twin: per (month, type) count / exact calendar day count,
+    // half-up 6-dp
+    "q_events_rate" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, event_type,
+        |       count(*)::BIGINT AS cnt,
+        |       floor(count(*)::DOUBLE
+        |             / date_part('day', last_day(min(ts)))::DOUBLE
+        |             * 1e6 + 0.5) / 1e6 AS per_day
+        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+    // change-point twin: the same largest-step argmax with the
+    // earliest-day tie-break
+    "q_events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1
+        |), x AS (
+        |  SELECT d, cnt, lag(cnt) OVER (ORDER BY d) AS prev_cnt FROM daily
+        |)
+        |SELECT strftime(to_timestamp(d * 86400), '%Y-%m-%d') AS day, cnt,
+        |       prev_cnt, abs(cnt - prev_cnt)::BIGINT AS jump
+        |FROM x WHERE prev_cnt IS NOT NULL
+        |ORDER BY jump DESC, d LIMIT 1""".stripMargin,
+    // ntile/percent_rank/cume_dist twin: identical window with the
+    // unique (price desc, key) order; exact rational outputs rounded
+    // by the shared half-up rule
+    "q_window_ntile" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         ntile(4) OVER w AS quartile,
+        |         floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |         floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice DESC, o_orderkey)
+        |)
+        |SELECT * FROM r WHERE quartile = 1
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    // secret-scan twin: identical md5-derived injection, identical
+    // portable detector regexes, global redaction, sha witness
+    "secret_scan" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN ' AKIA' || upper(substr(md5(doc_id::VARCHAR), 1, 16))
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' ghp_' || md5(doc_id::VARCHAR)
+        |            || substr(md5(doc_id::VARCHAR), 1, 4)
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |red AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(text,
+        |    'AKIA[0-9A-Z]{16}', '<AWS_KEY>', 'g'),
+        |    'ghp_[A-Za-z0-9]{36}', '<GH_TOKEN>', 'g') AS clean
+        |  FROM aug)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}'))::BIGINT
+        |    AS n_aws_keys,
+        |  len(regexp_extract_all(text, 'ghp_[A-Za-z0-9]{36}'))::BIGINT
+        |    AS n_gh_tokens,
+        |  length(clean)::BIGINT AS clean_len,
+        |  sha256(clean) AS clean_sha
+        |FROM red ORDER BY doc_id""".stripMargin)
 
   /** Shared CTE: the bidirectional customer↔supplier edge list, node-
     * encoded custkey→2k / suppkey→2k+1 — must stay textually in sync

@@ -288,6 +288,78 @@ object DocsIndex {
       .orderBy(col("lang"), col("grank"))
   }
 
+  /** Bucket-script + bucket-selector pipeline aggregations (X170 — ES
+    * `bucket_script` and `bucket_selector` composed): per-lang buckets
+    * of the query's FULL match set carry an exact count and docLen sum;
+    * the script metric avg_len = len_sum / n_docs is ONE IEEE division
+    * of two exact Longs (no Σ-of-doubles drift), rounded by the
+    * explicit 6-dp half-up rule; the selector keeps buckets with
+    * n_docs ≥ `minDocs`. Match set from the presence walk (pushdown,
+    * docId-only decode); one partial+final hash agg keyed by lang —
+    * bucket-table-sized output. */
+  def langBucketScript(spark: SparkSession, sfDir: String, kind: String,
+                       text: String, minDocs: Long): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    searcher.matchDocIds(kind, text) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("len_sum",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("avg_len",
+            org.apache.spark.sql.types.DoubleType))))
+      case Some(m) =>
+        m.join(seg.docs.select(col("docId"), col("lang"), col("docLen")),
+            Seq("docId"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("docLen")).cast("long").as("len_sum"))
+          .filter(col("n_docs") >= minDocs)
+          .select(col("lang"), col("n_docs"), col("len_sum"),
+            (floor(col("len_sum").cast("double") / col("n_docs").cast("double")
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_len"))
+          .orderBy("lang")
+    }
+  }
+
+  /** Top-metrics aggregation (X171 — the ES `top_metrics` agg under a
+    * `terms` agg): per lang bucket of the match set, the metrics of the
+    * single top document by the sort (docLen desc, doc_id asc) — the
+    * "value at the top of a sort" surface distinct from top_hits'
+    * score ranking. Same no-Window two-stage per-group argmax as X70
+    * (map-side partial winners, tiny final merge). */
+  def topMetricsByLang(spark: SparkSession, sfDir: String, kind: String,
+                       text: String): DataFrame = {
+    val (seg, searcher, _) = get(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.matchDocIds(kind, text) match {
+      case None => Seq.empty[(String, Long, Long)]
+        .toDF("lang", "top_doc_id", "top_doclen")
+      case Some(m) =>
+        val rows = m
+          .join(seg.docs.select(col("docId"), col("lang"), col("docLen"),
+            col("path").cast("long").as("doc_id")), Seq("docId"))
+          .select(col("lang"), col("doc_id"), col("docLen").cast("long"))
+          .as[(String, Long, Long)]
+        def best(it: Iterator[(String, Long, Long)])
+            : Iterator[(String, Long, Long)] =
+          it.toSeq.groupBy(_._1).iterator.map { case (_, xs) =>
+            xs.minBy { case (_, d, len) => (-len, d) }
+          }
+        rows
+          .mapPartitions(best)                        // partial argmax
+          .groupByKey(_._1).mapGroups((_, it) =>      // final merge
+            best(it).next())
+          .toDF("lang", "top_doc_id", "top_doclen")
+          .orderBy("lang")
+    }
+  }
+
   /** LM-Dirichlet ranked hits (the pluggable-similarity surface) — see
     * Searcher.lmdHits. */
   def lmdRankedHits(spark: SparkSession, sfDir: String, text: String,
@@ -1385,6 +1457,80 @@ object DocsIndex {
     val (seg, _, _) = get(spark, sfDir)
     seg.docs.filter(col("path").cast("long") % 7 === 3)
       .select(col("docId")).as[Long]
+  }
+
+  /** Index-time sorting (X165 — Lucene `IndexSorting` / ES
+    * `index.sort`): a second index whose docIds are assigned in
+    * (n_chars DESC, doc_id ASC) order, by encoding the sort key into
+    * the build's natural key (repo = zero-padded 1e9 − n_chars; the
+    * (repo, path, commit) range sort then IS the static-field sort).
+    * Sorted-by-signal queries early-terminate: the first k matches of
+    * a docId-ordered walk are the answer, and postings past the k-th
+    * match are never decoded (Searcher.earlyHits / Wand.firstK). Built
+    * once per sfDir; Bench bills it as `sorted_build`. */
+  private val sortedIdxCache = TrieMap.empty[String, (Segment, Searcher)]
+
+  private def sortedIndex(spark: SparkSession, sfDir: String): (Segment, Searcher) =
+    sortedIdxCache.getOrElseUpdate(sfDir, {
+      val spark2 = spark
+      import spark2.implicits._
+      val src = documents(spark, sfDir).select(
+        lpad((lit(999999999L) - col("n_chars")).cast("string"), 10, "0").as("repo"),
+        lpad(col("doc_id").cast("string"), 12, "0").as("path"),
+        lit("snapshot0").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[CorpusRow]
+      val params = BuildParams(
+        numPartitions = spark.sparkContext.defaultParallelism,
+        bucketSize = 1L << 12)
+      val (s0, _) = SegmentBuilder.build(spark, DatasetCorpusSource(src), params)
+      val s = s0.copy(
+        docs = s0.docs.repartition(4).cache(),
+        dict = s0.dict.repartition(1).cache(),
+        postings = s0.postings.repartition(4).cache())
+      s.docs.count(); s.dict.count(); s.postings.count()
+      s0.docs.unpersist(); s0.dict.unpersist(); s0.postings.unpersist()
+      (s, new Searcher(spark, s))
+    })
+
+  /** Top-k of the match set by the INDEX SORT (n_chars desc, doc_id
+    * asc) — early-terminated, never scored. Output (doc_id, n_chars,
+    * rank). */
+  def sortedIndexRankedHits(spark: SparkSession, sfDir: String, kind: String,
+                            text: String, k: Int): DataFrame = {
+    val (seg, searcher) = sortedIndex(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    searcher.earlyHits(kind, text, k)
+      .join(seg.docs.select(col("docId"),
+        col("path").cast("long").as("doc_id"),
+        (lit(999999999L) - col("repo").cast("long")).as("n_chars")), Seq("docId"))
+      .orderBy(col("docId").asc).limit(k)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (d, n) => r += 1; (d, n, r) }
+      }
+      .toDF("doc_id", "n_chars", "rank")
+  }
+
+  /** Term-range query (X166 — Lucene TermRangeQuery `[lo TO hi]`):
+    * the dictionary interval expands (contiguous term-sorted range
+    * scan, deterministic cap) and the expansion runs the ordinary
+    * disjunctive BM25 walk — the PREFIX recipe with an interval
+    * instead of a prefix. */
+  def termRangeRankedHits(spark: SparkSession, sfDir: String, lo: String,
+                          hi: String, k: Int): DataFrame = {
+    val (_, searcher, _) = get(spark, sfDir)
+    val entries = searcher.dictLookupRange(lo, hi)
+    val spark2 = spark
+    import spark2.implicits._
+    if (entries.isEmpty)
+      return Seq.empty[(Long, Double, Long)].toDF("doc_id", "score", "rank")
+    rank(spark, sfDir,
+      searcher.hits("OR", entries.map(_.term).mkString(" OR "), k + 50), k)
   }
 
   /** The full LIVE LSM read path, end-to-end through the facade

@@ -56,4 +56,37 @@ object AsOf {
         col("prior_ts"),
         (unix_micros(col("ts")) - unix_micros(col("prior_ts"))).as("gap_us"))
   }
+
+  /** The FORWARD as-of join (X164 — Pandas `merge_asof`
+    * direction='forward', kdb+ window-join's leading edge): for each
+    * left row, the single right row of the same key with the SMALLEST
+    * timestamp strictly after the left timestamp. Same union + keyed-
+    * window shape and cost as [[asOfPrior]] — one |L|+|R| sort-shuffle,
+    * no pair expansion. Determinism mirrors the prior form with the
+    * side encoding FLIPPED (right = 0 < left = 1): an equal-ts right
+    * row sorts BEFORE the left row, outside its FOLLOWING frame, so
+    * strict-> falls out of the frame bound; right ties at one future
+    * ts resolve to the SMALLEST id via `first`. */
+  def asOfNext(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("key"), col("ts").cast("timestamp").as("ts"),
+        col("id"))
+      .withColumn("side", lit(1))
+      .withColumn("rid", lit(null).cast("long"))
+      .withColumn("rts", lit(null).cast("timestamp"))
+    val r = right.select(col("key"), col("ts").cast("timestamp").as("ts"),
+        col("id"))
+      .withColumn("side", lit(0))
+      .withColumn("rid", col("id"))
+      .withColumn("rts", col("ts"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("ts").asc, col("side").asc, col("id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("next_id", first(col("rid"), ignoreNulls = true).over(w))
+      .withColumn("next_ts", first(col("rts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("id"), col("key"), col("ts"), col("next_id"),
+        col("next_ts"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("gap_us"))
+  }
 }

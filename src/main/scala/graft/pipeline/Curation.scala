@@ -105,6 +105,34 @@ object Curation {
       sha2(clean, 256).as("clean_sha"))
   }
 
+  /** Credential patterns for [[secretScan]], in the Java-regex ∩ RE2
+    * portable subset (both engines match identical spans): AWS
+    * access-key ids (AKIA + 16 uppercase base-36 chars) and GitHub
+    * personal access tokens (ghp_ + 36 word chars). */
+  final val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+  final val GhTokenRe = "ghp_[A-Za-z0-9]{36}"
+
+  /** Secret scanning (X163 — the detect-secrets / gitleaks regex
+    * family): the credential-detector sibling of [[piiScrub]] that a
+    * SOURCE-CODE corpus needs before training — leaked cloud keys and
+    * repo tokens are the classic pre-training liability in crawled
+    * code. Per doc: detector match counts, redacted length, and the
+    * sha256 witness of the redacted text. Pure regexp columns —
+    * whole-stage codegen, zero shuffles, pushdown-friendly. */
+  def secretScan(docs: DataFrame): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(col("text"), AwsKeyRe, "<AWS_KEY>"),
+      GhTokenRe, "<GH_TOKEN>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(AwsKeyRe), lit(0)))
+        .cast("long").as("n_aws_keys"),
+      size(regexp_extract_all(col("text"), lit(GhTokenRe), lit(0)))
+        .cast("long").as("n_gh_tokens"),
+      length(clean).cast("long").as("clean_len"),
+      sha2(clean, 256).as("clean_sha"))
+  }
+
   // ── repetition quality (Gopher-style) ────────────────────────────────
 
   /** Per-doc n-gram repetition statistics: total grams, the count of the

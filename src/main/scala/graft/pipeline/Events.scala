@@ -81,6 +81,91 @@ object Events {
     * Plan: ONE day-keyed partial+final hash agg reduces the corpus to
     * ≤ span-days rows; the trailing window, integer flag rule, and
     * ordering all run on that reduced table (the X87 regime). */
+  /** Date-range aggregation (X167 — the ES `date_range` agg): named,
+    * possibly half-open [from, to) ranges over epoch-DAY boundaries;
+    * per range the event count and the exact-cents value sum. Unlike a
+    * histogram the ranges may overlap or leave gaps — each is an
+    * independent predicate — and empty ranges report 0 (a
+    * deterministic row set beats ES's omit-empty default for a
+    * correctness contract). One narrow pass: every range is a CASE
+    * column over the same scan, aggregated partial+final; no per-range
+    * jobs, no shuffle keyed by range.
+    *
+    * `ranges` = (key, fromDay inclusive or None, toDay exclusive or
+    * None) in epoch days. Value sums are exact micro-cents Longs
+    * (floor(value·100+0.5) per event) divided once at the end — the
+    * order-independent money convention used across the events ops. */
+  def dateRangeAgg(events: DataFrame,
+                   ranges: Seq[(String, Option[Long], Option[Long])]): DataFrame = {
+    require(ranges.nonEmpty, "date_range needs at least one range")
+    require(ranges.map(_._1).distinct.size == ranges.size,
+      "range keys must be unique")
+    val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val aggs = ranges.flatMap { case (key, fromD, toD) =>
+      val in = (fromD, toD) match {
+        case (Some(a), Some(b)) => day >= a && day < b
+        case (Some(a), None) => day >= a
+        case (None, Some(b)) => day < b
+        case (None, None) => lit(true)
+      }
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"cnt_$key"),
+        sum(when(in, cents).otherwise(0L)).as(s"cents_$key"))
+    }
+    val one = events.agg(aggs.head, aggs.tail: _*).collect().head
+    val spark = events.sparkSession
+    import spark.implicits._
+    ranges.zipWithIndex.map { case ((key, fromD, toD), i) =>
+      (key, fromD.getOrElse(-1L), toD.getOrElse(-1L),
+        one.getLong(2 * i), one.getLong(2 * i + 1) / 100.0)
+    }.toDF("range_key", "from_day", "to_day", "cnt", "val_sum")
+      .orderBy("range_key")
+  }
+
+  /** Rate aggregation (X168 — the ES `rate` agg inside a
+    * `date_histogram`, unit = day): per (calendar month, event_type),
+    * the event count and its per-day rate = count / days-in-month.
+    * Exact: the day count comes from the calendar (Spark and DuckDB
+    * agree on `last_day`), the division is one IEEE op from two exact
+    * integers, rounded half-up at 6 dp. One hash aggregation keyed by
+    * (month, type). */
+  def rateAgg(events: DataFrame): DataFrame = {
+    val month = date_format(col("ts"), "yyyy-MM")
+    val daysInMonth = dayofmonth(last_day(col("ts"))).cast("long")
+    events
+      .groupBy(month.as("month"), col("event_type"),
+        daysInMonth.as("days_in_month"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("month"), col("event_type"), col("cnt"),
+        (floor(col("cnt").cast("double") / col("days_in_month").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("per_day"))
+      .orderBy("month", "event_type")
+  }
+
+  /** Change-point detection, exact step form (X169 — the deterministic
+    * core of the ES `change_point` agg's step/spike case): over the
+    * daily count series, the day with the LARGEST absolute day-over-day
+    * jump |cnt − prev_cnt|, earliest day on ties. The full ES agg layers
+    * ML heuristics on top; this is the reproducible argmax every
+    * implementation agrees on. The daily table is span-sized (≤ days),
+    * so the unpartitioned lag window is the gap-fill regime, not a
+    * corpus-scale sort. */
+  def changePoint(events: DataFrame): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")
+    val daily = events.groupBy(day.as("d")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("d"))
+    daily
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .filter(col("prev_cnt").isNotNull)
+      .withColumn("jump", abs(col("cnt") - col("prev_cnt")))
+      .orderBy(col("jump").desc, col("d").asc)
+      .limit(1)
+      .select(
+        date_format(timestamp_seconds(col("d") * 86400L), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("prev_cnt"), col("jump"))
+  }
+
   def dailyAnomaly(events: DataFrame, window: Int): DataFrame = {
     require(window >= 2, s"anomaly window must be >= 2 days, got $window")
     val day = floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long")

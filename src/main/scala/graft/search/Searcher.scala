@@ -297,6 +297,21 @@ final class Searcher(spark: SparkSession, segment: Segment,
       case None => segment.dict.filter($"term".startsWith(prefix)).collect()
     }).sortBy(_.termId).take(maxExpansion)
 
+  /** Term-range expansion (Lucene TermRangeQuery, `[lo TO hi]`
+    * inclusive): every vocabulary term in the string interval. The
+    * dictionary is term-sorted with termIds dense in term order (I1),
+    * so this is a CONTIGUOUS dictionary range scan like PREFIX — and
+    * the same deterministic cap in termId order applies. */
+  def dictLookupRange(lo: String, hi: String,
+                      maxExpansion: Int = Searcher.MaxExpansion): Array[DictEntry] = {
+    require(lo <= hi, s"term range needs lo <= hi, got [$lo, $hi]")
+    (dictCache match {
+      case Some(m) => m.valuesIterator
+        .filter(e => e.term >= lo && e.term <= hi).toArray
+      case None => segment.dict.filter($"term" >= lo && $"term" <= hi).collect()
+    }).sortBy(_.termId).take(maxExpansion)
+  }
+
   /** Regex expansion (anchored full-term match), same deterministic cap
     * as prefix. Unlike prefix there is no contiguous dict range — the
     * uncached path is a full dictionary scan (dictionary-sized, not
@@ -1964,6 +1979,50 @@ final class Searcher(spark: SparkSession, segment: Segment,
     * every score ties); the global top-k is a TakeOrderedAndProject over
     * the per-bucket match sets. Supports every kind [[matchCount]]
     * supports (FREE/OR/AND/PHRASE/NEAR/ONEAR/BOOL and pattern kinds). */
+  /** Early-terminated retrieval over a SORT-BUILT index (X165 — the
+    * consumer of Lucene `IndexSorting` / ES `index.sort`): the first
+    * `k` matching docIds in docId order. Built with docIds assigned in
+    * a chosen static-field order, first-k IS top-k by that sort — and
+    * each bucket's walk STOPS after k matches (Wand.firstK), so
+    * per-bucket work is bounded by k, not the match-set size; postings
+    * past the k-th match are never decoded. Buckets run in parallel
+    * (each emits ≤k docIds); the global answer is the k smallest via
+    * TakeOrderedAndProject over ≤ k·buckets-touched rows. Kinds:
+    * FREE/OR (any term), AND (all terms), pattern kinds through their
+    * dictionary expansions. */
+  def earlyHits(kind: String, text: String, k: Int): DataFrame = {
+    require(k >= 1, s"earlyHits needs k >= 1, got $k")
+    val allowed = Set("FREE", "OR", "AND", "PREFIX", "REGEX", "WILD")
+    require(allowed.contains(kind),
+      s"earlyHits supports ${allowed.mkString("/")}, got $kind")
+    import spark.implicits._
+    val terms = QueryParser.termsFor(kind, text)
+    val entries = entriesFor(kind, text)
+    val conj = kind == "AND"
+    if (entries.isEmpty || (conj && entries.length < terms.distinct.length))
+      return Seq.empty[Long].toDF("docId")
+    val tids = entries.map(_.termId).sorted
+    val positional = segment.params.positional
+    val kL = k
+    val pls = segment.postings
+      .filter($"termId".isin(tids.map(Long.box): _*)).as[PostingList]
+    pls.groupByKey(_.bucket)
+      .flatMapGroups { (_, plIt) =>
+        val plByTid = plIt.map(pl => pl.termId -> pl).toMap
+        val slots = tids.map(tid => plByTid.get(tid)
+          .map(pl => new Wand.TermCursor(tid, 0.0, pl, positional)).orNull)
+        if (conj && slots.exists(_ == null)) Iterator.empty[Long]
+        else {
+          val eval: Array[Boolean] => Boolean =
+            if (conj) p => { var i = 0; while (i < p.length && p(i)) i += 1; i == p.length }
+            else p => { var i = 0; while (i < p.length && !p(i)) i += 1; i < p.length }
+          Wand.firstK(slots, eval, kL).iterator
+        }
+      }
+      .toDF("docId")
+      .orderBy($"docId".asc).limit(k)
+  }
+
   def constHits(kind: String, text: String, boost: Double, k: Int): DataFrame =
     matchSet(kind, text) match {
       case None =>

@@ -988,6 +988,47 @@ object Wand {
     topk.result()
   }
 
+  /** First `k` matching docIds in docId order, then STOP — the
+    * early-termination consumer of index-time sorting (Lucene
+    * `IndexSorting` / ES `index.sort`): over an index whose docIds were
+    * assigned in a chosen static-field order, the first k matches of a
+    * docId-ordered walk ARE the top-k by that sort, and every posting
+    * past the k-th match is never decoded. Same document-at-a-time
+    * frontier as [[countMatches]]; no doc lengths, no scoring. */
+  def firstK(slots: Array[TermCursor], eval: Array[Boolean] => Boolean,
+             k: Int): Array[Long] = {
+    require(k >= 1, s"firstK needs k >= 1, got $k")
+    val n = slots.length
+    val present = new Array[Boolean](n)
+    // grow lazily: k is an upper bound, not a size hint (callers may
+    // pass a huge cap to mean "the whole match set")
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.min(k, 64))
+    var found = 0
+    var anyLive = slots.exists(c => c != null && !c.exhausted)
+    while (anyLive && found < k) {
+      var d = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val c = slots(i)
+        if (c != null && !c.exhausted && c.docId < d) d = c.docId
+        i += 1
+      }
+      java.util.Arrays.fill(present, false)
+      i = 0
+      anyLive = false
+      while (i < n) {
+        val c = slots(i)
+        if (c != null && !c.exhausted) {
+          if (c.docId == d) { present(i) = true; c.next() }
+          if (!c.exhausted) anyLive = true
+        }
+        i += 1
+      }
+      if (eval(present)) { out += d; found += 1 }
+    }
+    out.toArray
+  }
+
   /** Capped presence count over one bucket — the early-termination
     * primitive behind `terminate_after` / `track_total_hits: N`. Same
     * document-at-a-time union walk and presence vector as [[topKBool]]

@@ -81,6 +81,29 @@ class CurationSpec extends SparkSpec {
     assert(got(3L)._3 == sha("ip <IP> twice <IP>"))
   }
 
+  test("secretScan counts and redacts AWS keys / GitHub tokens") {
+    import spark.implicits._
+    val aws = "AKIA" + "ABCDEF0123456789"          // 16 [0-9A-Z]
+    val gh = "ghp_" + "a1B2" * 9                   // 36 word chars
+    val t = Seq(
+      (1L, s"key $aws in config plus token $gh end"),
+      (2L, "no secrets here"),
+      (3L, s"two keys $aws and ${aws.dropRight(1)}Z tail"),
+      (4L, "near miss AKIAshort and ghp_tooshort"))
+      .toDF("doc_id", "text")
+    val got = Curation.secretScan(t).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+    assert(got(2L)._1 == 0 && got(2L)._2 == 0)
+    assert(got(3L)._1 == 2 && got(3L)._2 == 0)
+    assert(got(4L)._1 == 0 && got(4L)._2 == 0)
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._3 ==
+      sha("key <AWS_KEY> in config plus token <GH_TOKEN> end"))
+  }
+
   test("repetitionStats matches brute-force bigram counts") {
     val got = Curation.repetitionStats(docs, 2, 0.2)
       .collect().map(r => r.getLong(0) ->

@@ -253,6 +253,28 @@ class EventsSpec extends SparkSpec {
     // right-right tie at 150: left 11/12 (ts 200) see id 43 (ts 199);
     // shrink: a left at 160 would see 42 — checked via key 2's tie
     assert(got.find(_._1 == 20L).get._3 == 44L) // strict-<: 45 @100 excluded
+
+    // ── the FORWARD form on the same fixture ──────────────────────────
+    val gotN = graft.pipeline.AsOf.asOfNext(df(lefts), df(rights)).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+      .toSeq.sortBy(r => (r._2, r._1))
+    val wantN = lefts.map { case (k, t, i) =>
+      val next = rights.filter(r => r._1 == k && r._2 > t)
+        .sortBy(r => (r._2, r._3)).headOption
+      (i, k, next.map(_._3).getOrElse(-1L),
+        next.map(n => (n._2 - t) * 1000000L).getOrElse(-1L))
+    }.sortBy(r => (r._2, r._1))
+    assert(gotN == wantN)
+    assert(gotN.length == lefts.length)
+    assert(gotN.forall(r => r._4 == -1L || r._4 > 0L))
+    // left 10 (ts 100) must NOT see the equal-ts right 40; it sees the
+    // SMALLEST-id right of the 150 tie (41, not 42)
+    assert(gotN.find(_._1 == 10L).get._3 == 41L)
+    // left 20 (ts 100, key 2): right 45 at the same ts is excluded and
+    // nothing later exists
+    assert(gotN.find(_._1 == 20L).get._3 == -1L)
   }
 
   test("sub-target span picks the smallest rung; empty input is empty") {
