@@ -1991,6 +1991,22 @@ object SparkEntry {
     "q_events_changepoint" -> ((s, dir) =>
       graft.pipeline.Events.changePoint(
         s.read.parquet(s"$dir/events.parquet"))),
+    // Apriori level-3 rules (X173): {x,y} -> z over orders-as-baskets,
+    // support >= 2, confidence vs the pair, lift vs the consequent
+    "assoc_triples" -> ((s, dir) =>
+      graft.pipeline.MarketBasket.tripleRules(s, dir, 2L)),
+    // k-core membership (X174): synchronous peel to the unique
+    // fixpoint over the co-purchase graph; the twin unrolls the same
+    // bounded number of idempotent rounds
+    "graph_kcore" -> ((s, dir) =>
+      graft.pipeline.Graph.kcore(
+        graft.pipeline.Graph.partCopurchaseEdges(s, dir)
+          .select(col("a"), col("b")), 3, maxRounds = 24)),
+    // WordPiece apply (X175): greedy longest-match piece counts under
+    // the deterministic corpus-derived vocab — rows-only (iterative
+    // longest-match has no SQL form; golden-gated in WordPieceSpec)
+    "wordpiece_tokens" -> ((s, dir) =>
+      graft.pipeline.WordPiece.pieceCounts(DocsIndex.documents(s, dir), 30)),
     // remaining rank-window built-ins as a named row (ntile /
     // percent_rank / cume_dist — exact rational outputs)
     "q_window_ntile" -> ((s, dir) => {
@@ -5766,7 +5782,52 @@ object SparkEntry {
         |    AS n_gh_tokens,
         |  length(clean)::BIGINT AS clean_len,
         |  sha256(clean) AS clean_sha
-        |FROM red ORDER BY doc_id""".stripMargin)
+        |FROM red ORDER BY doc_id""".stripMargin,
+    // Apriori-L3 twin: triple counts by 3-way self-join on the basket,
+    // the three antecedent-pair orientations, shared IEEE ratio trees
+    "assoc_triples" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n_orders AS (
+        |  SELECT count(DISTINCT l_orderkey)::BIGINT AS no FROM lp
+        |), items AS (
+        |  SELECT l_partkey AS item, count(*)::BIGINT AS n_item
+        |  FROM lp GROUP BY 1
+        |), pairs AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*)::BIGINT AS n_ab
+        |  FROM lp x JOIN lp y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2
+        |), triples AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c,
+        |         count(*)::BIGINT AS n_abc
+        |  FROM lp x
+        |  JOIN lp y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  JOIN lp z ON x.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2
+        |), directed AS (
+        |  SELECT a AS ante1, b AS ante2, c AS cons, n_abc FROM triples
+        |  UNION ALL
+        |  SELECT a, c, b, n_abc FROM triples
+        |  UNION ALL
+        |  SELECT b, c, a, n_abc FROM triples
+        |)
+        |SELECT d.ante1, d.ante2, d.cons, d.n_abc AS support,
+        |       floor(d.n_abc::DOUBLE / p.n_ab::DOUBLE * 1e6 + 0.5) / 1e6
+        |         AS confidence,
+        |       floor((d.n_abc::DOUBLE * no::DOUBLE) /
+        |             (p.n_ab::DOUBLE * i.n_item::DOUBLE) * 1e6 + 0.5) / 1e6
+        |         AS lift
+        |FROM directed d
+        |JOIN pairs p ON p.pa = d.ante1 AND p.pb = d.ante2
+        |JOIN items i ON i.item = d.cons
+        |CROSS JOIN n_orders
+        |ORDER BY d.ante1, d.ante2, d.cons""".stripMargin,
+    // k-core twin: the same synchronous peel unrolled a fixed 24
+    // rounds — idempotent once converged, and the Spark side REQUIRES
+    // convergence within the same bound, so equality is exact
+    "graph_kcore" -> kcoreOracle(3, 24))
 
   /** Shared CTE: the bidirectional customer↔supplier edge list, node-
     * encoded custkey→2k / suppkey→2k+1 — must stay textually in sync
@@ -5778,6 +5839,40 @@ object SparkEntry {
       |), e AS (
       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
       |)""".stripMargin
+
+  /** The k-core peel unrolled `rounds` times over the co-purchase
+    * graph — each round keeps only edges whose BOTH endpoints have
+    * surviving degree ≥ k. Idempotent once converged (the Spark side
+    * requires convergence within the same bound). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // every round references its predecessor three times; MATERIALIZED
+    // stops DuckDB's CTE inlining from exploding the tree 3^rounds
+    // (the SQL mirror of the localCheckpoint in Graph.kcore)
+    val roundCtes = (1 to rounds).map { i =>
+      s""",
+         | keep$i AS MATERIALIZED (
+         |  SELECT src FROM s${i - 1} GROUP BY src HAVING count(*) >= $k),
+         | s$i AS MATERIALIZED (
+         |  SELECT s.src, s.dst FROM s${i - 1} s
+         |  WHERE s.src IN (SELECT src FROM keep$i)
+         |    AND s.dst IN (SELECT src FROM keep$i))""".stripMargin
+    }.mkString
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), p0 AS MATERIALIZED (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+       |  FROM lp x JOIN lp y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS MATERIALIZED (
+       |  SELECT a, b FROM p0 WHERE n >= 2
+       |), s0 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e
+       |)$roundCtes
+       |SELECT src AS node, count(*)::BIGINT AS deg
+       |FROM s$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
 
   private def pagerankOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>

@@ -133,6 +133,65 @@ object Graph {
     out
   }
 
+  /** k-core membership (X174 — Seidman, Social Networks 1983; the
+    * classic graph-curation filter that strips low-engagement fringe
+    * before community/quality analysis): the maximal subgraph in which
+    * every node has degree ≥ k, computed by synchronous peeling —
+    * each round drops every node whose SURVIVING degree is < k — to
+    * the unique fixpoint. Input: canonical undirected pairs (a < b).
+    * Returns (node, deg) for core members, deg = degree inside the
+    * core.
+    *
+    * Determinism/oracle contract: the fixpoint is unique and peeling
+    * is IDEMPOTENT once converged, so a fixed `maxRounds`-round unroll
+    * (the DuckDB twin) equals the converged answer exactly — this
+    * method REQUIRES convergence within maxRounds and fails loudly
+    * otherwise rather than returning a half-peeled subgraph.
+    *
+    * Scale: per round one degree agg (node-sized) + two semi-joins of
+    * the edge list against the survivor set; edges cached once,
+    * per-round results materialized + unpersisted (O(1) lineage, the
+    * pageRank/bfs posture). Rounds are data-bounded: each non-final
+    * round removes ≥1 node, and real graphs converge in a handful. */
+  def kcore(pairs: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // each round references the surviving edge list THREE times (the
+    // list itself + twice through the degree filter), so a cache-based
+    // loop TRIPLES the logical plan per round — exponential analyzer
+    // cost (measured: round 6 took 42 s on a 4k-edge graph). An eager
+    // localCheckpoint truncates the plan to a LogicalRDD each round,
+    // keeping per-round planning O(1); the checkpoint blocks are freed
+    // by the ContextCleaner as each round's frame is dropped.
+    var sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    var nEdges = sym.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      val next = sym
+        .join(keep, sym("src") === keep("node"), "left_semi")
+        .join(keep.withColumnRenamed("node", "node2"),
+          sym("dst") === col("node2"), "left_semi")
+        .repartition(col("src")).localCheckpoint(true)
+      val n = next.count()
+      sym = next
+      if (n == nEdges) converged = true
+      nEdges = n
+      round += 1
+    }
+    require(converged || nEdges == 0L,
+      s"k-core did not converge within $maxRounds rounds — raise maxRounds " +
+        "(and the twin's unroll) together")
+    sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+      .localCheckpoint(true)
+  }
+
   /** Per-node triangle counts over an UNDIRECTED graph given as
     * canonical pairs (a < b). Each triangle contributes 1 to each of
     * its three corners. Degree-ordered wedge join (see class doc):

@@ -46,6 +46,75 @@ object MarketBasket {
 
   private def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
 
+  /** Canonical (a < b < c) triple counts — the Apriori LEVEL-3 pass
+    * (X173). Candidate triples enumerate basket-locally (cubic only in
+    * the DOMAIN-BOUNDED basket size, same argument + cap as
+    * [[pairCounts]]); classic Apriori would generate candidates by
+    * L2 ⋈ L2 and re-scan, which costs two extra corpus passes that the
+    * bounded-basket regime makes strictly worse. The support filter
+    * afterward IS the Apriori prune (any frequent triple's pairs are
+    * frequent a fortiori). */
+  def tripleCounts(spark: SparkSession, dir: String,
+      maxGroup: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)]
+    lp.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parts = it.map(_._2).toArray
+        if (parts.length > maxGroup) Iterator.empty
+        else {
+          java.util.Arrays.sort(parts)
+          for {
+            i <- parts.indices.iterator
+            j <- (i + 1 until parts.length).iterator
+            k <- (j + 1 until parts.length).iterator
+          } yield (parts(i), parts(j), parts(k))
+        }
+      }
+      .toDF("a", "b", "c")
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("n_abc"))
+  }
+
+  /** Level-3 rules {x, y} → z with support ≥ `minSupport`: one row per
+    * qualifying triple per consequent choice, confidence =
+    * n(abc)/n(pair), lift = confidence / (n(z)/N). Pair and item
+    * tables are |items|²-bounded and broadcast; every ratio goes
+    * through the shared pinned IEEE tree + floor-round. */
+  def tripleRules(spark: SparkSession, dir: String, minSupport: Long = 2L,
+      maxGroup: Int = 10000): DataFrame = {
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = lp.select(col("l_orderkey")).distinct().count()
+    val itemCounts = lp.groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pc = pairCounts(spark, dir, maxGroup)
+      .select(col("a").as("pa"), col("b").as("pb"), col("n_ab"))
+    val triples = tripleCounts(spark, dir, maxGroup)
+      .filter(col("n_abc") >= minSupport)
+    // the three {pair} → consequent orientations; antecedent kept in
+    // canonical (ante1 < ante2) order so the pair join is direct
+    val directed =
+      triples.select(col("a").as("ante1"), col("b").as("ante2"),
+          col("c").as("cons"), col("n_abc"))
+        .union(triples.select(col("a"), col("c"), col("b"), col("n_abc")))
+        .union(triples.select(col("b"), col("c"), col("a"), col("n_abc")))
+    directed
+      .join(broadcast(pc),
+        col("ante1") === col("pa") && col("ante2") === col("pb"))
+      .join(broadcast(itemCounts.select(col("item").as("cons"),
+        col("n_item").as("n_c"))), "cons")
+      .select(col("ante1"), col("ante2"), col("cons"),
+        col("n_abc").as("support"),
+        r6(col("n_abc").cast("double") / col("n_ab").cast("double"))
+          .as("confidence"),
+        r6((col("n_abc").cast("double") * lit(nOrders.toDouble)) /
+          (col("n_ab").cast("double") * col("n_c").cast("double")))
+          .as("lift"))
+      .orderBy("ante1", "ante2", "cons")
+  }
+
   /** Directed rules (both orientations of every qualifying pair) with
     * support ≥ `minSupport` and confidence ≥ `minConf` (on the ROUNDED
     * value, so the threshold is engine-portable). */

@@ -47,4 +47,23 @@ object StreamJoin {
         col("a_user_id").as("user_id"),
         (unix_micros(col("a_ts")) - unix_micros(col("b_ts"))).as("gap_us"))
   }
+
+  /** Stream-static enrichment join (X176) — the remaining Structured
+    * Streaming join shape next to [[intervalJoin]]'s stream-stream
+    * form: an unbounded event stream inner-joined against a BOUNDED
+    * dimension table (user → segment label here). No watermark is
+    * required — the static side never grows, so there is no join state
+    * to evict: each micro-batch joins against the (broadcastable)
+    * dimension and emits immediately, which is why this is THE join
+    * every streaming enrichment pipeline starts with.
+    *
+    * Batch/stream parity: on a bounded frame the same expression is a
+    * plain inner join; StreamingSpec asserts the MemoryStream-driven
+    * result equals the batch join row-for-row. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+      .join(dim.select(col("user_id"), col("segment")), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"))
 }

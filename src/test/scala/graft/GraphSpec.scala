@@ -85,6 +85,46 @@ class GraphSpec extends SparkSpec {
     assert(viaSssp == viaBfs)
   }
 
+  test("kcore: peel fixpoint == brute force; pendant chains stripped; " +
+    "idempotent under extra rounds") {
+    // fixture: triangle (6,7,8) + K4 (10,11,12,13) + chain 1-2-3-4-5
+    // attached to the triangle via 5-6, pendant 8-9
+    val g = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (6L, 8L), (7L, 8L), (8L, 9L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L)).toDF("a", "b")
+    def brute(k: Int): Map[Long, Int] = {
+      var es = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+        (6L, 7L), (6L, 8L), (7L, 8L), (8L, 9L),
+        (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+        (11L, 13L), (12L, 13L)).flatMap(e => Seq(e, e.swap))
+      var changed = true
+      while (changed) {
+        val deg = es.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != es.size
+        es = next
+      }
+      es.groupBy(_._1).view.mapValues(_.size).toMap
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val got = Graph.kcore(g, k, maxRounds = 12)
+        .as[(Long, Long)].collect().toMap.map { case (n, d) => n -> d.toInt }
+      assert(got == brute(k), s"k=$k: $got vs ${brute(k)}")
+    }
+    // 2-core keeps both cliques, strips the chain+pendant;
+    // 3-core = the K4 alone; 4-core empty
+    assert(Graph.kcore(g, 3, 12).as[(Long, Long)].collect().toMap.keySet ==
+      Set(10L, 11L, 12L, 13L))
+    assert(Graph.kcore(g, 4, 12).count() == 0)
+    // idempotence: a larger round budget changes nothing
+    assert(Graph.kcore(g, 2, 30).orderBy("node").collect().toSeq ==
+      Graph.kcore(g, 2, 12).orderBy("node").collect().toSeq)
+  }
+
   test("partCopurchaseEdges: support threshold prunes, cap guards groups") {
     val dir = "/root/testdata/sf0.001"
     val s1 = Graph.partCopurchaseEdges(spark, dir, minSupport = 1).count()

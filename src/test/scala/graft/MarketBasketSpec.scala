@@ -32,6 +32,42 @@ class MarketBasketSpec extends SparkSpec {
       s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
   }
 
+  test("tripleRules on sf0.001 == brute-force enumeration from raw baskets") {
+    val dir = "/root/testdata/sf0.001"
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey".as[Long], $"l_partkey".as[Long])
+      .distinct().collect()
+    val baskets = lp.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val nOrders = baskets.size.toDouble
+    val itemN = lp.groupBy(_._2).map { case (p, xs) => (p, xs.length.toLong) }
+    val pairN = baskets.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    val tripleN = baskets.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(3).map(t => (t(0), t(1), t(2))))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val minSup = 2L
+    val expect = tripleN.toSeq.filter(_._2 >= minSup)
+      .flatMap { case ((a, b, c), n) =>
+        Seq((a, b, c, n), (a, c, b, n), (b, c, a, n))
+      }
+      .map { case (x, y, z, n) =>
+        val nxy = pairN((x, y))
+        (x, y, z, n, r6(n.toDouble / nxy.toDouble),
+          r6(n.toDouble * nOrders / (nxy.toDouble * itemN(z).toDouble)))
+      }.sortBy(t => (t._1, t._2, t._3))
+    val got = MarketBasket.tripleRules(spark, dir, minSup)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expect,
+      s"${got.size} vs ${expect.size}; first diff: " +
+        s"${got.zip(expect).find(p => p._1 != p._2)}")
+    // Apriori soundness: every rule's antecedent pair is frequent
+    got.foreach { case (x, y, _, n, conf, _) =>
+      assert(pairN((x, y)) >= n && conf <= 1.0 + 1e-12)
+    }
+  }
+
   test("laws: symmetry of support, confidence bounds, lift symmetry") {
     val got = MarketBasket.rules(spark, "/root/testdata/sf0.001", 2L)
       .as[(Long, Long, Long, Double, Double)].collect()

@@ -98,6 +98,16 @@ class SortedIndexSpec extends SparkSpec {
     }
   }
 
+  test("earlyHits plan: termId pushdown reaches the postings source; " +
+    "global k via TakeOrderedAndProject") {
+    val plan = searcher.earlyHits("AND", "fast AND merge", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global first-k must be a TakeOrdered, not a full sort:\n$plan")
+    assert(plan.contains("termId"),
+      s"termId predicate must appear in the scan path:\n$plan")
+  }
+
   test("dictLookupRange expands exactly the vocabulary interval, termId order") {
     val vocab = seg.dict.collect().map(_.term).sorted
     val lo = "me"; val hi = "so"

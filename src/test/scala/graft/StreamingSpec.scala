@@ -125,6 +125,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val dim = Seq((1L, "free"), (2L, "pro"), (3L, "pro"))
+      .toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = graft.streaming.StreamJoin.enrich(events, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq((10L, 1L, t0, "click"), (11L, 2L, t0, "view"),
+        (12L, 9L, t0, "click")) // user 9 has no dim row -> dropped
+      val b2 = Seq((13L, 3L, t0, "purchase"), (14L, 1L, t0, "view"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .as[(Long, Long, String, String)].collect().toSet
+      // batch parity: same expression over the union frame
+      val want = graft.streaming.StreamJoin.enrich(
+          (b1 ++ b2).toDF("event_id", "user_id", "ts", "event_type"), dim)
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(got == want && got.size == 4 && !got.exists(_._1 == 12L))
+    } finally q.stop()
+  }
+
   test("streaming dedup: first-seen-wins across micro-batches, min-id within") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
