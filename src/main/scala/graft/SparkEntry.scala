@@ -1991,6 +1991,60 @@ object SparkEntry {
     "q_events_changepoint" -> ((s, dir) =>
       graft.pipeline.Events.changePoint(
         s.read.parquet(s"$dir/events.parquet"))),
+    // TPC-H Q3 (shipping priority, adapted to the testdata columns):
+    // urgent BUILDING-segment revenue — 3-way join with date range
+    // predicates on both fact sides; revenue in EXACT cents (one Long
+    // sum, order-independent) divided once at the end
+    "q3_shipping" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), cents.as("cents"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg((sum(col("cents")) / lit(100.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // TPC-H Q5 (local supplier volume): the 6-table join with the
+    // same-nation customer/supplier predicate, ASIA + 2-year window
+    "q5_region_volume" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0) + lit(0.5)).cast("long")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), cents.as("cents"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("cents")) / lit(100.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
     // Apriori level-3 rules (X173): {x,y} -> z over orders-as-baskets,
     // support >= 2, confidence vs the pair, lift vs the consequent
     "assoc_triples" -> ((s, dir) =>
@@ -5827,7 +5881,37 @@ object SparkEntry {
     // k-core twin: the same synchronous peel unrolled a fixed 24
     // rounds — idempotent once converged, and the Spark side REQUIRES
     // convergence within the same bound, so equality is exact
-    "graph_kcore" -> kcoreOracle(3, 24))
+    "graph_kcore" -> kcoreOracle(3, 24),
+    // TPC-H Q3 twin (exact-cents revenue, identical IEEE per row)
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority,
+        |       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+        |                      + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // TPC-H Q5 twin: same 6-table join incl. the same-nation predicate
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+        |                      + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)
 
   /** Shared CTE: the bidirectional customer↔supplier edge list, node-
     * encoded custkey→2k / suppkey→2k+1 — must stay textually in sync
