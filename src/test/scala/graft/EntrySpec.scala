@@ -16,11 +16,13 @@ class EntrySpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
     // rows-only (un-oracled) queries are the deliberately approximate
-    // ops (murmur3/LSH/PQ signatures, pruned-tail recall) and the two
-    // iterative-trainer surfaces (BPE) — each exact-gated in scalatest
+    // ops (murmur3/LSH/PQ signatures, pruned-tail recall), the
+    // iterative-trainer surfaces (BPE/unigram), and the iterative
+    // longest-match apply (WordPiece) — each exact-gated in scalatest
     assert(q.diff(o) == Set("dedup_simhash", "ann_lsh", "ann_pq",
       "ann_ivfpq", "dedup_semantic", "ft_pruned", "bpe_merges",
-      "bpe_tokens", "cluster_topics", "unigram_vocab", "unigram_tokens"),
+      "bpe_tokens", "cluster_topics", "unigram_vocab", "unigram_tokens",
+      "wordpiece_tokens"),
       q.diff(o).toString)
   }
 
