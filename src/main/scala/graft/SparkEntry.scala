@@ -1897,7 +1897,11 @@ object SparkEntry {
         .orderBy("win_start", "event_type")),
 
     // pairwise association rules (Apriori level 2): support ≥ 3 rules
-    // over orders-as-baskets with confidence and lift
+    // over orders-as-baskets with confidence and lift. CAP CONTRACT:
+    // the engine drops (and COUNTS, via the `dropped` accumulator)
+    // baskets over maxGroup=10k items; the DuckDB twin enumerates
+    // uncapped, so the oracle is valid iff the count is 0 — TPC-H
+    // baskets are ≤7 lines, asserted in MarketBasketSpec.
     "assoc_rules" -> ((s, dir) =>
       graft.pipeline.MarketBasket.rules(s, dir, minSupport = 3L)),
 
@@ -2046,7 +2050,9 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
     // Apriori level-3 rules (X173): {x,y} -> z over orders-as-baskets,
-    // support >= 2, confidence vs the pair, lift vs the consequent
+    // support >= 2, confidence vs the pair, lift vs the consequent.
+    // Same basket-cap contract as assoc_rules: over-cap baskets are
+    // counted, twin is uncapped, valid iff the count stays 0.
     "assoc_triples" -> ((s, dir) =>
       graft.pipeline.MarketBasket.tripleRules(s, dir, 2L)),
     // k-core membership (X174): synchronous peel to the unique

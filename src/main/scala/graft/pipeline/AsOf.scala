@@ -58,9 +58,11 @@ object AsOf {
   }
 
   /** The FORWARD as-of join (X164 — Pandas `merge_asof`
-    * direction='forward', kdb+ window-join's leading edge): for each
-    * left row, the single right row of the same key with the SMALLEST
-    * timestamp strictly after the left timestamp. Same union + keyed-
+    * direction='forward' with allow_exact_matches=False; pandas'
+    * forward DEFAULT is inclusive, this is the strict variant — kdb+
+    * window-join's leading edge): for each left row, the single right
+    * row of the same key with the SMALLEST timestamp strictly after
+    * the left timestamp. Same union + keyed-
     * window shape and cost as [[asOfPrior]] — one |L|+|R| sort-shuffle,
     * no pair expansion. Determinism mirrors the prior form with the
     * side encoding FLIPPED (right = 0 < left = 1): an equal-ts right

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Lineage._
 
 /** Connected components over an undirected pair list — the clustering
   * step of a dedup pipeline: near-dup PAIRS (from MinHash-LSH, SimHash,
@@ -63,14 +64,14 @@ object Components {
       .as[(Long, Long)]
       .filter(p => p._1 != p._2)
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       // localCheckpoint truncates the lineage each round — an iterative
       // Dataset loop otherwise stacks N rounds of union/distinct plans
       // and blows the driver on analysis alone
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).cutLineage()
       // true fixpoint test: the edge SET is unchanged. (Cheaper proxies
       // — count equality, unique sources — are both satisfied by a
       // still-converging chain whose pointers merely halve each round.)

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Lineage._
 import org.apache.spark.storage.StorageLevel
 
 /** Training-data curation operators over a (doc_id, text, lang, source)
@@ -329,7 +330,7 @@ object Curation {
       .select(col("term_a"), col("term_b"), col("n"), col("llr"))
       .orderBy("term_a", "term_b")
       // snapshot result, release the cached pair table (see ppmi)
-      .localCheckpoint(true)
+      .cutLineage()
     pairs.unpersist()
     out
   }
@@ -404,7 +405,7 @@ object Curation {
       // corpus-scale cached pair table NOW — the checkpoint blocks are
       // freed by the ContextCleaner when the frame is dropped, instead
       // of the cache surviving in the shared CacheManager until LRU
-      .localCheckpoint(true)
+      .cutLineage()
     pairs.unpersist()
     out
   }

@@ -5,6 +5,7 @@ import scala.util.hashing.MurmurHash3
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.pipeline.Lineage._
 
 /** Deduplication operators over a (doc_id, text) table — the
   * training-data-pipeline layer. Exact, n-gram-Jaccard (exact pairwise),
@@ -62,7 +63,7 @@ object Dedup {
       // snapshot the pair-sized result, release the cached shingle
       // table now (ContextCleaner frees the checkpoint blocks when the
       // frame is dropped — no reliance on CacheManager LRU)
-      .localCheckpoint(true)
+      .cutLineage()
     sh.unpersist()
     out
   }
@@ -114,7 +115,7 @@ object Dedup {
       .filter($"jac" >= tau)
       .select($"doc_a", $"doc_b", $"jac")
       // snapshot + release the cached shingle table (see jaccardPairs)
-      .localCheckpoint(true)
+      .cutLineage()
     sh.unpersist()
     out
   }

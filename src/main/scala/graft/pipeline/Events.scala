@@ -114,11 +114,14 @@ object Events {
         sum(when(in, cents).otherwise(0L)).as(s"cents_$key"))
     }
     val one = events.agg(aggs.head, aggs.tail: _*).collect().head
+    // sum() over zero input rows is SQL NULL — coalesce so an empty
+    // events table still reports the full deterministic 0-row set
+    def lng(i: Int): Long = if (one.isNullAt(i)) 0L else one.getLong(i)
     val spark = events.sparkSession
     import spark.implicits._
     ranges.zipWithIndex.map { case ((key, fromD, toD), i) =>
       (key, fromD.getOrElse(-1L), toD.getOrElse(-1L),
-        one.getLong(2 * i), one.getLong(2 * i + 1) / 100.0)
+        lng(2 * i), lng(2 * i + 1) / 100.0)
     }.toDF("range_key", "from_day", "to_day", "cnt", "val_sum")
       .orderBy("range_key")
   }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.pipeline.Lineage._
 
 /** Iterative graph analytics over edge-list DataFrames — the missing
   * capability class next to [[Components]] (which handles the
@@ -84,7 +85,7 @@ object Graph {
     // cached table can be released too (it used to outlive the call,
     // parked in the CacheManager until LRU eviction)
     val out = ranks.select(col("node"), round(col("rank"), 6).as("pr"))
-      .localCheckpoint(true)
+      .cutLineage()
     ranks.unpersist()
     withDeg.unpersist()
     out
@@ -126,7 +127,7 @@ object Graph {
     }
     // snapshot + release the final round's cached tables (see pageRank)
     val out = dist.select(col("node"), col("dist").cast("long").as("dist"))
-      .localCheckpoint(true)
+      .cutLineage()
     frontier.unpersist()
     dist.unpersist()
     e.unpersist()
@@ -165,7 +166,7 @@ object Graph {
     // by the ContextCleaner as each round's frame is dropped.
     var sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).cutLineage()
     var nEdges = sym.count()
     var round = 0
     var converged = false
@@ -176,7 +177,7 @@ object Graph {
         .join(keep, sym("src") === keep("node"), "left_semi")
         .join(keep.withColumnRenamed("node", "node2"),
           sym("dst") === col("node2"), "left_semi")
-        .repartition(col("src")).localCheckpoint(true)
+        .repartition(col("src")).cutLineage()
       val n = next.count()
       sym = next
       if (n == nEdges) converged = true
@@ -189,7 +190,7 @@ object Graph {
     sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .orderBy("node")
-      .localCheckpoint(true)
+      .cutLineage()
   }
 
   /** Per-node triangle counts over an UNDIRECTED graph given as
@@ -262,18 +263,24 @@ object Graph {
     * pair expansion — real order sizes are bounded (~4 lines here), so
     * the quadratic step is a constant per order; a pathological group
     * beyond the cap is dropped, the same bounded-bucket pattern as
-    * MinHash-LSH banding. One order-keyed shuffle + one pair-keyed
-    * count agg; nothing else touches the corpus. */
+    * MinHash-LSH banding — and, like there, every over-cap basket is
+    * COUNTED in `dropped` (no silent truncation; the graph twins
+    * enumerate uncapped, so oracled rows require the count stay 0 —
+    * TPC-H baskets are ≤7 lines). One order-keyed shuffle + one
+    * pair-keyed count agg; nothing else touches the corpus. */
   def partCopurchaseEdges(spark: SparkSession, dir: String,
-      minSupport: Int = 2, maxGroup: Int = 10000): DataFrame = {
+      minSupport: Int = 2, maxGroup: Int = 10000,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import spark.implicits._
     val lp = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .as[(Long, Long)]
+    val acc = dropped
     lp.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val parts = it.map(_._2).toArray
-        if (parts.length > maxGroup) Iterator.empty
+        if (parts.length > maxGroup) { acc.foreach(_.add(1L)); Iterator.empty }
         else {
           java.util.Arrays.sort(parts)
           for {
@@ -326,7 +333,7 @@ object Graph {
     // snapshot + release the final round's cached table (see pageRank)
     val out = dist.select(col("node").cast("long").as("node"),
       col("dist").cast("long").as("dist"))
-      .localCheckpoint(true)
+      .cutLineage()
     dist.unpersist()
     e.unpersist()
     out

@@ -21,17 +21,28 @@ import org.apache.spark.sql.functions._
 object MarketBasket {
 
   /** Canonical (a < b) co-occurrence pair counts over orders-as-baskets
-    * — n(ab) = number of orders containing BOTH parts. */
+    * — n(ab) = number of orders containing BOTH parts.
+    *
+    * Cap contract: a basket larger than `maxGroup` is dropped whole and
+    * COUNTED in `dropped` (the [[Dedup.minhashCandidates]] discipline —
+    * no silent truncation). The DuckDB twins enumerate baskets uncapped,
+    * so oracled rows are only valid while the count is 0; TPC-H baskets
+    * are ≤7 lines, so at every tested scale it is. Callers that cannot
+    * tolerate any drop should gate on `dropped.value == 0` after the
+    * action, as the driver rows' specs do. */
   def pairCounts(spark: SparkSession, dir: String,
-      maxGroup: Int = 10000): DataFrame = {
+      maxGroup: Int = 10000,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import spark.implicits._
     val lp = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .as[(Long, Long)]
+    val acc = dropped
     lp.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val parts = it.map(_._2).toArray
-        if (parts.length > maxGroup) Iterator.empty
+        if (parts.length > maxGroup) { acc.foreach(_.add(1L)); Iterator.empty }
         else {
           java.util.Arrays.sort(parts)
           for {
@@ -53,17 +64,21 @@ object MarketBasket {
     * L2 ⋈ L2 and re-scan, which costs two extra corpus passes that the
     * bounded-basket regime makes strictly worse. The support filter
     * afterward IS the Apriori prune (any frequent triple's pairs are
-    * frequent a fortiori). */
+    * frequent a fortiori). Same cap contract as [[pairCounts]]:
+    * over-cap baskets are dropped AND counted via `dropped`. */
   def tripleCounts(spark: SparkSession, dir: String,
-      maxGroup: Int = 10000): DataFrame = {
+      maxGroup: Int = 10000,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import spark.implicits._
     val lp = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .as[(Long, Long)]
+    val acc = dropped
     lp.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val parts = it.map(_._2).toArray
-        if (parts.length > maxGroup) Iterator.empty
+        if (parts.length > maxGroup) { acc.foreach(_.add(1L)); Iterator.empty }
         else {
           java.util.Arrays.sort(parts)
           for {
@@ -83,15 +98,17 @@ object MarketBasket {
     * tables are |items|²-bounded and broadcast; every ratio goes
     * through the shared pinned IEEE tree + floor-round. */
   def tripleRules(spark: SparkSession, dir: String, minSupport: Long = 2L,
-      maxGroup: Int = 10000): DataFrame = {
+      maxGroup: Int = 10000,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val lp = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = lp.select(col("l_orderkey")).distinct().count()
     val itemCounts = lp.groupBy(col("l_partkey").as("item"))
       .agg(count(lit(1)).as("n_item"))
-    val pc = pairCounts(spark, dir, maxGroup)
+    val pc = pairCounts(spark, dir, maxGroup, dropped)
       .select(col("a").as("pa"), col("b").as("pb"), col("n_ab"))
-    val triples = tripleCounts(spark, dir, maxGroup)
+    val triples = tripleCounts(spark, dir, maxGroup, dropped)
       .filter(col("n_abc") >= minSupport)
     // the three {pair} → consequent orientations; antecedent kept in
     // canonical (ante1 < ante2) order so the pair join is direct
@@ -119,13 +136,15 @@ object MarketBasket {
     * support ≥ `minSupport` and confidence ≥ `minConf` (on the ROUNDED
     * value, so the threshold is engine-portable). */
   def rules(spark: SparkSession, dir: String, minSupport: Long = 2L,
-      minConf: Double = 0.0, maxGroup: Int = 10000): DataFrame = {
+      minConf: Double = 0.0, maxGroup: Int = 10000,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val lp = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = lp.select(col("l_orderkey")).distinct().count()
     val itemCounts = lp.groupBy(col("l_partkey").as("item"))
       .agg(count(lit(1)).as("n_item"))
-    val pairs = pairCounts(spark, dir, maxGroup)
+    val pairs = pairCounts(spark, dir, maxGroup, dropped)
       .filter(col("n_ab") >= minSupport)
     // both orientations of each canonical pair
     val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))

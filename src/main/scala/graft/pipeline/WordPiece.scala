@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * reproducible; a production run would pass a trained vocab file.
   *
   * Scale: the vocab is a driver-side Set (dictionary-residency regime)
-  * broadcast inside the flatMap closure; tokenization is one narrow
+  * shipped to executors via `SparkContext.broadcast` — torrent-
+  * distributed once per executor, not re-serialized into every task
+  * closure; tokenization is one narrow
   * pass, zero shuffles before the count agg. Greedy matching is O(L²)
   * per word in the worst case with L ≤ 64 capped — the standard
   * WordPiece bound. No SQL twin: longest-match-first is an iterative
@@ -81,10 +83,11 @@ object WordPiece {
     val spark = docs.sparkSession
     import spark.implicits._
     val (initial, cont) = deriveVocab(docs, vocabTerms)
+    val bc = spark.sparkContext.broadcast((initial, cont))
     docs.select(col("text").cast("string")).as[String]
       .flatMap(t => t.split(" ").iterator
         .filter(_.length >= 2)
-        .flatMap(w => tokenizeWord(w, initial, cont)))
+        .flatMap(w => tokenizeWord(w, bc.value._1, bc.value._2)))
       .toDF("piece")
       .groupBy("piece").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("piece").asc)

@@ -447,4 +447,15 @@ class EventsSpec extends SparkSpec {
       ("view", "click", "purchase", 1L),
       ("view", "click", "view", 1L)), s"got $paths")
   }
+
+  test("date_range agg: empty events still reports the full zeroed row " +
+      "set (sum() over zero rows is SQL NULL — must coalesce, not NPE)") {
+    import spark.implicits._
+    val empty = mkEvents(Seq.empty)
+    val out = Events.dateRangeAgg(empty,
+      Seq(("early", None, Some(100L)), ("late", Some(100L), None)))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("early", -1L, 100L, 0L, 0.0),
+      ("late", 100L, -1L, 0L, 0.0)), s"got $out")
+  }
 }

@@ -88,4 +88,29 @@ class MarketBasketSpec extends SparkSpec {
     val s3 = MarketBasket.rules(spark, dir, 3L).count()
     assert(s3 < s2 && s3 > 0)
   }
+
+  test("cap-exceeded baskets are COUNTED, never silently dropped") {
+    val dir = "/root/testdata/sf0.001"
+    // maxGroup=1 drops every multi-item basket: the accumulator must
+    // see every one of them (no silent truncation — the Dedup
+    // discipline), and under the default cap it must stay 0, which is
+    // what licenses the uncapped DuckDB twins.
+    val acc = spark.sparkContext.longAccumulator("basket_drops")
+    MarketBasket.pairCounts(spark, dir, maxGroup = 1, Some(acc)).count()
+    val multiBaskets = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey").count().filter($"count" > 1).count()
+    assert(acc.value == multiBaskets,
+      s"accumulator ${acc.value} != dropped baskets $multiBaskets")
+
+    val acc2 = spark.sparkContext.longAccumulator("basket_drops_default")
+    MarketBasket.tripleCounts(spark, dir, dropped = Some(acc2)).count()
+    assert(acc2.value == 0L, "default cap must not fire on TPC-H baskets")
+
+    val acc3 = spark.sparkContext.longAccumulator("copurchase_drops")
+    graft.pipeline.Graph.partCopurchaseEdges(spark, dir, maxGroup = 1,
+      dropped = Some(acc3)).count()
+    assert(acc3.value == multiBaskets,
+      s"co-purchase accumulator ${acc3.value} != $multiBaskets")
+  }
 }
