@@ -1627,6 +1627,21 @@ object SparkEntry {
           col("sha256").as("sha"))
         .orderBy("doc_id")
     }),
+    // REAL pixel decode (X178): zlib-compressed IDAT inflated with
+    // java.util.zip.Inflater, scanline filter bytes stripped+verified;
+    // the twin recomputes dims from octet_length and hashes the SOURCE
+    // text — a hash match proves container→inflate→defilter bit-exact
+    "mm_png_pixels" -> ((s, dir) =>
+      Multimodal.decodePngPixels(
+          Multimodal.ingestPngZlib(DocsIndex.documents(s, dir)))
+        .orderBy("id")),
+    // REAL PCM sample decode (X179): the data chunk as 16-bit LE
+    // signed samples, exact Long stats; twin recomputes the same
+    // stats from the source text's bytes (ASCII corpus ⇒ ord == byte)
+    "mm_wav_pcm" -> ((s, dir) =>
+      Multimodal.wavPcmStats(
+          Multimodal.ingestWav(DocsIndex.documents(s, dir)))
+        .orderBy("id")),
 
     // ── SQL surface: registered tokenizer UDF + explode = UDTF shape ──
     "ft_sql_udtf" -> ((s, dir) => {
@@ -2048,6 +2063,40 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg((sum(col("cents")) / lit(100.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+    // TPC-H Q18 (large-volume customers — X180): the suite's skew-
+    // shape probe. The l_orderkey aggregation is the largest-key-count
+    // groupBy in the relational sweep and the HAVING keeps only heavy
+    // baskets; the heavy set then drives an orders semi-join. AQE is
+    // on in the harness: its skew handling would SPLIT an oversized
+    // post-shuffle partition at runtime, and with TPC-H's uniform
+    // basket sizes its observed action is partition COALESCING (no
+    // genuine skew to split) — the shape is what a skewed corpus would
+    // exercise. basket sums are integer-valued doubles ≤ a few
+    // hundred, exact under any order ⇒ the strict > threshold and the
+    // BIGINT cast are engine-portable. Deterministic total order:
+    // (o_totalprice desc, o_orderdate, o_orderkey) — o_orderkey is
+    // unique per row.
+    "q18_top_customers" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val heavy = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("basket_qty"))
+        .filter(col("basket_qty") > lit(250.0))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      ord.join(heavy, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"),
+          col("basket_qty").cast("long").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
     }),
     // Apriori level-3 rules (X173): {x,y} -> z over orders-as-baskets,
     // support >= 2, confidence vs the pair, lift vs the consequent.
@@ -4989,6 +5038,50 @@ object SparkEntry {
         |       16::BIGINT AS bits_per_sample,
         |       n::BIGINT AS data_len
         |FROM src ORDER BY doc_id""".stripMargin,
+    // pixel-decode twin: dims from the planted rule, pixel bytes ==
+    // the source payload (the short-last-row scanline layout keeps
+    // that invariant), so sha256(text) IS the pixel hash ground truth
+    "mm_png_pixels" ->
+      """WITH src AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |         octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id AS id,
+        |       (n % 256 + 16)::BIGINT AS width,
+        |       ((n + (n % 256 + 16) - 1) // (n % 256 + 16))::BIGINT AS height,
+        |       n::BIGINT AS n_pixel_bytes,
+        |       sha256(t) AS pixel_sha256
+        |FROM src ORDER BY doc_id""".stripMargin,
+    // PCM twin: the same 16-bit LE sample arithmetic over the source
+    // text's bytes (corpus is pure ASCII, so ord(char) == byte value;
+    // the >=32768 sign branch is mirrored though ASCII high bytes
+    // < 0x80 can never trip it). A trailing odd byte is ignored on
+    // both sides (n_samples = n // 2).
+    "mm_wav_pcm" ->
+      """WITH src AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |         octet_length(encode(coalesce(text, ''))) AS n
+        |  FROM documents
+        |), samp AS (
+        |  SELECT s.doc_id,
+        |         ord(substr(s.t, (2 * i.i - 1)::INT, 1)) +
+        |         256 * ord(substr(s.t, (2 * i.i)::INT, 1)) AS u
+        |  FROM src s, UNNEST(range(1, s.n // 2 + 1)) AS i(i)
+        |), sgn AS (
+        |  SELECT doc_id,
+        |         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        |  FROM samp
+        |)
+        |SELECT s.doc_id AS id, (s.n // 2)::BIGINT AS n_samples,
+        |       coalesce(g.sum_v, 0)::BIGINT AS sum_pcm,
+        |       coalesce(g.min_v, 0)::BIGINT AS min_pcm,
+        |       coalesce(g.max_v, 0)::BIGINT AS max_pcm
+        |FROM src s LEFT JOIN (
+        |  SELECT doc_id, sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
+        |  FROM sgn GROUP BY doc_id
+        |) g USING (doc_id)
+        |ORDER BY id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -5917,7 +6010,22 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    // TPC-H Q18 twin: group-per-order form with the customer attached
+    // — identical to the HAVING-subquery classic because the basket
+    // sum is the same value either way (exact integer-valued doubles)
+    "q18_top_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice,
+        |       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |HAVING sum(l_quantity) > 250
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin)
 
   /** Shared CTE: the bidirectional customer↔supplier edge list, node-
     * encoded custkey→2k / suppkey→2k+1 — must stay textually in sync

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, AnnIndex, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Ann, AnnIndex, Dedup, MediaRow, Multimodal, TextStats}
 
 /** Training-data pipeline operators — dedup, ANN, text stats, multimodal
   * plumbing. Approximate paths (MinHash-LSH, SimHash banding, vector LSH)
@@ -287,6 +287,79 @@ class PipelineSpec extends SparkSpec {
         (id, 1L, ch, sr, sr * ch * 2, ch * 2, 16L, n.toLong)
       }
     assert(got == want)
+  }
+
+  test("multimodal: zlib IDAT inflates back to the exact payload; " +
+    "filter bytes strip clean; pixel sha256 == sha256(source bytes)") {
+    import spark.implicits._
+    // include a non-ASCII doc so multi-byte UTF-8 (high-bit bytes)
+    // rides through the deflate→inflate→defilter path too
+    val local = Seq((0L, "hello png world " * 40), (1L, ""), (2L, "x"),
+      (3L, "naïve café ☕ " * 23), (4L, "a" * 255 + "b" * 17))
+      .toDF("doc_id", "text")
+    val got = Multimodal.decodePngPixels(Multimodal.ingestPngZlib(local))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val want = local.as[(Long, String)].collect().toSeq.sortBy(_._1)
+      .map { case (id, t) =>
+        val p = t.getBytes("UTF-8")
+        val w = p.length % 256 + 16
+        val h = (p.length + w - 1) / w
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(p).map(x => f"${x & 0xff}%02x").mkString
+        (id, w.toLong, h.toLong, p.length.toLong, sha)
+      }
+    assert(got == want)
+    // the compressed container is genuinely smaller than the raw wrap
+    // for the repetitive doc (i.e. DEFLATE actually ran)
+    val zip = Multimodal.ingestPngZlib(local).filter(_.id == 0L).head()
+    assert(zip.bytes.length < 640 + 45,
+      s"IDAT not compressed: ${zip.bytes.length}")
+  }
+
+  test("multimodal: WAV PCM stats decode signed 16-bit LE samples " +
+    "exactly (sign extension, odd tail ignored, empty pinned to 0s)") {
+    import spark.implicits._
+    // hand-built payloads exercise what ASCII corpora cannot: negative
+    // samples (high byte >= 0x80) and the odd trailing byte
+    def wav(id: Long, payload: Array[Byte]): MediaRow = {
+      val n = payload.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+        .putInt(16000).putShort(2.toShort).putShort(16.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(n).put(payload)
+      MediaRow(id, "audio", bb.array(), Map.empty)
+    }
+    val rows = Seq(
+      wav(0L, Array[Byte](0x00, 0x80.toByte,          // -32768
+                          0xff.toByte, 0x7f.toByte,   // 32767
+                          0x01, 0x00,                 // 1
+                          0x2a)),                     // odd tail: ignored
+      wav(1L, Array.empty[Byte]),
+      wav(2L, Array[Byte](0xfe.toByte, 0xff.toByte))) // -2
+    val got = Multimodal.wavPcmStats(spark.createDataset(rows))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0L, 3L, 0L, -32768L, 32767L),
+      (1L, 0L, 0L, 0L, 0L),
+      (2L, 1L, -2L, -2L, -2L)), s"got $got")
+    // and over the corpus-planted containers the stats equal a
+    // driver-side brute force on the source bytes
+    val media = Multimodal.ingestWav(docs)
+    val dist = Multimodal.wavPcmStats(media)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val brute = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .toSeq.sortBy(_._1).map { case (id, t) =>
+        val p = t.getBytes("UTF-8")
+        val ss = (0 until p.length / 2).map(i =>
+          (((p(2 * i) & 0xff) | ((p(2 * i + 1) & 0xff) << 8)).toShort).toLong)
+        if (ss.isEmpty) (id, 0L, 0L, 0L, 0L)
+        else (id, ss.length.toLong, ss.sum, ss.min, ss.max)
+      }
+    assert(dist == brute)
   }
 
   test("chunkDups == brute-force chunk duplication") {
