@@ -192,12 +192,38 @@ object Percolator {
     case other => throw new IllegalArgumentException(s"unsupported kind $other")
   }
 
+  /** Java-serialized size of a compiled set — the broadcast payload
+    * measure ([[percolate]]'s residency gate; also what the spec
+    * asserts for the 10k-saved-searches case). */
+  private[graft] def serializedSize(qs: Array[Compiled]): Long = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val oo = new java.io.ObjectOutputStream(bo)
+    oo.writeObject(qs); oo.close()
+    bo.size().toLong
+  }
+
   /** Match every (doc_id, text) row against every compiled query; one
-    * output row per (doc_id, query_id) match. */
+    * output row per (doc_id, query_id) match.
+    *
+    * The broadcast-residency claim is ASSERTED, not assumed: the
+    * compiled set's serialized size is measured driver-side and the
+    * call fails loudly past `maxBroadcastBytes` (default 64 MB —
+    * thousands of bytes per compiled query means the Elastic-regime
+    * 10⁴–10⁵ subscriptions fit with an order of magnitude to spare;
+    * PercolatorSpec pins the 10k case). A set past the cap needs the
+    * OTHER architecture (queries as a table, term-keyed candidate
+    * join), not a silent giant broadcast. */
   def percolate(spark: SparkSession, docs: DataFrame,
-                queries: Seq[Compiled]): DataFrame = {
+                queries: Seq[Compiled],
+                maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(queries.toArray)
+    val arr = queries.toArray
+    val nBytes = serializedSize(arr)
+    require(nBytes <= maxBroadcastBytes,
+      s"compiled query set serializes to $nBytes B > broadcast cap " +
+        s"$maxBroadcastBytes B (${arr.length} queries) — switch to a " +
+        "term-keyed candidate join for sets this large")
+    val bc = spark.sparkContext.broadcast(arr)
     docs.select(docs("doc_id"), docs("text")).as[(Long, String)]
       .mapPartitions { it =>
         val qs = bc.value

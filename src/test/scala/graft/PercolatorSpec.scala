@@ -85,4 +85,41 @@ class PercolatorSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("10k-saved-searches broadcast residency is ASSERTED: measured " +
+    "payload far under the cap; an over-cap set fails loudly") {
+    import spark.implicits._
+    // the Elastic regime: 10k varied stored queries. Terms are
+    // letters-only (digits/underscores would be split by the
+    // code-aware tokenizer into shared subtokens and every query
+    // would match everything).
+    def enc(i: Int): String = i.toString.map(c => ('a' + (c - '0')).toChar)
+    val kinds = Seq("AND", "OR", "PHRASE", "NEAR", "PREFIX")
+    val compiled = (0 until 10000).map { i =>
+      val k = kinds(i % kinds.length)
+      val text = k match {
+        case "AND"    => s"alpha${enc(i)} AND beta${enc(i % 97)}"
+        case "OR"     => s"gamma${enc(i)} OR delta${enc(i % 89)}"
+        case "PHRASE" => "\"saved search " + enc(i) + "\""
+        case "NEAR"   => s"epsilon${enc(i)} NEAR/4 zeta${enc(i % 83)}"
+        case "PREFIX" => s"pre${enc(i)}*"
+      }
+      Percolator.compile(s"q$i", k, text)
+    }
+    val nBytes = Percolator.serializedSize(compiled.toArray)
+    assert(nBytes < (64L << 20) / 8,
+      s"10k compiled queries serialize to $nBytes B — must keep an 8x " +
+        "margin under the 64 MB broadcast cap")
+    // the gate itself: same set, tiny cap => loud failure, no broadcast
+    // (doc matches exactly q5: the AND over alpha+beta of i=5 — every
+    // other kind family uses disjoint letters-only vocabularies)
+    val docsDf = Seq((1L, s"alpha${enc(5)} beta${enc(5)}")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Percolator.percolate(spark, docsDf, compiled, maxBroadcastBytes = 1024L)
+    }
+    assert(e.getMessage.contains("term-keyed candidate join"))
+    // and the real path still runs with the 10k set resident
+    val hits = Percolator.percolate(spark, docsDf, compiled).collect()
+    assert(hits.map(_.getString(1)).toSet == Set("q5"))
+  }
 }
