@@ -1219,6 +1219,22 @@ object SparkEntry {
       Dedup.minhashLshPairs(DocsIndex.documents(s, dir), 3, 64, 16, 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")),
+    // asymmetric n-gram CONTAINMENT (X181 — Broder SEQUENCES'97): the
+    // subset-duplication detector symmetric Jaccard misses (a doc
+    // quoted whole inside a 10x larger one has J~0.1 but C=1.0);
+    // prefix filtering on the contained side only, exact verification
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(DocsIndex.documents(s, dir), 3, 0.8)
+        .select(col("doc_sub"), col("doc_sup"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("doc_sub", "doc_sup")),
+    // deterministic two-pass heavy hitters (X182 — Misra-Gries'82):
+    // per-partition capacity-k summaries union to a guaranteed
+    // candidate superset, exact pass-2 counts keep cnt*256 >= N —
+    // output is exact, so the twin is the plain HAVING aggregation
+    "heavy_hitters" -> ((s, dir) =>
+      graft.pipeline.HeavyHitters.heavyHitters(
+        DocsIndex.documents(s, dir), 256L, 4096)),
     // chunk-level exact duplication (Lee et al. exact-substring family):
     // 4-word stride-4 chunks, dup = chunk in >= 2 distinct docs
     "dedup_chunks" -> ((s, dir) =>
@@ -4362,6 +4378,39 @@ object SparkEntry {
     // prefix-filtered join: identical output by the prefix theorem
     "dedup_jaccard_prefix" -> jaccardSql,
     "dedup_minhash" -> jaccardSql, // LSH banding at J≈0.99 pairs: recall 1 − (1−J⁴)¹⁶ ≈ 1
+    // containment twin: the quadratic directed form over the same
+    // shingle CTEs — denominator is the CONTAINED side's size only
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[p] || ' ' || ws[p+1] || ' ' || ws[p+2] AS s
+        |  FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(p)
+        |  WHERE len(ws) >= 3
+        |), sz AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, count(*)::BIGINT AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_sub, doc_sup, round(i * 1.0 / sa.n, 6) AS containment
+        |FROM inter JOIN sz sa ON doc_sub = sa.doc_id
+        |WHERE i * 1.0 / sa.n >= 0.8
+        |ORDER BY doc_sub, doc_sup""".stripMargin,
+    // heavy-hitters twin: the EXACT aggregation the two-pass MG
+    // computes (pass-1 candidates are a guaranteed superset, pass-2 is
+    // exact, so approximation never reaches the output)
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |                            w -> length(w) >= 2)) AS term
+        |  FROM documents
+        |), n AS (SELECT count(*)::BIGINT AS n FROM toks),
+        |tf AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1)
+        |SELECT term, cnt FROM tf, n
+        |WHERE cnt * 256 >= n
+        |ORDER BY cnt DESC, term""".stripMargin,
     "dedup_chunks" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, list_aggregate(ws[p:p+3], 'string_agg', ' ') AS chunk

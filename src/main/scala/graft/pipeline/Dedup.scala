@@ -120,6 +120,58 @@ object Dedup {
     out
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs (X181 — Broder's containment
+    * coefficient from "On the resemblance and containment of
+    * documents", SEQUENCES'97): directed (doc_sub, doc_sup) with
+    * C(sub→sup) = |S_sub ∩ S_sup| / |S_sub| ≥ tau. The SUBSET-duplication
+    * detector symmetric Jaccard structurally misses: a document quoted
+    * whole inside a 10× larger one has J ≈ 0.1 but C = 1.0 — exactly
+    * the nested-scrape / quoted-README shape a training-data dedup
+    * pass needs to catch.
+    *
+    * Scale path: prefix filtering on the CONTAINED side only —
+    * i ≥ ⌈τ·|S_sub|⌉ forces a shared shingle inside sub's first
+    * |S_sub| − ⌈τ·|S_sub|⌉ + 1 shingles under the global rarest-first
+    * (df asc) order, so candidates come from sub-PREFIX ⋈ sup-ALL.
+    * The containing side carries no size bound (that is what makes
+    * containment asymmetric), but the join stays shallow for the
+    * PPJoin reason: prefix shingles are by construction the RAREST,
+    * so Σ over prefix tokens of df is small. Exact verification runs
+    * on candidates only; output contract mirrors [[jaccardPairs]]
+    * (raw-ratio threshold, caller rounds). */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       tau: Double = 0.8): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau in (0,1], got $tau")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs, n).toDF("doc_id", "shingle").cache()
+    val dfT = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val prefix = sh.join(dfT, "shingle")
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy($"df".asc, $"shingle".asc)))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .filter($"rn" <= $"sz" - ceil($"sz" * tau) + 1)
+      .select($"doc_id".as("doc_sub"), $"shingle")
+    val cand = prefix.join(sh.toDF("doc_sup", "shingle"), "shingle")
+      .filter($"doc_sub" =!= $"doc_sup")
+      .select($"doc_sub", $"doc_sup").distinct()
+    val a = sh.toDF("doc_sub", "shingle")
+    val b = sh.toDF("doc_sup", "shingle")
+    val inter = cand.join(a, "doc_sub").join(b, Seq("doc_sup", "shingle"))
+      .groupBy($"doc_sub", $"doc_sup").agg(count(lit(1)).as("i"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val out = inter
+      .join(sz.toDF("doc_sub", "nsub"), "doc_sub")
+      .withColumn("containment", $"i" / $"nsub")
+      .filter($"containment" >= tau)
+      .select($"doc_sub", $"doc_sup", $"containment")
+      // snapshot + release the cached shingle table (see jaccardPairs)
+      .cutLineage()
+    sh.unpersist()
+    out
+  }
+
   @inline private def hash32(s: String, seed: Int): Int =
     MurmurHash3.stringHash(s, seed)
 

@@ -289,6 +289,53 @@ class PipelineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("containment == brute force; catches the planted SUBSET dup " +
+    "that symmetric jaccard misses at the same threshold") {
+    import spark.implicits._
+    // doc 1 is quoted whole inside the much larger doc 2: J is small,
+    // C(1->2) = 1.0
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (100 to 190).map(i => s"x$i").mkString(" ")
+    val other = (500 to 540).map(i => s"y$i").mkString(" ")
+    val local = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val tau = 0.8
+    val got = graft.pipeline.Dedup.containmentPairs(local, 3, tau)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // brute force
+    def sh(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 3) Set.empty
+      else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val all = Map(1L -> sh(small), 2L -> sh(big), 3L -> sh(other))
+    val want = (for {
+      (a, sa) <- all.toSeq; (b, sb) <- all.toSeq
+      if a != b && sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= tau
+    } yield (a, b, c)).sortBy(p => (p._1, p._2))
+    assert(got == want)
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the planted subset pair: $got")
+    // jaccard at the same threshold must NOT flag it (the asymmetry is
+    // the point of the operator)
+    val j = graft.pipeline.Dedup.jaccardPairs(local, 3, tau).count()
+    assert(j == 0L)
+    // corpus-scale sanity: prefix-filtered == exhaustive on sf0.001
+    val docs = graft.api.DocsIndex.documents(spark, "/root/testdata/sf0.001")
+    val fast = graft.pipeline.Dedup.containmentPairs(docs, 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val shAll = graft.pipeline.Dedup.shingles(docs, 3).collect()
+      .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).toSet) }
+    val slow = (for {
+      (a, sa) <- shAll.toSeq; (b, sb) <- shAll.toSeq
+      if a != b && sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.8
+    } yield (a, b, c)).toSet
+    assert(fast == slow, s"prefix path diverges: ${fast.size} vs ${slow.size}")
+  }
+
   test("multimodal: zlib IDAT inflates back to the exact payload; " +
     "filter bytes strip clean; pixel sha256 == sha256(source bytes)") {
     import spark.implicits._
