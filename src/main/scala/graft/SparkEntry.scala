@@ -1797,6 +1797,12 @@ object SparkEntry {
     "q_events_gapfill" -> ((s, dir) =>
       graft.pipeline.Events.gapFilledDaily(
         s.read.parquet(s"$dir/events.parquet"), Some(19720L), Some(19755L))),
+    // serial differencing (X183 — ES derivative + serial_diff pipeline
+    // aggs): day-over-day and lag-7 seasonal differences over the
+    // dense daily spine (calendar lags, first lag-k days NULL)
+    "q_events_serial_diff" -> ((s, dir) =>
+      graft.pipeline.Events.serialDiff(
+        s.read.parquet(s"$dir/events.parquet"), 7)),
     // absence detection (CEP "A not followed by B": clicks with no
     // purchase by the same user within 6h — the abandonment signal);
     // one user-keyed RANGE-frame window, no self-join
@@ -5487,6 +5493,23 @@ object SparkEntry {
         |WHERE event_type = 'click' AND nb = 0 ORDER BY event_id""".stripMargin,
     // gap-fill twin: same integer epoch-day buckets, dense range() spine,
     // least/greatest bounds widening, zero-filled absences
+    // serial-diff twin: same dense spine, both lags over the reduced
+    // daily table (calendar lags by construction)
+    "q_events_serial_diff" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events
+        |), agg AS (
+        |  SELECT d, count(*)::BIGINT AS cnt FROM d GROUP BY 1
+        |), mm AS (SELECT min(d) AS lo, max(d) AS hi FROM agg),
+        |spine AS (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm),
+        |s AS (
+        |  SELECT s.d, coalesce(a.cnt, 0)::BIGINT AS cnt
+        |  FROM spine s LEFT JOIN agg a USING (d)
+        |)
+        |SELECT strftime(to_timestamp(d * 86400), '%Y-%m-%d') AS day, cnt,
+        |       cnt - lag(cnt, 1) OVER (ORDER BY d) AS deriv,
+        |       cnt - lag(cnt, 7) OVER (ORDER BY d) AS sdiff
+        |FROM s ORDER BY day""".stripMargin,
     "q_events_gapfill" ->
       """WITH d AS (
         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, value FROM events

@@ -268,6 +268,31 @@ object Events {
       .orderBy("day")
   }
 
+  /** Serial differencing over the gap-filled daily count series (X183
+    * — ES `derivative` (lag 1) and `serial_diff` (seasonal lag)
+    * pipeline aggregations in one pass): per day, the count, the
+    * day-over-day derivative, and the lag-`seasonLag` seasonal
+    * difference. The series rides the dense [[gapFilledDaily]] spine
+    * (missing days count 0), so lags are CALENDAR lags, not row lags —
+    * the distinction ES's gap_policy machinery exists to paper over.
+    * The first 1 (resp. seasonLag) spine days report NULL, pinned —
+    * the ES skip-gap convention of emitting nothing until the lag
+    * window fills.
+    *
+    * Plan: one day-keyed partial+final hash agg reduces the corpus to
+    * span-sized rows; the spine join and both lag windows run on that
+    * reduced table (the X87/X169 regime — the unpartitioned window is
+    * span-sized by construction, never corpus-sized). */
+  def serialDiff(events: DataFrame, seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 1, s"seasonal lag must be >= 1, got $seasonLag")
+    val w = Window.orderBy(col("day"))
+    gapFilledDaily(events)
+      .select(col("day"), col("cnt"),
+        (col("cnt") - lag(col("cnt"), 1).over(w)).as("deriv"),
+        (col("cnt") - lag(col("cnt"), seasonLag).over(w)).as("sdiff"))
+      .orderBy("day")
+  }
+
   /** Sessionization (inactivity-gap session windows — the Spark
     * `session_window` / Flink session-gap / GA-style sessions shape,
     * batch form): events of one user belong to one session while

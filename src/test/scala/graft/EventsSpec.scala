@@ -448,6 +448,23 @@ class EventsSpec extends SparkSpec {
       ("view", "click", "view", 1L)), s"got $paths")
   }
 
+  test("serial diff: calendar lags over the dense spine == brute force; " +
+    "gap days are zero-filled BEFORE differencing; first lag-k rows NULL") {
+    import spark.implicits._
+    // days 0,1,3,3,10 (gaps at 2 and 4..9) — lags must be calendar
+    val secs = Seq(10L, 86400L + 5, 3 * 86400L + 9, 3 * 86400L + 11,
+      10 * 86400L + 1)
+    val out = Events.serialDiff(mkEvents(secs), 3)
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    val cnt = (0L to 10L).map(d => secs.count(s => s / 86400 == d).toLong)
+    val want = (0 to 10).map { d =>
+      (fmt(d * 86400L).take(10), cnt(d),
+        if (d >= 1) Some(cnt(d) - cnt(d - 1)) else None,
+        if (d >= 3) Some(cnt(d) - cnt(d - 3)) else None)
+    }
+    assert(out == want, s"got $out")
+  }
+
   test("date_range agg: empty events still reports the full zeroed row " +
       "set (sum() over zero rows is SQL NULL — must coalesce, not NPE)") {
     import spark.implicits._
